@@ -1,0 +1,29 @@
+"""Packed per-cell direction-bit layout shared by kernels and traceback.
+
+One byte per DP cell, 4 consecutive anti-diagonals packed per uint32 word.
+For cell (x, y) of pair b (x = db index = lane, y = query index,
+d = x + y = anti-diagonal):
+
+    word  = dirs[d // 4, b, x]
+    byte  = (word >> (8 * (d % 4))) & 0xFF
+
+Bit semantics (all computed on the maximizing Gotoh recurrence;
+ties set multiple bits -- that is what enables co-optimal enumeration):
+
+* HM/HI/HD: which plane(s) achieve H(x,y) = max(M,I,D)(x,y).  Because
+  M(x+1,y+1) = H(x,y) + sub, these are exactly the M-parent set of the
+  *successor* diagonal cell (reference m_pointer,
+  needleman_wunsch_affine.rs:120-153).
+* IEXT/IOPEN: I(x,y) came from I(x,y-1)+e / M(x,y-1)+o+e
+  (reference i_pointer, :108-119).
+* DEXT/DOPEN: D(x,y) came from D(x-1,y)+e / M(x-1,y)+o+e
+  (reference d_pointer, :96-107).
+"""
+
+HM = 1
+HI = 2
+HD = 4
+IEXT = 8
+IOPEN = 16
+DEXT = 32
+DOPEN = 64

@@ -1,0 +1,391 @@
+"""Batched affine-gap Needleman-Wunsch (Gotoh) fill for TPU.
+
+TPU-native design (not a port): the O(n*m) three-plane DP is swept along
+anti-diagonals.  Cells of one anti-diagonal are independent, so a whole
+diagonal is one fixed-shape vector op with the db axis (x) on the 128-wide
+lane dimension and the batch on sublanes -- the VPU processes
+(B, P) cells per instruction.  The three Gotoh recurrences only reference
+diagonals d-1 and d-2, so state is five rolling VMEM buffers; the
+lane-shifted reads (x-1) are single-lane rotates.  Traceback information is
+emitted as one byte per cell (see ops.dirbits), packed four diagonals per
+uint32 word, streamed to HBM chunk-by-chunk through the Pallas grid.
+
+Reference semantics reproduced bit-for-bit in compat mode (see
+ops.oracle_gotoh for the quirk list); the oracle is the test ground truth.
+
+Two interchangeable implementations share the single-step function:
+  * gotoh_fill_lax    -- pure jax.lax.scan, runs anywhere (CPU tests).
+  * gotoh_fill_pallas -- the TPU kernel (auto-interprets off-TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.ops import dirbits
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class GotohResult(NamedTuple):
+    """finals: (B, 3) int32 -- M/I/D at (n2[b], n1[b]).
+    dirs: (D4, B, P) uint32 packed direction bytes (None in score-only mode).
+    """
+
+    finals: jax.Array
+    dirs: Optional[jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# Shared single-diagonal step
+# ---------------------------------------------------------------------------
+
+
+def _boundary_scalars(d, scheme: ScoringScheme, compat: bool):
+    """Boundary cell values at anti-diagonal d as (row0, col0) triples.
+
+    row0 = cell (x=0, y=d): compat stores the gap chain o+(d+1)e in the D
+    plane (needleman_wunsch_affine.rs:183-199); textbook puts o+d*e in I.
+    col0 = cell (x=d, y=0): compat chain in I (:200-216); textbook in D.
+    d == 0 is the origin: M=0, I=D=-inf.
+    """
+    o, e = scheme.gap_open, scheme.gap_extend
+    neg = jnp.int32(NEG_INF)
+    is_origin = d == 0
+    m_b = jnp.where(is_origin, 0, neg)
+    if compat:
+        chain = (o + (d + 1) * e).astype(jnp.int32)
+        row0 = (m_b, neg, jnp.where(is_origin, neg, chain))  # (M, I, D)
+        col0 = (m_b, jnp.where(is_origin, neg, chain), neg)
+    else:
+        chain = (o + d * e).astype(jnp.int32)
+        row0 = (m_b, jnp.where(is_origin, neg, chain), neg)
+        col0 = (m_b, neg, jnp.where(is_origin, neg, chain))
+    return row0, col0
+
+
+def _gotoh_step(
+    H2, H1, M1, I1, D1, s1d,
+    seq1_col, s2v, col_iota, d,
+    scheme: ScoringScheme,
+    compat: bool,
+    wildcard: bool,
+    roll,
+    with_dirs: bool,
+):
+    """Compute diagonal d from diagonals d-1 (M1/I1/D1, H1) and d-2 (H2).
+
+    Shapes: all (B, P) int32 except seq1_col (B, 1), d scalar int32.
+    Returns (M, I, D, H, s1d_new, byte) with byte None in score-only mode.
+
+    Lane x of diagonal d is cell (x, y=d-x).  Lane 0 and lane d are
+    boundaries, overridden with closed-form chain values, which also act as
+    barriers that keep garbage in out-of-triangle lanes from ever flowing
+    into the valid region.
+    """
+    o = jnp.int32(scheme.gap_open)
+    e = jnp.int32(scheme.gap_extend)
+
+    # Rolling query buffer: s1d[i] = seq1[d-1-i].
+    s1d_new = jnp.where(col_iota == 0, seq1_col, roll(s1d))
+
+    if wildcard:
+        eq = (s1d_new & s2v) != 0  # N-matches-anything (align.rs:298-304)
+    else:
+        eq = s1d_new == s2v  # plain equality (needleman_wunsch_affine.rs:220)
+    sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+
+    H2r = roll(H2)
+    M1r = roll(M1)
+    D1r = roll(D1)
+
+    M = H2r + sub
+    dd = M1r + o
+    D = jnp.maximum(dd, D1r) + e
+    ii = M1 + o
+    I = jnp.maximum(ii, I1) + e
+
+    # Boundary overrides (lane d first, then lane 0 so the origin wins at
+    # d == 0 where both masks hit lane 0).
+    row0, col0 = _boundary_scalars(d, scheme, compat)
+    lane_d = col_iota == d
+    lane_0 = col_iota == 0
+    M = jnp.where(lane_d, col0[0], M)
+    I = jnp.where(lane_d, col0[1], I)
+    D = jnp.where(lane_d, col0[2], D)
+    M = jnp.where(lane_0, row0[0], M)
+    I = jnp.where(lane_0, row0[1], I)
+    D = jnp.where(lane_0, row0[2], D)
+
+    H = jnp.maximum(M, jnp.maximum(I, D))
+
+    byte = None
+    if with_dirs:
+        b = (M == H).astype(jnp.int32) * dirbits.HM
+        b |= (I == H).astype(jnp.int32) * dirbits.HI
+        b |= (D == H).astype(jnp.int32) * dirbits.HD
+        # arg-achieved comparisons, equivalent to the reference's
+        # recomputed-score equalities (i/d_pointer):
+        b |= (I1 >= ii).astype(jnp.int32) * dirbits.IEXT
+        b |= (ii >= I1).astype(jnp.int32) * dirbits.IOPEN
+        b |= (D1r >= dd).astype(jnp.int32) * dirbits.DEXT
+        b |= (dd >= D1r).astype(jnp.int32) * dirbits.DOPEN
+        byte = b
+
+    return M, I, D, H, s1d_new, byte
+
+
+# ---------------------------------------------------------------------------
+# Pure-JAX reference implementation (lax.scan over diagonals)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "compat", "wildcard", "with_dirs", "l1", "l2"),
+)
+def _gotoh_fill_lax(
+    seq1, s2v, dsum, n2mask, l1: int, l2: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
+):
+    B, P = s2v.shape
+    D_total = l1 + l2 + 1
+    neg = jnp.full((B, P), NEG_INF, dtype=jnp.int32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    roll = lambda a: jnp.roll(a, 1, axis=1)
+
+    def body(carry, d):
+        H2, H1, M1, I1, D1, s1d, fm, fi, fd = carry
+        idx = jnp.clip(d - 1, 0, seq1.shape[1] - 1)
+        seq1_col = jax.lax.dynamic_slice_in_dim(seq1, idx, 1, axis=1)
+        M, I, D, H, s1d_new, byte = _gotoh_step(
+            H2, H1, M1, I1, D1, s1d, seq1_col, s2v, col_iota, d,
+            scheme, compat, wildcard, roll, with_dirs,
+        )
+        cap = jnp.logical_and(dsum == d, n2mask)
+        fm = fm + jnp.where(cap, M, 0)
+        fi = fi + jnp.where(cap, I, 0)
+        fd = fd + jnp.where(cap, D, 0)
+        out = byte.astype(jnp.uint8) if with_dirs else jnp.zeros((), jnp.uint8)
+        return (H1, H, M, I, D, s1d_new, fm, fi, fd), out
+
+    zeros = jnp.zeros((B, P), jnp.int32)
+    carry0 = (neg, neg, neg, neg, neg, zeros, zeros, zeros, zeros)
+    carry, bytes_ = jax.lax.scan(body, carry0, jnp.arange(D_total, dtype=jnp.int32))
+    _, _, _, _, _, _, fm, fi, fd = carry
+    finals = jnp.stack(
+        [fm.sum(axis=1), fi.sum(axis=1), fd.sum(axis=1)], axis=1
+    )
+    if with_dirs:
+        # Pack (D, B, P) u8 -> (D4, B, P) u32, little-endian in d.
+        D4 = _round_up(D_total, 4) // 4
+        pad = D4 * 4 - D_total
+        bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
+        w = bytes_.reshape(D4, 4, B, P).astype(jnp.uint32)
+        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+    else:
+        dirs = None
+    return finals, dirs
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _gotoh_kernel(
+    # inputs
+    dsum_ref, n2mask_ref, seq1_ref, s2v_ref,
+    # outputs
+    finals_m_ref, finals_i_ref, finals_d_ref, dirs_ref,
+    # scratch
+    H2, H1, M1, I1, D1, s1d, wacc,
+    *, l1: int, chunk: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
+):
+    c = pl.program_id(1)
+    B, P = s2v_ref.shape
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    roll = lambda a: pltpu.roll(a, 1, axis=1)
+
+    @pl.when(c == 0)
+    def _init():
+        neg = jnp.full((B, P), NEG_INF, dtype=jnp.int32)
+        H2[...] = neg
+        H1[...] = neg
+        M1[...] = neg
+        I1[...] = neg
+        D1[...] = neg
+        s1d[...] = jnp.zeros((B, P), jnp.int32)
+        finals_m_ref[...] = jnp.zeros((B, P), jnp.int32)
+        finals_i_ref[...] = jnp.zeros((B, P), jnp.int32)
+        finals_d_ref[...] = jnp.zeros((B, P), jnp.int32)
+
+    dsum = dsum_ref[...]
+    n2mask = n2mask_ref[...] != 0
+    s2v = s2v_ref[...]
+
+    def group_body(g, _):
+        base = c * chunk + g * 4
+        for u in range(4):
+            d = base + u
+            idx = jnp.clip(d - 1, 0, seq1_ref.shape[1] - 1)
+            seq1_col = seq1_ref[:, pl.ds(idx, 1)]
+            M, I, D, H, s1d_new, byte = _gotoh_step(
+                H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...],
+                seq1_col, s2v, col_iota, d,
+                scheme, compat, wildcard, roll, with_dirs,
+            )
+            H2[...] = H1[...]
+            H1[...] = H
+            M1[...] = M
+            I1[...] = I
+            D1[...] = D
+            s1d[...] = s1d_new
+            cap = jnp.logical_and(dsum == d, n2mask)
+            finals_m_ref[...] += jnp.where(cap, M, 0)
+            finals_i_ref[...] += jnp.where(cap, I, 0)
+            finals_d_ref[...] += jnp.where(cap, D, 0)
+            if with_dirs:
+                word = byte.astype(jnp.uint32) << (8 * u)
+                if u == 0:
+                    wacc[...] = word
+                else:
+                    wacc[...] |= word
+        if with_dirs:
+            dirs_ref[pl.ds(g, 1), :, :] = wacc[...][None]
+        return 0
+
+    jax.lax.fori_loop(0, chunk // 4, group_body, 0)
+
+
+def gotoh_fill_pallas(
+    seq1, s2v, dsum, n2mask, l1: int, l2: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
+    chunk: int = 64, interpret: Optional[bool] = None,
+):
+    """Invoke the Pallas kernel.  seq1: (B, L1p); s2v: (B, P) shifted db
+    codes (s2v[:, x] = db[x-1]); dsum: (B, 1) = n1+n2; n2mask: (B, P) one-hot
+    of lane n2.  B must be a multiple of 8."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, P = s2v.shape
+    BT = 8 if B % 8 == 0 else B
+    NB = B // BT
+    D_total = l1 + l2 + 1
+    NC = _round_up(D_total, chunk) // chunk
+    D4 = NC * chunk // 4
+
+    grid = (NB, NC)
+    kernel = functools.partial(
+        _gotoh_kernel,
+        l1=l1, chunk=chunk, scheme=scheme, compat=compat,
+        wildcard=wildcard, with_dirs=with_dirs,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((B, P), jnp.int32),
+        jax.ShapeDtypeStruct((B, P), jnp.int32),
+        jax.ShapeDtypeStruct((B, P), jnp.int32),
+        jax.ShapeDtypeStruct((D4 if with_dirs else 1, B, P), jnp.uint32),
+    ]
+    bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
+    in_specs = [
+        bspec((BT, 1), lambda b, c: (b, 0)),
+        bspec((BT, P), lambda b, c: (b, 0)),
+        bspec((BT, seq1.shape[1]), lambda b, c: (b, 0)),
+        bspec((BT, P), lambda b, c: (b, 0)),
+    ]
+    out_specs = [
+        bspec((BT, P), lambda b, c: (b, 0)),
+        bspec((BT, P), lambda b, c: (b, 0)),
+        bspec((BT, P), lambda b, c: (b, 0)),
+        bspec(
+            (chunk // 4 if with_dirs else 1, BT, P),
+            (lambda b, c: (c, b, 0)) if with_dirs else (lambda b, c: (0, b, 0)),
+        ),
+    ]
+    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(6)] + [
+        pltpu.VMEM((BT, P), jnp.uint32)
+    ]
+    fm, fi, fd, dirs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(dsum, n2mask, seq1, s2v)
+    finals = jnp.stack(
+        [fm.sum(axis=1), fi.sum(axis=1), fd.sum(axis=1)], axis=1
+    )
+    return finals, (dirs if with_dirs else None)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def nw_affine_batch(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    wildcard: bool = False,
+    with_dirs: bool = True,
+    backend: str = "auto",
+    chunk: int = 64,
+) -> GotohResult:
+    """Batched Gotoh fill.
+
+    query/db: (B, L) int32 encoded batches (io.encode).  Returns finals
+    (B, 3) = M/I/D scores at each pair's true corner, plus packed direction
+    words for host traceback (ops.traceback).
+
+    backend: "auto" (pallas on TPU, lax elsewhere), "pallas", or "lax".
+    """
+    B, L1 = query.shape
+    _, L2 = db.shape
+    P = _round_up(L2 + 1, 128)
+
+    s2v = np.zeros((B, P), dtype=np.int32)
+    s2v[:, 1 : L2 + 1] = db
+    seq1 = np.asarray(query, dtype=np.int32)
+    dsum = (np.asarray(query_len) + np.asarray(db_len)).astype(np.int32)[:, None]
+    n2mask = (
+        np.arange(P, dtype=np.int32)[None, :] == np.asarray(db_len)[:, None]
+    ).astype(np.int32)
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+    if backend == "pallas":
+        finals, dirs = gotoh_fill_pallas(
+            jnp.asarray(seq1), jnp.asarray(s2v), jnp.asarray(dsum),
+            jnp.asarray(n2mask), L1, L2, scheme, compat, wildcard, with_dirs,
+            chunk=chunk,
+        )
+    elif backend == "lax":
+        finals, dirs = _gotoh_fill_lax(
+            jnp.asarray(seq1), jnp.asarray(s2v), jnp.asarray(dsum),
+            jnp.asarray(n2mask) != 0, L1, L2, scheme, compat, wildcard,
+            with_dirs,
+        )
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+    return GotohResult(finals=finals, dirs=dirs)

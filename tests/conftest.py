@@ -2,7 +2,9 @@
 
 Multi-chip sharding is validated without real hardware by asking XLA's host
 platform for 8 fake devices (the same mechanism the driver's
-``dryrun_multichip`` uses).  Must run before jax is imported anywhere.
+``dryrun_multichip`` uses).  The axon TPU plugin in this image overrides
+JAX_PLATFORMS, so the platform is forced via jax.config as well.  Must run
+before any test imports jax-backed modules.
 """
 
 import os
@@ -13,3 +15,9 @@ if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8, jax.devices()
