@@ -35,12 +35,47 @@ def traceback_pair(
     compat: bool = True,
     max_alignments: int = 64,
 ) -> Tuple[int, List[Tuple[str, str]]]:
-    """Co-optimal global traceback for one pair.
+    """Co-optimal global traceback for one pair (anti-diagonal dirs layout).
 
     dirs_b: (D4, P) uint32 slice for this pair; finals_b: (3,) int32 M/I/D
     at (n2, n1).  Returns (score, [(aligned_seq1, aligned_seq2), ...]) in
     the reference's print order.
     """
+    return _gotoh_walk(
+        lambda x, y: _byte(dirs_b, x + y, x),
+        finals_b, seq1, seq2, compat, max_alignments,
+    )
+
+
+def banded_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    k_lo: int,
+    compat: bool = True,
+    max_alignments: int = 64,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """Traceback for ops.nw_banded's row-packed band-coordinate layout:
+    byte(x, y) lives at word dirs[x//4, (y-x) - k_lo], shift 8*(x%4)."""
+
+    def byte_at(x: int, y: int) -> int:
+        k = (y - x) - k_lo
+        if k < 0 or k >= dirs_b.shape[1]:
+            return 0  # out of band: no parents
+        return int(dirs_b[x >> 2, k] >> (8 * (x & 3))) & 0xFF
+
+    return _gotoh_walk(byte_at, finals_b, seq1, seq2, compat, max_alignments)
+
+
+def _gotoh_walk(
+    byte_at,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    compat: bool,
+    max_alignments: int,
+) -> Tuple[int, List[Tuple[str, str]]]:
     n1, n2 = len(seq1), len(seq2)
     score = int(finals_b.max())
 
@@ -60,7 +95,7 @@ def traceback_pair(
                     return [D]
             return []
         if plane == M:
-            b = _byte(dirs_b, x + y - 2, x - 1)  # H-argmax of cell (x-1,y-1)
+            b = byte_at(x - 1, y - 1)  # H-argmax of cell (x-1, y-1)
             out = []
             if b & dirbits.HM:
                 out.append(M)
@@ -70,14 +105,14 @@ def traceback_pair(
                 out.append(D)
             return out
         if plane == I:
-            b = _byte(dirs_b, x + y, x)
+            b = byte_at(x, y)
             out = []
             if b & dirbits.IEXT:
                 out.append(I)
             if b & dirbits.IOPEN:
                 out.append(M)
             return out
-        b = _byte(dirs_b, x + y, x)
+        b = byte_at(x, y)
         out = []
         if b & dirbits.DEXT:
             out.append(D)
@@ -118,6 +153,97 @@ def traceback_pair(
                 s1c, s2c, nx, ny = seq1[y - 1 : y], b"-", x, y - 1
             stack.append((s1c + a1, s2c + a2, parent, nx, ny))
     return score, out
+
+
+def _linear_bits(dirs_b: np.ndarray, x: int, y: int) -> int:
+    return _byte(dirs_b, x + y, x)
+
+
+def linear_traceback_pair(
+    dirs_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    local: bool = False,
+    max_hits: int = 64,
+) -> List[Tuple[str, str, int, int]]:
+    """Linear-NW traceback from ops.nw_linear path bits.
+
+    Replicates the reference's DFS (needleman_wunsch.rs:205-254): explores
+    path bits in DOWN, RIGHT, DIAG order, emits a hit at (0,0) or at an
+    empty-path cell, and reproduces the start-coordinate quirk (the printed
+    start is set by the frame *above* the terminating cell).  Local mode
+    seeds from every ISMAX cell in the reference argmax's row-major
+    (seq1-major) encounter order (:256-272).
+
+    Returns [(aligned_seq1, aligned_seq2, start_in_seq1, start_in_seq2)].
+    """
+    from sequencealigning_tpu.ops.nw_linear import LDIAG, LDOWN, LISMAX, LRIGHT
+
+    n1, n2 = len(seq1), len(seq2)
+    if local:
+        starts = [
+            (x, y)
+            for y in range(n1 + 1)
+            for x in range(n2 + 1)
+            if _linear_bits(dirs_b, x, y) & LISMAX
+        ]
+    else:
+        starts = [(n2, n1)]
+
+    hits: List[Tuple[str, str, int, int]] = []
+    s1 = seq1.decode("latin-1")
+    s2 = seq2.decode("latin-1")
+
+    for start in starts:
+        if len(hits) >= max_hits:
+            break
+        q: List[str] = []
+        db: List[str] = []
+        state = {"siq": 0, "sid": 0}
+        # Iterative DFS with explicit stack of (cell, next-branch cursor).
+        # Recursion mirrors oracle_linear.linear_traceback.
+        import sys
+
+        old = sys.getrecursionlimit()
+        sys.setrecursionlimit(max(old, n1 + n2 + 1000))
+
+        def rec(cur):
+            if len(hits) >= max_hits:
+                return
+            x, y = cur
+            bits = _linear_bits(dirs_b, x, y) & (LDOWN | LRIGHT | LDIAG)
+            if cur == (0, 0) or not bits:
+                hits.append(
+                    ("".join(reversed(q)), "".join(reversed(db)),
+                     state["siq"], state["sid"])
+                )
+                return
+            for bit in (LDOWN, LRIGHT, LDIAG):
+                if not bits & bit:
+                    continue
+                state["siq"] = max(y, 1) - 1
+                state["sid"] = max(x, 1) - 1
+                if bit == LDOWN:
+                    q.append(s1[y - 1])
+                    db.append("-")
+                    nxt = (x, y - 1)
+                elif bit == LRIGHT:
+                    q.append("-")
+                    db.append(s2[x - 1])
+                    nxt = (x - 1, y)
+                else:
+                    q.append(s1[y - 1])
+                    db.append(s2[x - 1])
+                    nxt = (x - 1, y - 1)
+                rec(nxt)
+                q.pop()
+                db.pop()
+
+        try:
+            rec(start)
+        finally:
+            sys.setrecursionlimit(old)
+    return hits
 
 
 def traceback_batch(
