@@ -1,0 +1,194 @@
+"""Command-line driver.
+
+Mirrors the reference binary's interface (src/parse.rs:10-50, src/main.rs):
+
+    seqalign -q query.fa -d db.fa [-o OUT] [-v] [-m MODE] [-a ALGO]
+
+with the same defaults (mode=global, algo=a-star), the same warn-and-continue
+FASTA recovery (main.rs:29-35), the same db x query pair loop with per-pair
+error isolation (main.rs:61-78), and per-algorithm stdout formats.  Unlike
+the reference, --out-path actually works (the reference parses -o but never
+reads it, parse.rs:20-21): results are written as JSON lines.
+
+Framework extensions: --algo nw-linear|banded, --textbook (disable
+reference-quirk compat), scoring overrides, --band, --batch-size.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+from pathlib import Path
+
+from sequencealigning_tpu.config import (
+    AlignConfig,
+    Algo,
+    Mode,
+    ScoringScheme,
+    WfaPenalties,
+)
+from sequencealigning_tpu.errors import CharError, FastaError
+from sequencealigning_tpu.io.fasta import parse_fasta
+from sequencealigning_tpu.models import get_aligner
+from sequencealigning_tpu.utils.pprint import bars
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="seqalign",
+        description="TPU-native pairwise sequence alignment "
+        "(capabilities of Qw11111111111/SequenceAligning, rebuilt for TPU)",
+    )
+    p.add_argument("-q", "--query-file", required=True, help="Path to query FASTA")
+    p.add_argument("-d", "--db-file", required=True, help="Path to db FASTA")
+    p.add_argument(
+        "-o", "--out-path", default="./results",
+        help="Structured JSONL output path (default ./results)",
+    )
+    p.add_argument("-v", "--verbose", action="store_true", default=False)
+    p.add_argument(
+        "-m", "--mode", default="global",
+        choices=[m.value for m in Mode],
+    )
+    p.add_argument(
+        "-a", "--algo", default="a-star",
+        choices=[a.value for a in Algo],
+    )
+    p.add_argument(
+        "--textbook", action="store_true",
+        help="Textbook semantics instead of reference-quirk compat",
+    )
+    p.add_argument("--no-out", action="store_true", help="Skip JSONL output")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--band", type=int, default=128, help="Band half-width")
+    p.add_argument("--match", type=int, default=5)
+    p.add_argument("--mismatch", type=int, default=-4)
+    p.add_argument("--gap-open", type=int, default=-8)
+    p.add_argument("--gap-extend", type=int, default=-6)
+    p.add_argument("--wfa-mismatch", type=int, default=4)
+    p.add_argument("--wfa-gap-open", type=int, default=2)
+    p.add_argument("--wfa-gap-extend", type=int, default=6)
+    return p
+
+
+def _load(path: str, label: str):
+    """Reference parse semantics: FastaError aborts, CharError warns and
+    continues with the cleaned records (main.rs:22-60)."""
+    try:
+        return parse_fasta(path)
+    except CharError as e:
+        print(
+            f"Invalid character {e.chars!r} detected in {label} fasta; "
+            "continuing by ignoring it",
+            file=sys.stderr,
+        )
+        return e.res
+    except FastaError as e:
+        print(f"{label} fasta could not be opened: {e}", file=sys.stderr)
+        print("aborting", file=sys.stderr)
+        return None
+
+
+def _print_result(res, algo: Algo, verbose: bool) -> None:
+    """Per-algorithm stdout format, following the reference's shapes."""
+    if res.error is not None:
+        print(
+            f"An error occured during alignment of {res.query_name} and "
+            f"{res.db_name}\n{res.error}",
+            file=sys.stderr,
+        )
+        return
+    if algo is Algo.A_STAR:
+        # align.rs:41-47
+        print(
+            f"Alignment for db {res.db_name} and query {res.query_name} "
+            f"with score {res.score} found"
+        )
+        print(res.aligned_db)
+        print(bars(res.aligned_query, res.aligned_db))
+        print(res.aligned_query)
+    elif algo is Algo.WFA:
+        # wfa.rs:36-39
+        print(f"converged with score {res.score}: ")
+        print(res.aligned_query)
+        print(bars(res.aligned_query, res.aligned_db) + res.aligned_db)
+    elif algo in (Algo.NEEDLEMAN_WUNSCH, Algo.BANDED):
+        # needleman_wunsch_affine.rs:283-286, 390-411
+        for a1, a2 in res.alignments or [(res.aligned_query, res.aligned_db)]:
+            print("alignment found")
+            print(f"\nseq1: {a1}\n      {bars(a1, a2)}\nseq2: {a2}")
+        if verbose or algo is Algo.NEEDLEMAN_WUNSCH:
+            print(f"{res.elapsed_s * 1e3:.3f}ms")
+    else:  # NW_LINEAR (needleman_wunsch.rs:196-201, 155-178)
+        print(
+            f"Alignment between sequences {res.query_name} and "
+            f"{res.db_name} found"
+        )
+        for a1, a2 in res.alignments or []:
+            print(f"\nHit: \nseq1: {a1}\n      {bars(a1, a2)}\nseq2: {a2}\n")
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    db = _load(args.db_file, "DB")
+    if db is None:
+        return 1
+    query = _load(args.query_file, "Query")
+    if query is None:
+        return 1
+
+    config = AlignConfig(
+        algo=Algo(args.algo),
+        mode=Mode(args.mode),
+        scoring=ScoringScheme(
+            match_=args.match,
+            mismatch=args.mismatch,
+            gap_open=args.gap_open,
+            gap_extend=args.gap_extend,
+        ),
+        wfa_penalties=WfaPenalties(
+            mismatch=args.wfa_mismatch,
+            gap_open=args.wfa_gap_open,
+            gap_extend=args.wfa_gap_extend,
+        ),
+        compat=not args.textbook,
+        verbose=args.verbose,
+        band=args.band,
+        batch_size=args.batch_size,
+    )
+    aligner = get_aligner(config)
+
+    out_file = None
+    if not args.no_out:
+        out_path = Path(args.out_path)
+        if out_path.parent != Path(""):
+            out_path.parent.mkdir(parents=True, exist_ok=True)
+        out_file = open(out_path, "w")
+
+    t0 = time.perf_counter()
+    n = n_err = 0
+    try:
+        for res in aligner.align_all_pairs(query, db, args.batch_size):
+            _print_result(res, config.algo, args.verbose)
+            if out_file is not None:
+                out_file.write(json.dumps(res.to_json()) + "\n")
+            n += 1
+            n_err += 0 if res.ok else 1
+    finally:
+        if out_file is not None:
+            out_file.close()
+    if args.verbose:
+        print(
+            f"aligned {n} pairs ({n_err} errors) in "
+            f"{time.perf_counter() - t0:.3f}s",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -100,6 +100,11 @@ class AlignConfig:
     # Banded variant: half-width of the fixed masked band around the main
     # diagonal (cells with |i - j - (n2-n1)/2-ish skew| > band are pruned).
     band: int = 128
+    # Compat-WFA step bound: the reference's score loop can provably run
+    # forever (greedy extension overshoots the len-1 convergence cell,
+    # wfa.rs:127-139 vs :189); instead of hanging like the Rust binary, a
+    # pair exceeding this raises AlignmentError and is isolated.
+    wfa_max_steps: int = 20_000
     # Batch runner knobs.
     batch_size: int = 64
     # Device mesh: (data,) axis sizes; None = all local devices on one axis.

@@ -1,0 +1,52 @@
+"""Banded affine aligner -- the A*-pruned variant as a fixed-shape masked
+band (BASELINE config 4; the TPU-native replacement for the reference's
+heap-based weighted-A* pruning)."""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+from sequencealigning_tpu.config import Mode
+from sequencealigning_tpu.errors import AlignerError, AlignmentError
+from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.models.base import Aligner
+from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+from sequencealigning_tpu.ops.traceback import banded_traceback_pair
+
+
+class BandedAligner(Aligner):
+    def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
+        if self.config.mode is not Mode.GLOBAL:
+            return [AlignmentError("not implemented") for _ in pairs]
+        batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
+        res = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=self.config.band,
+            scheme=self.config.scoring,
+            compat=self.config.compat,
+            # A*-style scoring: N matches anything (align.rs:298-304)
+            wildcard=True,
+        )
+        dirs = np.asarray(res.dirs)
+        finals = np.asarray(res.finals)
+        out = []
+        for b, (s1, s2) in enumerate(pairs):
+            try:
+                score, alns = banded_traceback_pair(
+                    dirs[:, b, :], finals[b], s1, s2, res.k_lo,
+                    compat=self.config.compat, max_alignments=1,
+                )
+                if not alns:
+                    raise AlignmentError("banded traceback found no alignment")
+                out.append(
+                    dict(
+                        score=score,
+                        aligned_query=alns[0][0],
+                        aligned_db=alns[0][1],
+                    )
+                )
+            except AlignerError as e:
+                out.append(e)
+        return out

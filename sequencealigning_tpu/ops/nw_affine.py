@@ -160,7 +160,9 @@ def _gotoh_fill_lax(
 ):
     B, P = s2v.shape
     D_total = l1 + l2 + 1
-    neg = jnp.full((B, P), NEG_INF, dtype=jnp.int32)
+    # Derive carry constants from a (possibly shard_map-varying) input so
+    # the scan carry's varying-axes annotation is consistent.
+    neg = jnp.full_like(s2v, NEG_INF)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     roll = lambda a: jnp.roll(a, 1, axis=1)
 
@@ -179,7 +181,7 @@ def _gotoh_fill_lax(
         out = byte.astype(jnp.uint8) if with_dirs else jnp.zeros((), jnp.uint8)
         return (H1, H, M, I, D, s1d_new, fm, fi, fd), out
 
-    zeros = jnp.zeros((B, P), jnp.int32)
+    zeros = jnp.zeros_like(s2v)
     carry0 = (neg, neg, neg, neg, neg, zeros, zeros, zeros, zeros)
     carry, bytes_ = jax.lax.scan(body, carry0, jnp.arange(D_total, dtype=jnp.int32))
     _, _, _, _, _, _, fm, fi, fd = carry
@@ -235,12 +237,24 @@ def _gotoh_kernel(
     n2mask = n2mask_ref[...] != 0
     s2v = s2v_ref[...]
 
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
+
+    def seq1_column(d):
+        """seq1[:, d-1] as (B, 1).  Mosaic requires lane-dim dynamic loads to
+        be 128-aligned, so load the aligned 128-block and mask-reduce."""
+        idx = jnp.clip(d - 1, 0, seq1_ref.shape[1] - 1)
+        base = pl.multiple_of((idx // 128) * 128, 128)
+        block = seq1_ref[:, pl.ds(base, 128)]
+        off = idx - base
+        return jnp.sum(
+            jnp.where(lane128 == off, block, 0), axis=1, keepdims=True
+        )
+
     def group_body(g, _):
         base = c * chunk + g * 4
         for u in range(4):
             d = base + u
-            idx = jnp.clip(d - 1, 0, seq1_ref.shape[1] - 1)
-            seq1_col = seq1_ref[:, pl.ds(idx, 1)]
+            seq1_col = seq1_column(d)
             M, I, D, H, s1d_new, byte = _gotoh_step(
                 H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...],
                 seq1_col, s2v, col_iota, d,

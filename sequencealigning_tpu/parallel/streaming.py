@@ -1,0 +1,87 @@
+"""Streaming alignment pipeline for very large pair sets.
+
+BASELINE config 5: 1M read pairs streamed data-parallel over a multi-host
+slice.  The host pipeline keeps the TPU fed: JAX dispatch is asynchronous,
+so enqueueing the next batch while the previous one executes gives
+double-buffering for free; a bounded in-flight window applies backpressure.
+Each host streams its own shard of the input (per-host file shards in a
+multi-host run); the score merge is the runner's all_gather.
+
+A batch-cursor checkpoint (the index of the last completed batch) supports
+resume for long runs -- the checkpoint/restart story the reference lacks
+(SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from sequencealigning_tpu.io.encode import PairBatch, pack_batch
+from sequencealigning_tpu.parallel.runner import DataParallelRunner
+
+
+def batches_from_pairs(
+    pairs: Iterable[Tuple[bytes, bytes]],
+    batch_size: int,
+    len_multiple: int = 128,
+) -> Iterator[PairBatch]:
+    buf: List[Tuple[bytes, bytes]] = []
+    for p in pairs:
+        buf.append(p)
+        if len(buf) >= batch_size:
+            yield pack_batch(buf, batch_size=batch_size, len_multiple=len_multiple)
+            buf = []
+    if buf:
+        yield pack_batch(buf, batch_size=batch_size, len_multiple=len_multiple)
+
+
+def stream_align(
+    pairs: Iterable[Tuple[bytes, bytes]],
+    runner: Optional[DataParallelRunner] = None,
+    batch_size: int = 256,
+    max_in_flight: int = 2,
+    checkpoint_path: Optional[str] = None,
+    on_result: Optional[Callable[[int, np.ndarray], None]] = None,
+) -> int:
+    """Stream pairs through the runner.  Returns the number of pairs aligned.
+
+    on_result(batch_index, scores) is called per completed batch (scores:
+    (B, 3) finals).  If checkpoint_path is given, completed-batch indices are
+    persisted and already-completed batches are skipped on resume.
+    """
+    runner = runner or DataParallelRunner()
+    start_batch = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        with open(checkpoint_path) as f:
+            start_batch = json.load(f).get("next_batch", 0)
+
+    in_flight: List[Tuple[int, "np.ndarray", int]] = []
+    n_pairs = 0
+
+    def drain_one():
+        nonlocal n_pairs
+        idx, scores, n = in_flight.pop(0)
+        scores = np.asarray(scores)  # blocks until ready
+        n_pairs += n
+        if on_result is not None:
+            on_result(idx, scores[:n])
+        if checkpoint_path:
+            tmp = checkpoint_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"next_batch": idx + 1}, f)
+            os.replace(tmp, checkpoint_path)
+
+    for i, batch in enumerate(batches_from_pairs(pairs, batch_size)):
+        if i < start_batch:
+            continue
+        n_valid = int(batch.valid.sum())
+        scores = runner.scores(batch)  # async dispatch
+        in_flight.append((i, scores, n_valid))
+        while len(in_flight) > max_in_flight:
+            drain_one()
+    while in_flight:
+        drain_one()
+    return n_pairs

@@ -1,0 +1,111 @@
+"""CLI + model-layer end-to-end tests."""
+
+import json
+
+import pytest
+
+from sequencealigning_tpu.cli import main
+from sequencealigning_tpu.config import AlignConfig, Algo, Mode
+from sequencealigning_tpu.io.fasta import Record, Records
+from sequencealigning_tpu.models import get_aligner
+
+
+@pytest.fixture
+def fasta_files(tmp_path):
+    q = tmp_path / "q.fa"
+    q.write_text(">q1\nACGTACGTAC\n")
+    d = tmp_path / "db.fa"
+    d.write_text(">db1\nACGTACGTACGT\n>db2\nACGTTACGTAC\n")
+    return str(q), str(d)
+
+
+def test_cli_nw_stdout_and_jsonl(fasta_files, tmp_path, capsys):
+    q, d = fasta_files
+    out = tmp_path / "res.jsonl"
+    assert main(["-q", q, "-d", d, "-a", "needleman-wunsch", "-o", str(out)]) == 0
+    captured = capsys.readouterr()
+    assert "alignment found" in captured.out
+    assert "seq1: ACGTACGTAC--" in captured.out
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2
+    # 10 matches + trailing 2-gap (interior D cells: o + 2e; the compat
+    # extra-extend quirk applies only to leading/boundary chains)
+    assert lines[0]["score"] == 50 - 8 - 12
+    assert lines[0]["cigar"] == "10M2D"
+
+
+def test_cli_astar(fasta_files, capsys):
+    q, d = fasta_files
+    assert main(["-q", q, "-d", d, "-a", "a-star", "--no-out"]) == 0
+    out = capsys.readouterr().out
+    assert "Alignment for db >db1 and query >q1 with score 30 found" in out
+
+
+def test_cli_wfa_compat_isolates_nonconvergent(fasta_files, capsys):
+    q, d = fasta_files
+    assert main(["-q", q, "-d", d, "-a", "wfa", "--no-out"]) == 0
+    err = capsys.readouterr().err
+    assert "An error occured during alignment" in err
+
+
+def test_cli_wfa_textbook(fasta_files, capsys):
+    q, d = fasta_files
+    assert main(["-q", q, "-d", d, "-a", "wfa", "--textbook", "--no-out"]) == 0
+    out = capsys.readouterr().out
+    assert "converged with score 14: " in out
+    assert "converged with score 8: " in out
+
+
+def test_cli_bad_extension(tmp_path, capsys):
+    bad = tmp_path / "x.txt"
+    bad.write_text(">r\nACGT\n")
+    q = tmp_path / "q.fa"
+    q.write_text(">q\nACGT\n")
+    assert main(["-q", str(q), "-d", str(bad), "--no-out"]) == 1
+    assert "aborting" in capsys.readouterr().err
+
+
+def test_cli_char_recovery(tmp_path, capsys):
+    q = tmp_path / "q.fa"
+    q.write_text(">q\nACXGT\n")
+    d = tmp_path / "d.fa"
+    d.write_text(">d\nACGT\n")
+    assert main(["-q", str(q), "-d", str(d), "-a", "needleman-wunsch", "--no-out"]) == 0
+    err = capsys.readouterr().err
+    assert "Invalid character" in err and "ignoring" in err
+
+
+def test_mode_not_implemented_matches_reference(fasta_files):
+    config = AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, mode=Mode.LOCAL)
+    aligner = get_aligner(config)
+    r = aligner.align_pair(
+        Record(seq=b"ACGT", name=b">a"), Record(seq=b"ACGT", name=b">b")
+    )
+    assert r.error == "not implemented"
+
+
+def test_all_pairs_order(fasta_files):
+    """Driver iterates db outer, query inner (main.rs:61-62)."""
+    config = AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH)
+    aligner = get_aligner(config)
+    query = Records([Record(b"ACGT", b">q1"), Record(b"TTTT", b">q2")])
+    db = Records([Record(b"ACGT", b">d1"), Record(b"GGGG", b">d2")])
+    res = list(aligner.align_all_pairs(query, db))
+    order = [(r.db_name, r.query_name) for r in res]
+    assert order == [
+        (">d1", ">q1"), (">d1", ">q2"), (">d2", ">q1"), (">d2", ">q2")
+    ]
+
+
+def test_empty_seq_isolation():
+    """Empty query: A* errors with the reference's message, batch continues."""
+    config = AlignConfig(algo=Algo.A_STAR)
+    aligner = get_aligner(config)
+    res = aligner.align_batch(
+        [
+            (Record(b"", b">e"), Record(b"ACGT", b">d")),
+            (Record(b"ACGT", b">q"), Record(b"ACGT", b">d")),
+        ]
+    )
+    assert not res[0].ok and "empty" in res[0].error
+    assert res[1].ok and res[1].score == 20

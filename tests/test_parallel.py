@@ -1,0 +1,86 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import random
+
+import jax
+import numpy as np
+
+from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.ops import oracle_gotoh
+from sequencealigning_tpu.parallel.mesh import make_mesh
+from sequencealigning_tpu.parallel.runner import DataParallelRunner
+from sequencealigning_tpu.parallel.streaming import stream_align
+
+
+def _pairs(seed, n):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        n1 = rng.randint(3, 24)
+        n2 = rng.randint(3, 24)
+        out.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    return out
+
+
+def test_mesh_all_devices():
+    mesh = make_mesh()
+    assert int(np.prod(mesh.devices.shape)) == 8
+    assert mesh.axis_names == ("data",)
+
+
+def test_runner_scores_match_oracle_across_8_devices():
+    pairs = _pairs(61, 16)  # 2 pairs per device
+    batch = pack_batch(pairs, batch_size=16)
+    runner = DataParallelRunner(backend="lax")
+    finals = np.asarray(runner.scores(batch))
+    assert finals.shape == (16, 3)
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(finals[b].max()) == oracle_gotoh.gotoh_score(s1, s2), (b, s1, s2)
+
+
+def test_runner_pads_odd_batches():
+    pairs = _pairs(67, 5)  # not a multiple of 8*n_devices
+    batch = pack_batch(pairs, batch_size=5)
+    runner = DataParallelRunner(backend="lax")
+    finals = np.asarray(runner.scores(batch))
+    assert finals.shape == (5, 3)
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(finals[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
+
+
+def test_runner_sharded_output_mode():
+    pairs = _pairs(71, 16)
+    batch = pack_batch(pairs, batch_size=16)
+    runner = DataParallelRunner(backend="lax", gather=False)
+    finals = np.asarray(runner.scores(batch))
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(finals[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
+
+
+def test_stream_align_with_checkpoint(tmp_path):
+    pairs = _pairs(73, 40)
+    runner = DataParallelRunner(backend="lax")
+    seen = {}
+
+    def on_result(idx, scores):
+        seen[idx] = scores.copy()
+
+    ckpt = str(tmp_path / "cursor.json")
+    n = stream_align(
+        iter(pairs), runner, batch_size=16, checkpoint_path=ckpt,
+        on_result=on_result,
+    )
+    assert n == 40
+    assert sorted(seen) == [0, 1, 2]
+    # Resume: nothing left to do.
+    n2 = stream_align(iter(pairs), runner, batch_size=16, checkpoint_path=ckpt)
+    assert n2 == 0
+    # Scores correct across the stream.
+    flat = np.concatenate([seen[i] for i in sorted(seen)], axis=0)
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(flat[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
