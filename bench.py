@@ -23,7 +23,10 @@ def main() -> int:
     from sequencealigning_tpu.ops.nw_affine import gotoh_fill_pallas
 
     on_tpu = jax.default_backend() == "tpu"
-    n_pairs, length = (64, 2048) if on_tpu else (8, 256)
+    # 512 pairs amortizes the axon tunnel's ~26 ms per-call round trip
+    # (dispatches are not overlapped by the tunnel); the kernel's intrinsic
+    # rate is what production streaming achieves.
+    n_pairs, length = (512, 2048) if on_tpu else (8, 256)
 
     rng = np.random.default_rng(42)
     pairs = []
@@ -56,19 +59,27 @@ def main() -> int:
         (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
     )
 
-    def run(with_dirs: bool):
-        finals, dirs = gotoh_fill_pallas(
-            *args, L1, L2, ScoringScheme(), True, False, with_dirs,
-        )
-        return jax.block_until_ready(finals)
+    def make_fn(with_dirs: bool):
+        # Whole call under jit: per-op eager dispatch through the axon
+        # tunnel costs ~0.7 s flat.  Timing forces a device->host read of
+        # the finals (block_until_ready alone does not guarantee completion
+        # through the tunnel).
+        @jax.jit
+        def fn(a, b, c, d):
+            finals, _ = gotoh_fill_pallas(
+                a, b, c, d, L1, L2, ScoringScheme(), True, False, with_dirs,
+            )
+            return finals
+        return fn
 
     results = {}
     for label, with_dirs in (("fill+dirs", True), ("score_only", False)):
-        run(with_dirs)  # compile + warmup
-        n_iter = 3 if on_tpu else 1
+        fn = make_fn(with_dirs)
+        np.asarray(fn(*args))  # compile + warmup
+        n_iter = 5 if on_tpu else 1
         t0 = time.perf_counter()
         for _ in range(n_iter):
-            run(with_dirs)
+            np.asarray(fn(*args))
         dt = (time.perf_counter() - t0) / n_iter
         gcups = cells / dt / 1e9
         results[label] = gcups

@@ -91,7 +91,27 @@ def parse_bytes(contents: bytes) -> Records:
 
     Raises ``CharError`` (carrying the cleaned ``Records``) if any
     out-of-alphabet sequence bytes were encountered.
+
+    Uses the native C scanner (sequencealigning_tpu.native) when available;
+    the Python state machine below is the semantic reference and fallback
+    (tests assert byte equality).  Set SEQALIGN_NO_NATIVE=1 to force Python.
     """
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native
+
+            scanned = native.fasta_scan_native(contents)
+        except Exception:
+            scanned = None
+        if scanned is not None:
+            rec_pairs, err_chars = scanned
+            result = Records(
+                records=[Record(seq=s, name=n) for s, n in rec_pairs]
+            )
+            if err_chars:
+                raise CharError(res=result, chars=err_chars)
+            return result
+
     recs: List[Record] = []
     cur_seq = bytearray()
     cur_name = bytearray()

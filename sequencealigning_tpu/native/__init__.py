@@ -1,0 +1,150 @@
+"""Native (C) runtime components with pure-Python fallbacks.
+
+The shared library is built on demand from seqalign_native.c (cc -O2) and
+loaded via ctypes; if the toolchain or build fails, callers transparently
+fall back to the Python implementations (io.fasta / ops.traceback), which
+are semantically identical (tests assert equality).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "seqalign_native.c")
+_LIB = os.path.join(_HERE, f"libseqalign_native-{sys.implementation.cache_tag}.so")
+
+_lib = None
+_tried = False
+
+
+def _build() -> Optional[str]:
+    for cc in ("cc", "gcc", "clang"):
+        try:
+            subprocess.run(
+                [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return _LIB
+        except (OSError, subprocess.SubprocessError):
+            continue
+    return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    path = _LIB if os.path.exists(_LIB) else _build()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.fasta_scan.restype = ctypes.c_long
+    lib.fasta_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+    ]
+    lib.gotoh_first_path.restype = ctypes.c_long
+    lib.gotoh_first_path.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def fasta_scan_native(contents: bytes):
+    """Native FASTA scan.  Returns (records, err_chars) where records is a
+    list of (seq_bytes, name_bytes) -- the throwaway record already dropped
+    -- or None if the native library is unavailable or capacity exceeded."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(contents)
+    max_recs = contents.count(b">") + 2
+    seq_buf = np.empty(n + 1, np.uint8)
+    name_buf = np.empty(n + 2, np.uint8)
+    seq_off = np.empty(max_recs + 1, np.int64)
+    name_off = np.empty(max_recs + 1, np.int64)
+    err_buf = np.empty(n + 1, np.uint8)
+    n_err = ctypes.c_long(0)
+    n_rec = lib.fasta_scan(
+        contents, n,
+        seq_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seq_off.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        name_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        name_off.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        err_buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(n_err),
+        max_recs,
+    )
+    if n_rec < 0:
+        return None
+    seqs = seq_buf.tobytes()
+    names = name_buf.tobytes()
+    records = []
+    for i in range(1, n_rec):  # drop the throwaway record 0
+        records.append(
+            (
+                seqs[seq_off[i] : seq_off[i + 1]],
+                names[name_off[i] : name_off[i + 1]],
+            )
+        )
+    errs = [chr(c) for c in err_buf[: n_err.value]]
+    return records, errs
+
+
+def gotoh_first_path_native(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    n1: int,
+    n2: int,
+    compat: bool = True,
+) -> Optional[str]:
+    """Native first-co-optimal-path walk.  Returns the op string
+    ('M'/'I'/'D' per column, forward order), None if native unavailable,
+    or raises AlignmentError on a reference-panic boundary."""
+    from sequencealigning_tpu.errors import AlignmentError
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    dirs_b = np.ascontiguousarray(dirs_b, dtype=np.uint32)
+    d4, p = dirs_b.shape
+    cap = n1 + n2 + 2
+    out = ctypes.create_string_buffer(cap)
+    r = lib.gotoh_first_path(
+        dirs_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        d4, p, n1, n2, 1 if compat else 0,
+        int(finals_b[0]), int(finals_b[1]), int(finals_b[2]),
+        out, cap,
+    )
+    if r == -1:
+        raise AlignmentError(
+            "reference would panic: boundary-chain traceback"
+        )
+    if r < 0:
+        return None
+    return out.raw[:r].decode("ascii")

@@ -27,3 +27,6 @@ IEXT = 8
 IOPEN = 16
 DEXT = 32
 DOPEN = 64
+# Local (Smith-Waterman-affine) mode only: M(x,y) restarted from 0 here --
+# the traceback stop condition.
+LSTART = 128

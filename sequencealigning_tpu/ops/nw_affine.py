@@ -211,7 +211,7 @@ def _gotoh_kernel(
     # outputs
     finals_m_ref, finals_i_ref, finals_d_ref, dirs_ref,
     # scratch
-    H2, H1, M1, I1, D1, s1d, wacc,
+    H2, H1, M1, I1, D1, s1d,
     *, l1: int, chunk: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
 ):
@@ -236,6 +236,10 @@ def _gotoh_kernel(
     dsum = dsum_ref[...]
     n2mask = n2mask_ref[...] != 0
     s2v = s2v_ref[...]
+    # Corner captures only happen in [dmin, dmax]; gate the (rare) capture
+    # selects on it so the steady-state step stays lean.
+    dmin = jnp.min(dsum)
+    dmax = jnp.max(dsum)
 
     lane128 = jax.lax.broadcasted_iota(jnp.int32, (B, 128), 1)
 
@@ -250,37 +254,39 @@ def _gotoh_kernel(
             jnp.where(lane128 == off, block, 0), axis=1, keepdims=True
         )
 
-    def group_body(g, _):
+    def group_body(g, carry):
+        # DP state is carried as loop values (registers), not scratch
+        # round-trips -- scratch is only touched at chunk boundaries.
+        vH2, vH1, vM1, vI1, vD1, vs1d = carry
         base = c * chunk + g * 4
+        wacc = None
         for u in range(4):
             d = base + u
             seq1_col = seq1_column(d)
-            M, I, D, H, s1d_new, byte = _gotoh_step(
-                H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...],
+            M, I, D, H, vs1d, byte = _gotoh_step(
+                vH2, vH1, vM1, vI1, vD1, vs1d,
                 seq1_col, s2v, col_iota, d,
                 scheme, compat, wildcard, roll, with_dirs,
             )
-            H2[...] = H1[...]
-            H1[...] = H
-            M1[...] = M
-            I1[...] = I
-            D1[...] = D
-            s1d[...] = s1d_new
-            cap = jnp.logical_and(dsum == d, n2mask)
-            finals_m_ref[...] += jnp.where(cap, M, 0)
-            finals_i_ref[...] += jnp.where(cap, I, 0)
-            finals_d_ref[...] += jnp.where(cap, D, 0)
+            vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
+
+            @pl.when(jnp.logical_and(d >= dmin, d <= dmax))
+            def _capture(M=M, I=I, D=D, d=d):
+                cap = jnp.logical_and(dsum == d, n2mask)
+                finals_m_ref[...] += jnp.where(cap, M, 0)
+                finals_i_ref[...] += jnp.where(cap, I, 0)
+                finals_d_ref[...] += jnp.where(cap, D, 0)
+
             if with_dirs:
                 word = byte.astype(jnp.uint32) << (8 * u)
-                if u == 0:
-                    wacc[...] = word
-                else:
-                    wacc[...] |= word
+                wacc = word if u == 0 else wacc | word
         if with_dirs:
-            dirs_ref[pl.ds(g, 1), :, :] = wacc[...][None]
-        return 0
+            dirs_ref[pl.ds(g, 1), :, :] = wacc[None]
+        return (vH2, vH1, vM1, vI1, vD1, vs1d)
 
-    jax.lax.fori_loop(0, chunk // 4, group_body, 0)
+    carry0 = (H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...])
+    carry = jax.lax.fori_loop(0, chunk // 4, group_body, carry0)
+    H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...] = carry
 
 
 def gotoh_fill_pallas(
@@ -328,9 +334,7 @@ def gotoh_fill_pallas(
             (lambda b, c: (c, b, 0)) if with_dirs else (lambda b, c: (0, b, 0)),
         ),
     ]
-    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(6)] + [
-        pltpu.VMEM((BT, P), jnp.uint32)
-    ]
+    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(6)]
     fm, fi, fd, dirs = pl.pallas_call(
         kernel,
         grid=grid,

@@ -258,11 +258,33 @@ def traceback_batch(
     """Traceback for a whole batch.  Returns a list of per-pair results:
     (score, alignments) or an AlignmentError instance (per-pair failure
     isolation, like the reference driver loop src/main.rs:68-76)."""
+    import os
+
     dirs = np.asarray(dirs)
     finals = np.asarray(finals)
+    use_native = first_only and not os.environ.get("SEQALIGN_NO_NATIVE")
+    if use_native:
+        try:
+            from sequencealigning_tpu import native
+
+            use_native = native.available()
+        except Exception:
+            use_native = False
+
     results = []
     for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
         try:
+            if use_native:
+                from sequencealigning_tpu import native
+
+                ops = native.gotoh_first_path_native(
+                    dirs[:, b, :], finals[b], len(s1), len(s2), compat
+                )
+                if ops is not None:
+                    results.append(
+                        (int(finals[b].max()), [_apply_ops(ops, s1, s2)])
+                    )
+                    continue
             results.append(
                 traceback_pair(
                     dirs[:, b, :],
@@ -276,3 +298,26 @@ def traceback_batch(
         except AlignmentError as e:
             results.append(e)
     return results
+
+
+def _apply_ops(ops: str, seq1: bytes, seq2: bytes) -> Tuple[str, str]:
+    """Expand a forward op string ('M'/'I'/'D' per column) into the gapped
+    alignment pair."""
+    a1 = []
+    a2 = []
+    y = x = 0
+    for op in ops:
+        if op == "M":
+            a1.append(chr(seq1[y]))
+            a2.append(chr(seq2[x]))
+            y += 1
+            x += 1
+        elif op == "I":
+            a1.append(chr(seq1[y]))
+            a2.append("-")
+            y += 1
+        else:
+            a1.append("-")
+            a2.append(chr(seq2[x]))
+            x += 1
+    return "".join(a1), "".join(a2)

@@ -1,0 +1,107 @@
+"""Native C components: byte-equality with the Python reference paths."""
+
+import random
+
+import numpy as np
+import pytest
+
+from sequencealigning_tpu import native
+from sequencealigning_tpu.errors import AlignmentError, CharError
+from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
+from sequencealigning_tpu.ops.traceback import traceback_pair
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable"
+)
+
+
+def _python_parse(contents):
+    import os
+
+    os.environ["SEQALIGN_NO_NATIVE"] = "1"
+    try:
+        from sequencealigning_tpu.io.fasta import parse_bytes
+
+        try:
+            r = parse_bytes(contents)
+            return [(rec.seq, rec.name) for rec in r.records], []
+        except CharError as e:
+            return [(rec.seq, rec.name) for rec in e.res.records], e.chars
+    finally:
+        del os.environ["SEQALIGN_NO_NATIVE"]
+
+
+@pytest.mark.parametrize(
+    "contents",
+    [
+        b">R1\nACGT\n>R2\nTTNN\n",
+        b">Record1\nATGCATGCATGCATGCATGCATGCATGC\nRecord2\nATGCATGCGTGCAGTGACCACA",
+        b">Record1\nATGCATGCAKGCATGCATGCANNNGCATGC",
+        b"leading garbage\n>R\nAC\nGT\n",
+        b"",
+        b">",
+        b">name only",
+        b">a\n\n\n>b\nNNNN",
+    ],
+)
+def test_fasta_scan_matches_python(contents):
+    got = native.fasta_scan_native(contents)
+    assert got is not None
+    exp_records, exp_errs = _python_parse(contents)
+    assert got[0] == exp_records
+    assert got[1] == exp_errs
+
+
+def test_fasta_scan_random_fuzz():
+    rng = random.Random(79)
+    for _ in range(50):
+        n = rng.randint(0, 200)
+        contents = bytes(
+            rng.choice(b"ACGTN>\nacgtxK 123") for _ in range(n)
+        )
+        got = native.fasta_scan_native(contents)
+        exp = _python_parse(contents)
+        assert got[0] == exp[0], contents
+        assert got[1] == exp[1], contents
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_native_first_path_matches_python(compat):
+    rng = random.Random(83)
+    pairs = []
+    for _ in range(8):
+        n1 = rng.randint(2, 30)
+        n2 = rng.randint(2, 30)
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    batch = pack_batch(pairs, batch_size=8)
+    res = nw_affine_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, backend="lax",
+    )
+    dirs = np.asarray(res.dirs)
+    finals = np.asarray(res.finals)
+    for b, (s1, s2) in enumerate(pairs):
+        try:
+            score, alns = traceback_pair(
+                dirs[:, b, :], finals[b], s1, s2, compat=compat,
+                max_alignments=1,
+            )
+            exp = ("ok", alns[0])
+        except AlignmentError:
+            exp = ("panic", None)
+        try:
+            ops = native.gotoh_first_path_native(
+                dirs[:, b, :], finals[b], len(s1), len(s2), compat
+            )
+            from sequencealigning_tpu.ops.traceback import _apply_ops
+
+            got = ("ok", _apply_ops(ops, s1, s2))
+        except AlignmentError:
+            got = ("panic", None)
+        assert exp == got, (b, s1, s2)
