@@ -1,26 +1,41 @@
 """Affine-gap NW (Gotoh) aligner -- the flagship model family.
 
 Reference: n_w_align (src/needleman_wunsch_affine.rs:424-437).  Global mode
-runs the batched TPU fill (ops.nw_affine) + host co-optimal traceback;
-Local/SemiGlobal raise "not implemented" exactly like the reference
-(:433-434)."""
+runs the batched TPU fill (ops.nw_affine) + host co-optimal traceback.
+In compat mode Local/SemiGlobal raise "not implemented" exactly like the
+reference (:433-434); with compat=False they are implemented
+(ops.nw_affine_modes): semi-global = free end gaps both sides, local =
+Smith-Waterman-affine."""
 
 from __future__ import annotations
 
 from typing import List, Tuple
+
+import numpy as np
 
 from sequencealigning_tpu.config import Mode
 from sequencealigning_tpu.errors import AlignerError, AlignmentError
 from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.models.base import Aligner
 from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
-from sequencealigning_tpu.ops.traceback import traceback_batch
+from sequencealigning_tpu.ops.nw_affine_modes import (
+    modes_end_cell,
+    nw_affine_modes_batch,
+)
+from sequencealigning_tpu.ops.traceback import (
+    local_affine_traceback_pair,
+    semi_global_traceback_pair,
+    traceback_batch,
+)
 
 
 class GotohAligner(Aligner):
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
         if self.config.mode is not Mode.GLOBAL:
-            return [AlignmentError("not implemented") for _ in pairs]
+            if self.config.compat:
+                # Reference parity (needleman_wunsch_affine.rs:433-434).
+                return [AlignmentError("not implemented") for _ in pairs]
+            return self._modes_batch(pairs)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
         res = nw_affine_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
@@ -50,4 +65,29 @@ class GotohAligner(Aligner):
                     alignments=alns,
                 )
             )
+        return out
+
+    def _modes_batch(self, pairs: List[Tuple[bytes, bytes]]):
+        local = self.config.mode is Mode.LOCAL
+        batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
+        res = nw_affine_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            local=local, scheme=self.config.scoring,
+        )
+        dirs = np.asarray(res.dirs)
+        out = []
+        for b, (s1, s2) in enumerate(pairs):
+            try:
+                score, x, y = modes_end_cell(res, b)
+                if local:
+                    a1, a2, sy, sx = local_affine_traceback_pair(
+                        dirs[:, b, :], x, y, s1, s2
+                    )
+                else:
+                    a1, a2 = semi_global_traceback_pair(
+                        dirs[:, b, :], x, y, s1, s2
+                    )
+                out.append(dict(score=score, aligned_query=a1, aligned_db=a2))
+            except AlignerError as e:
+                out.append(e)
         return out

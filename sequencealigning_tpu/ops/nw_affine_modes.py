@@ -1,0 +1,188 @@
+"""Affine-gap NW in semi-global and local modes (textbook semantics).
+
+The reference declares these "not implemented" for its affine NW
+(needleman_wunsch_affine.rs:433-434, with empty fill/traceback stubs at
+:238-239, :331-332); this module implements them TPU-natively on the same
+anti-diagonal machinery as ops.nw_affine:
+
+* semi-global: free end gaps in BOTH sequences (matching the A* variant's
+  free-move rule at x in {0, n2} / y in {0, n1}, align.rs:59-123): boundary
+  M rows/cols are 0, the score is max H over each pair's last row/column,
+  and the alignment gets free leading/trailing gap columns.
+* local (Smith-Waterman-affine): M = max(0, H_prev + sub), score = max M
+  over all valid cells, traceback stops at the restart cell (LSTART bit).
+
+Both return per-lane running argmax accumulators so the host can recover the
+end cell without storing score matrices.  Single-alignment traceback
+(deterministic tie priorities documented in ops.traceback).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.ops import dirbits
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ModesResult(NamedTuple):
+    """best_val/best_d: (B, P) per-lane running max and its diagonal.
+    dirs: (D4, B, P) packed bytes (ops.dirbits layout + LSTART)."""
+
+    best_val: jax.Array
+    best_d: jax.Array
+    dirs: Optional[jax.Array]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("l1", "l2", "scheme", "wildcard", "local", "with_dirs"),
+)
+def _fill_modes_lax(
+    seq1, s2v, n1v, n2v, l1: int, l2: int,
+    scheme: ScoringScheme, wildcard: bool, local: bool, with_dirs: bool,
+):
+    B, P = s2v.shape
+    D_total = l1 + l2 + 1
+    o = jnp.int32(scheme.gap_open)
+    e = jnp.int32(scheme.gap_extend)
+    neg = jnp.full_like(s2v, NEG_INF)
+    NEGBIG = jnp.int32(-(2 ** 24))
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
+    roll = lambda a: jnp.roll(a, 1, axis=1)
+
+    def body(carry, d):
+        H2, H1, M1, I1, D1, s1d, bv, bd = carry
+        idx = jnp.clip(d - 1, 0, seq1.shape[1] - 1)
+        seq1_col = jax.lax.dynamic_slice_in_dim(seq1, idx, 1, axis=1)
+        s1d_new = jnp.where(col_iota == 0, seq1_col, roll(s1d))
+
+        if wildcard:
+            eq = (s1d_new & s2v) != 0
+        else:
+            eq = s1d_new == s2v
+        sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+
+        H2r = roll(H2)
+        M1r = roll(M1)
+        D1r = roll(D1)
+        M = H2r + sub
+        restart = jnp.zeros_like(M) != 0
+        if local:
+            restart = M < 0
+            M = jnp.maximum(M, 0)
+        dd = M1r + o
+        D = jnp.maximum(dd, D1r) + e
+        ii = M1 + o
+        I = jnp.maximum(ii, I1) + e
+
+        lane_d = col_iota == d
+        lane_0 = col_iota == 0
+        on_b = jnp.logical_or(lane_0, lane_d)
+        # Boundary: M = 0 (fresh start / free end gap), I = D = -inf.
+        M = jnp.where(on_b, 0, M)
+        I = jnp.where(on_b, NEG_INF, I)
+        D = jnp.where(on_b, NEG_INF, D)
+        restart = jnp.where(on_b, local, restart)
+
+        H = jnp.maximum(M, jnp.maximum(I, D))
+
+        # Validity within each pair's true rectangle.
+        y = d - col_iota
+        valid = jnp.logical_and(
+            jnp.logical_and(col_iota >= 0, col_iota <= n2v),
+            jnp.logical_and(y >= 0, y <= n1v),
+        )
+        if local:
+            cand = jnp.logical_and(valid, jnp.logical_and(col_iota >= 1, y >= 1))
+            score_here = M
+        else:
+            last_row = col_iota == n2v
+            last_col = y == n1v
+            cand = jnp.logical_and(valid, jnp.logical_or(last_row, last_col))
+            score_here = H
+        upd = jnp.logical_and(cand, score_here > bv)
+        bv = jnp.where(upd, score_here, bv)
+        bd = jnp.where(upd, d, bd)
+
+        if with_dirs:
+            b = (M == H).astype(jnp.int32) * dirbits.HM
+            b |= (I == H).astype(jnp.int32) * dirbits.HI
+            b |= (D == H).astype(jnp.int32) * dirbits.HD
+            b |= (I1 >= ii).astype(jnp.int32) * dirbits.IEXT
+            b |= (ii >= I1).astype(jnp.int32) * dirbits.IOPEN
+            b |= (D1r >= dd).astype(jnp.int32) * dirbits.DEXT
+            b |= (dd >= D1r).astype(jnp.int32) * dirbits.DOPEN
+            b |= restart.astype(jnp.int32) * dirbits.LSTART
+            out = b.astype(jnp.uint8)
+        else:
+            out = jnp.zeros((), jnp.uint8)
+        return (H1, H, M, I, D, s1d_new, bv, bd), out
+
+    zeros = jnp.zeros_like(s2v)
+    carry0 = (
+        neg, neg, neg, neg, neg, zeros,
+        jnp.full_like(s2v, NEGBIG), zeros,
+    )
+    carry, bytes_ = jax.lax.scan(
+        body, carry0, jnp.arange(D_total, dtype=jnp.int32)
+    )
+    bv, bd = carry[6], carry[7]
+    if with_dirs:
+        D4 = _round_up(D_total, 4) // 4
+        pad = D4 * 4 - D_total
+        bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
+        w = bytes_.reshape(D4, 4, B, P).astype(jnp.uint32)
+        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+    else:
+        dirs = None
+    return bv, bd, dirs
+
+
+def nw_affine_modes_batch(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    local: bool,
+    scheme: ScoringScheme = ScoringScheme(),
+    wildcard: bool = False,
+    with_dirs: bool = True,
+) -> ModesResult:
+    """Batched semi-global (local=False) or local (local=True) affine fill."""
+    B, L1 = query.shape
+    _, L2 = db.shape
+    P = _round_up(L2 + 1, 128)
+    s2v = np.zeros((B, P), dtype=np.int32)
+    s2v[:, 1 : L2 + 1] = db
+    bv, bd, dirs = _fill_modes_lax(
+        jnp.asarray(query, jnp.int32),
+        jnp.asarray(s2v),
+        jnp.asarray(query_len, jnp.int32)[:, None],
+        jnp.asarray(db_len, jnp.int32)[:, None],
+        L1, L2, scheme, wildcard, local, with_dirs,
+    )
+    return ModesResult(best_val=bv, best_d=bd, dirs=dirs)
+
+
+def modes_end_cell(
+    result: ModesResult, b: int
+) -> Tuple[int, int, int]:
+    """Host-side argmax: returns (score, x, y) of pair b's best end cell.
+    Ties resolve to the smallest lane (x), then smallest diagonal."""
+    bv = np.asarray(result.best_val[b])
+    bd = np.asarray(result.best_d[b])
+    score = int(bv.max())
+    lanes = np.nonzero(bv == score)[0]
+    x = int(lanes[0])
+    d = int(bd[x])
+    return score, x, d - x

@@ -155,6 +155,108 @@ def _gotoh_walk(
     return score, out
 
 
+def _walk_from(
+    byte_at,
+    x: int,
+    y: int,
+    seq1: bytes,
+    seq2: bytes,
+    stop,
+) -> Tuple[List[str], int, int]:
+    """Single-path backward walk from cell (x, y) (plane chosen by the
+    cell's H-argmax bits, priority M > I > D; within-plane parent priority
+    M > I > D / ext-before-open is fixed and documented).  ``stop(x, y,
+    plane)`` ends the walk.  Returns (forward ops, stop_x, stop_y)."""
+    b = byte_at(x, y)
+    if b & dirbits.HM:
+        plane = M
+    elif b & dirbits.HI:
+        plane = I
+    else:
+        plane = D
+    ops: List[str] = []
+    guard = len(seq1) + len(seq2) + 4
+    while not stop(x, y, plane):
+        guard -= 1
+        if guard < 0:
+            raise AlignmentError("traceback did not terminate")
+        if plane == M:
+            ops.append("M")
+            nx, ny = x - 1, y - 1
+            pb = byte_at(nx, ny)
+            if pb & dirbits.HM:
+                nplane = M
+            elif pb & dirbits.HI:
+                nplane = I
+            elif pb & dirbits.HD:
+                nplane = D
+            else:
+                raise AlignmentError("broken parent bits in traceback")
+        elif plane == I:
+            ops.append("I")
+            pb = byte_at(x, y)
+            nplane = I if pb & dirbits.IEXT else M
+            nx, ny = x, y - 1
+        else:
+            ops.append("D")
+            pb = byte_at(x, y)
+            nplane = D if pb & dirbits.DEXT else M
+            nx, ny = x - 1, y
+        x, y, plane = nx, ny, nplane
+    ops.reverse()
+    return ops, x, y
+
+
+def semi_global_traceback_pair(
+    dirs_b: np.ndarray,
+    end_x: int,
+    end_y: int,
+    seq1: bytes,
+    seq2: bytes,
+) -> Tuple[str, str]:
+    """Semi-global alignment reconstruction (free end gaps both sides):
+    walk from the best last-row/last-column cell to a boundary, then add the
+    free leading and trailing gap columns."""
+    n1, n2 = len(seq1), len(seq2)
+
+    def byte_at(x, y):
+        return _byte(dirs_b, x + y, x)
+
+    ops, sx, sy = _walk_from(
+        byte_at, end_x, end_y, seq1, seq2,
+        stop=lambda x, y, p: x == 0 or y == 0,
+    )
+    lead = ["I"] * sy + ["D"] * sx
+    trail = ["I"] * (n1 - end_y) + ["D"] * (n2 - end_x)
+    all_ops = lead + ops + trail
+    return _apply_ops("".join(all_ops), seq1, seq2)
+
+
+def local_affine_traceback_pair(
+    dirs_b: np.ndarray,
+    end_x: int,
+    end_y: int,
+    seq1: bytes,
+    seq2: bytes,
+) -> Tuple[str, str, int, int]:
+    """Local (SW-affine) reconstruction: walk from the argmax M cell until
+    the previous cell's M is a restart (LSTART) or a boundary zero.
+    Returns (aligned_seq1, aligned_seq2, start_in_seq1, start_in_seq2),
+    starts 0-based."""
+
+    def byte_at(x, y):
+        return _byte(dirs_b, x + y, x)
+
+    def stop(x, y, plane):
+        return plane == M and bool(byte_at(x, y) & dirbits.LSTART)
+
+    ops, sx, sy = _walk_from(byte_at, end_x, end_y, seq1, seq2, stop=stop)
+    # The stop cell (sx, sy) is the zero-restart; emitted columns start at
+    # (sx+1, sy+1) -- consume seq1[sy:], seq2[sx:].
+    a1, a2 = _apply_ops("".join(ops), seq1[sy:], seq2[sx:])
+    return a1, a2, sy, sx
+
+
 def _linear_bits(dirs_b: np.ndarray, x: int, y: int) -> int:
     return _byte(dirs_b, x + y, x)
 
