@@ -1,9 +1,14 @@
 """Benchmark: affine-gap NW (Gotoh) DP-fill throughput on one chip.
 
-Workload = BASELINE config 2: a batch of 64 pairs of ~2 kb DNA.  Reports
-GCUPS (1e9 DP cell updates / second), counting only true n1*n2 cells per
-pair (padding work is not credited).  vs_baseline is against the 50
-GCUPS/chip north-star target (BASELINE.md).
+Workload = BASELINE config 2 scaled up: 512 pairs of ~2 kb DNA at ~1%
+divergence.  Reports GCUPS (1e9 DP cell updates / second) counting only
+true n1*n2 cells per pair (padding and pipeline-drain work is not
+credited).  vs_baseline is against the 50 GCUPS/chip north-star target
+(BASELINE.md).
+
+Primary metric = the streamed-pair kernel (ops.nw_affine_stream) with
+direction-byte emission for traceback; score-only fill and the plain
+anti-diagonal kernel (ops.nw_affine) are reported in detail.
 
 Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 """
@@ -15,32 +20,109 @@ import time
 import numpy as np
 
 
-def main() -> int:
-    import jax
-
-    from sequencealigning_tpu.config import ScoringScheme
-    from sequencealigning_tpu.io.encode import pack_batch, round_up
-    from sequencealigning_tpu.ops.nw_affine import gotoh_fill_pallas
-
-    on_tpu = jax.default_backend() == "tpu"
-    # 512 pairs amortizes the axon tunnel's ~26 ms per-call round trip
-    # (dispatches are not overlapped by the tunnel); the kernel's intrinsic
-    # rate is what production streaming achieves.
-    n_pairs, length = (512, 2048) if on_tpu else (8, 256)
-
-    rng = np.random.default_rng(42)
+def _make_pairs(rng, n, length):
     pairs = []
-    for _ in range(n_pairs):
+    for _ in range(n):
         ref = rng.choice(list(b"ACGT"), length).astype(np.uint8).tobytes()
         mut = bytearray(ref)
         for _ in range(length // 100):  # ~1% divergence
             p = int(rng.integers(0, len(mut)))
             mut[p] = int(rng.choice([c for c in b"ACGT" if c != mut[p]]))
         pairs.append((bytes(mut), ref))
+    return pairs
 
+
+def _time_device(fn, args, n_iter):
+    """Median-free simple timing with a forced device->host read (the axon
+    tunnel does not guarantee completion on block_until_ready alone)."""
+    np.asarray(fn(*args))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        np.asarray(fn(*args))
+    return (time.perf_counter() - t0) / n_iter
+
+
+def _stream_args(batch, plan):
+    NP, R, S = plan.np_slots, plan.n_rows, plan.s
+    L1 = batch.query.shape[1]
+    L2 = batch.db.shape[1]
+    q_r = np.asarray(batch.query, np.int32).reshape(R, NP, L1)
+    d_r = np.asarray(batch.db, np.int32).reshape(R, NP, L2)
+    qstream = np.zeros((R, plan.t_total), np.int32)
+    dstream = np.zeros((R, plan.t_total), np.int32)
+    for k in range(NP):
+        qstream[:, k * S + 1 : k * S + 1 + L1] = q_r[:, k]
+        dstream[:, k * S + 1 : k * S + 1 + L2] = d_r[:, k]
+    dsum_k = (batch.query_len + batch.db_len).astype(np.int32).reshape(R, NP).T
+    n2_k = batch.db_len.astype(np.int32).reshape(R, NP).T
+    G = plan.n_slots_g
+    dsy = np.full((G, R, 1), -1, np.int32)
+    n2y = np.full((G, R, 1), -1, np.int32)
+    dsy[:NP, :, 0] = dsum_k
+    n2y[:NP, :, 0] = n2_k
+    dso = np.full((G, R, 1), -1, np.int32)
+    n2o = np.full((G, R, 1), -1, np.int32)
+    hi = min(NP + 1, G)
+    dso[1:hi, :, 0] = dsum_k[: hi - 1]
+    n2o[1:hi, :, 0] = n2_k[: hi - 1]
+    return qstream, dstream, dsy, n2y, dso, n2o
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.io.encode import pack_batch, round_up
+    from sequencealigning_tpu.ops.nw_affine import gotoh_fill_pallas
+    from sequencealigning_tpu.ops.nw_affine_stream import (
+        gotoh_fill_stream_pallas,
+        plan_stream,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    # 512 pairs amortizes the axon tunnel's ~26 ms per-call round trip
+    # (the tunnel does not overlap dispatches); length 2047 keeps the
+    # launch period S at 2048 (one chunk-multiple, ~94% lane occupancy).
+    n_pairs, length = (512, 2047) if on_tpu else (16, 126)
+    n_iter = 5 if on_tpu else 1
+
+    rng = np.random.default_rng(42)
+    pairs = _make_pairs(rng, n_pairs, length)
     batch = pack_batch(pairs, batch_size=n_pairs)
+    cells = float(
+        (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
+    )
     B, L1 = batch.query.shape
     _, L2 = batch.db.shape
+    scheme = ScoringScheme()
+    results = {}
+
+    # --- streamed-pair kernel (primary) ---
+    plan = plan_stream(B, L1, L2, np_slots=8 if on_tpu else 2)
+    sargs = tuple(jnp.asarray(a) for a in _stream_args(batch, plan))
+
+    def make_stream(with_dirs):
+        @jax.jit
+        def fn(qs, ds, a, b, c, d):
+            outs, _ = gotoh_fill_stream_pallas(
+                qs, ds, a, b, c, d, plan, scheme, True, False, with_dirs,
+            )
+            return outs[0].sum(axis=2)
+
+        return fn
+
+    for label, wd in (("stream_fill+dirs", True), ("stream_score_only", False)):
+        dt = _time_device(make_stream(wd), sargs, n_iter)
+        results[label] = cells / dt / 1e9
+        print(
+            f"[bench] {label}: {dt*1e3:.2f} ms/batch, "
+            f"{results[label]:.2f} GCUPS ({n_pairs} pairs x {length} bp, "
+            f"backend={jax.default_backend()})",
+            file=sys.stderr,
+        )
+
+    # --- plain anti-diagonal kernel (comparison) ---
     P = round_up(L2 + 1, 128)
     s2v = np.zeros((B, P), np.int32)
     s2v[:, 1 : L2 + 1] = batch.db
@@ -48,48 +130,27 @@ def main() -> int:
     n2mask = (
         np.arange(P, dtype=np.int32)[None, :] == batch.db_len[:, None]
     ).astype(np.int32)
-    args = (
-        jax.numpy.asarray(batch.query, jax.numpy.int32),
-        jax.numpy.asarray(s2v),
-        jax.numpy.asarray(dsum),
-        jax.numpy.asarray(n2mask),
+    pargs = (
+        jnp.asarray(batch.query, jnp.int32), jnp.asarray(s2v),
+        jnp.asarray(dsum), jnp.asarray(n2mask),
     )
 
-    cells = float(
-        (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
-    )
-
-    def make_fn(with_dirs: bool):
-        # Whole call under jit: per-op eager dispatch through the axon
-        # tunnel costs ~0.7 s flat.  Timing forces a device->host read of
-        # the finals (block_until_ready alone does not guarantee completion
-        # through the tunnel).
-        @jax.jit
-        def fn(a, b, c, d):
-            finals, _ = gotoh_fill_pallas(
-                a, b, c, d, L1, L2, ScoringScheme(), True, False, with_dirs,
-            )
-            return finals
-        return fn
-
-    results = {}
-    for label, with_dirs in (("fill+dirs", True), ("score_only", False)):
-        fn = make_fn(with_dirs)
-        np.asarray(fn(*args))  # compile + warmup
-        n_iter = 5 if on_tpu else 1
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            np.asarray(fn(*args))
-        dt = (time.perf_counter() - t0) / n_iter
-        gcups = cells / dt / 1e9
-        results[label] = gcups
-        print(
-            f"[bench] {label}: {dt*1e3:.2f} ms/batch, {gcups:.2f} GCUPS "
-            f"({n_pairs} pairs x {length} bp, backend={jax.default_backend()})",
-            file=sys.stderr,
+    @jax.jit
+    def plain_fn(a, b, c, d):
+        finals, _ = gotoh_fill_pallas(
+            a, b, c, d, L1, L2, scheme, True, False, True,
         )
+        return finals
 
-    primary = results["fill+dirs"]
+    dt = _time_device(plain_fn, pargs, n_iter)
+    results["plain_fill+dirs"] = cells / dt / 1e9
+    print(
+        f"[bench] plain_fill+dirs: {dt*1e3:.2f} ms/batch, "
+        f"{results['plain_fill+dirs']:.2f} GCUPS",
+        file=sys.stderr,
+    )
+
+    primary = results["stream_fill+dirs"]
     print(
         json.dumps(
             {
@@ -98,7 +159,12 @@ def main() -> int:
                 "unit": "GCUPS",
                 "vs_baseline": round(primary / 50.0, 4),
                 "detail": {
-                    "score_only_gcups": round(results["score_only"], 3),
+                    "stream_score_only_gcups": round(
+                        results["stream_score_only"], 3
+                    ),
+                    "plain_fill_dirs_gcups": round(
+                        results["plain_fill+dirs"], 3
+                    ),
                     "pairs": n_pairs,
                     "length": length,
                     "backend": jax.default_backend(),

@@ -45,7 +45,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    path = _LIB if os.path.exists(_LIB) else _build()
+    stale = os.path.exists(_LIB) and (
+        os.path.getmtime(_SRC) > os.path.getmtime(_LIB)
+    )
+    path = _LIB if os.path.exists(_LIB) and not stale else _build()
     if path is None:
         return None
     try:
@@ -63,7 +66,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.gotoh_first_path.restype = ctypes.c_long
     lib.gotoh_first_path.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
-        ctypes.c_long, ctypes.c_long, ctypes.c_int,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
@@ -122,6 +125,7 @@ def gotoh_first_path_native(
     n1: int,
     n2: int,
     compat: bool = True,
+    d_offset: int = 0,
 ) -> Optional[str]:
     """Native first-co-optimal-path walk.  Returns the op string
     ('M'/'I'/'D' per column, forward order), None if native unavailable,
@@ -137,7 +141,7 @@ def gotoh_first_path_native(
     out = ctypes.create_string_buffer(cap)
     r = lib.gotoh_first_path(
         dirs_b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        d4, p, n1, n2, 1 if compat else 0,
+        d4, p, d_offset, n1, n2, 1 if compat else 0,
         int(finals_b[0]), int(finals_b[1]), int(finals_b[2]),
         out, cap,
     )

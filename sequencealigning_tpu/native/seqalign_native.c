@@ -110,7 +110,7 @@ static inline int byte_at(const uint32_t *dirs, long p, long d, long x) {
  * first).  Returns the number of columns, -1 if the walk hits a
  * reference-panic boundary, -2 if out_cap is too small, -3 internal.
  */
-long gotoh_first_path(const uint32_t *dirs, long d4, long p,
+long gotoh_first_path(const uint32_t *dirs, long d4, long p, long d_off,
                       long n1, long n2, int compat,
                       int sm, int si, int sd,
                       char *out, long out_cap) {
@@ -159,16 +159,16 @@ long gotoh_first_path(const uint32_t *dirs, long d4, long p,
                     parents[n_par++] = PLANE_D;
             }
         } else if (e.plane == PLANE_M) {
-            int b = byte_at(dirs, p, e.x + e.y - 2, e.x - 1);
+            int b = byte_at(dirs, p, e.x + e.y - 2 + d_off, e.x - 1);
             if (b & HM) parents[n_par++] = PLANE_M;
             if (b & HI) parents[n_par++] = PLANE_I;
             if (b & HD) parents[n_par++] = PLANE_D;
         } else if (e.plane == PLANE_I) {
-            int b = byte_at(dirs, p, e.x + e.y, e.x);
+            int b = byte_at(dirs, p, e.x + e.y + d_off, e.x);
             if (b & IEXT) parents[n_par++] = PLANE_I;
             if (b & IOPEN) parents[n_par++] = PLANE_M;
         } else {
-            int b = byte_at(dirs, p, e.x + e.y, e.x);
+            int b = byte_at(dirs, p, e.x + e.y + d_off, e.x);
             if (b & DEXT) parents[n_par++] = PLANE_D;
             if (b & DOPEN) parents[n_par++] = PLANE_M;
         }
@@ -209,7 +209,7 @@ void gotoh_first_path_batch(const uint32_t *dirs, long d4, long b_total,
             memcpy(slice + d * p, dirs + (d * b_total + b) * p,
                    sizeof(uint32_t) * p);
         lens[b] = gotoh_first_path(
-            slice, d4, p, n1s[b], n2s[b], compat,
+            slice, d4, p, 0, n1s[b], n2s[b], compat,
             finals[b * 3 + 0], finals[b * 3 + 1], finals[b * 3 + 2],
             outs + b * out_cap, out_cap);
         free(slice);

@@ -1,0 +1,525 @@
+"""Streamed-pair batched Gotoh fill: systolic pair pipelining on the lanes.
+
+The plain anti-diagonal sweep (ops.nw_affine) wastes ~half the VPU lanes on
+a square DP matrix: diagonal length ramps 1..min(n1,n2) and back down, so
+the average valid width is ~P/2.  This kernel removes that loss with a
+TPU-native trick with no analogue in the reference (which aligns one pair
+at a time, src/main.rs:61-78): each sublane row hosts a *pipeline* of
+pairs.  A new pair is launched into the lane dimension every S =
+max(L1, L2)+1 steps, so pair k's shrinking tail triangle (lanes
+[d-L1, L2]) interleaves exactly with pair k+1's growing head triangle
+(lanes [0, d']); the two windows tile the full lane width and never
+collide because S > L1 keeps d' < d - L1.
+
+Mechanics per step t (p = t mod S is the *younger* pair's anti-diagonal):
+  * the younger pair's query char enters at lane 0 (rolling buffer s1d,
+    exactly as in ops.nw_affine);
+  * its db char enters at the moving column-boundary lane p -- the db
+    vector s2v is *state* here, not a constant input, and each lane's db
+    code flips from pair k's to pair k+1's exactly when the younger
+    boundary sweeps past it (the old pair's window has already left);
+  * boundary chain overrides (reference init semantics,
+    needleman_wunsch_affine.rs:172-216) are applied at lanes 0 and p for
+    the younger pair only; the older pair's window is interior-only by
+    construction and needs none;
+  * per-pair corner scores (M/I/D at (n2, n1), the reference's traceback
+    seed :247-280) are captured when the *owning* pair's local diagonal
+    hits n1+n2; capture accumulators alternate between an even-slot and an
+    odd-slot output block so the two concurrently-capturing pairs never
+    share a buffer.
+
+Direction bytes stream to HBM in the same packed-u32 layout as
+ops.nw_affine/ops.dirbits, except the byte for cell (x, y) of pair slot k
+lives at word (k*S + x + y) // 4 -- a per-pair diagonal offset t0 = k*S
+(ops.traceback takes it as d_offset).
+
+Two interchangeable implementations:
+  * gotoh_fill_stream_lax    -- jax.lax.scan reference (CPU tests).
+  * gotoh_fill_stream_pallas -- the TPU kernel (auto-interprets off-TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.ops import dirbits
+from sequencealigning_tpu.ops.nw_affine import _boundary_scalars, _round_up
+
+
+class StreamPlan(NamedTuple):
+    """Layout of a streamed fill.  Pair b is slot (b % np_slots) of row
+    (b // np_slots); its direction bytes use d_offset = slot * s."""
+
+    n_pairs: int      # true pair count (before padding)
+    np_slots: int     # pairs per row (pipeline depth)
+    n_rows: int       # rows (>= n_pairs_padded / np_slots, multiple of 8)
+    s: int            # launch period in steps (multiple of chunk, > L1)
+    chunk: int
+    n_slots_g: int    # np_slots + drain slots
+    t_total: int      # total sweep steps = n_slots_g * s
+    l1: int
+    l2: int
+    p: int            # lane width (multiple of 128, >= l2 + 2)
+
+    def pair_coords(self, b: int) -> Tuple[int, int, int]:
+        """(row, slot, d_offset) for pair b."""
+        r, k = divmod(b, self.np_slots)
+        return r, k, k * self.s
+
+
+def plan_stream(
+    n_pairs: int, l1: int, l2: int,
+    chunk: int = 128, np_slots: Optional[int] = None,
+) -> StreamPlan:
+    if np_slots is None:
+        # Deep enough to amortize the drain slot, shallow enough to keep
+        # >= 8 rows (one full sublane tile).
+        np_slots = max(1, min(8, n_pairs // 8))
+    n_padded = _round_up(n_pairs, np_slots * 8)
+    n_rows = n_padded // np_slots
+    s = _round_up(max(l1, l2) + 1, chunk)
+    d_total = l1 + l2 + 1
+    # The last pair (slot np_slots-1) finishes at t = (np_slots-1)*s +
+    # d_total - 1; round the sweep up to whole slots.
+    t_need = (np_slots - 1) * s + d_total
+    n_slots_g = -(-t_need // s)
+    p = _round_up(l2 + 2, 128)
+    return StreamPlan(
+        n_pairs=n_pairs, np_slots=np_slots, n_rows=n_rows, s=s, chunk=chunk,
+        n_slots_g=n_slots_g, t_total=n_slots_g * s, l1=l1, l2=l2, p=p,
+    )
+
+
+class StreamResult(NamedTuple):
+    finals: np.ndarray             # (B, 3) int32 -- M/I/D at (n2, n1)
+    dirs: Optional[jax.Array]      # (T4, n_rows, P) uint32 or None
+    plan: StreamPlan
+
+
+# ---------------------------------------------------------------------------
+# Shared single-step (state includes s2v; merged-roll D recurrence)
+# ---------------------------------------------------------------------------
+
+
+def _stream_step(
+    H2, H1, M1, I1, D1, s1d, s2v,
+    qc, dc, col_iota, p,
+    scheme: ScoringScheme, compat: bool, wildcard: bool,
+    roll, with_dirs: bool,
+):
+    """One anti-diagonal step.  qc/dc: (B, 1) younger query/db codes for
+    this step.  p: scalar, younger pair's local anti-diagonal.  Returns
+    (M, I, D, H, s1d_new, s2v_new, byte)."""
+    o = jnp.int32(scheme.gap_open)
+    e = jnp.int32(scheme.gap_extend)
+
+    lane_0 = col_iota == 0
+    lane_p = col_iota == p
+
+    s1d_n = jnp.where(lane_0, qc, roll(s1d))
+    s2v_n = jnp.where(lane_p, dc, s2v)
+
+    if wildcard:
+        eq = (s1d_n & s2v_n) != 0  # N-matches-anything (align.rs:298-304)
+    else:
+        eq = s1d_n == s2v_n
+    sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+
+    # Merged-roll Gotoh: D needs max(M,D)[x-1] so the max commutes with the
+    # lane shift -- one roll instead of two (vs ops.nw_affine._gotoh_step).
+    t0 = M1 + o
+    M = roll(H2) + sub
+    D = roll(jnp.maximum(t0, D1)) + e
+    I = jnp.maximum(t0, I1) + e
+
+    row0, col0 = _boundary_scalars(p, scheme, compat)
+    M = jnp.where(lane_p, col0[0], M)
+    I = jnp.where(lane_p, col0[1], I)
+    D = jnp.where(lane_p, col0[2], D)
+    M = jnp.where(lane_0, row0[0], M)
+    I = jnp.where(lane_0, row0[1], I)
+    D = jnp.where(lane_0, row0[2], D)
+
+    H = jnp.maximum(M, jnp.maximum(I, D))
+
+    byte = None
+    if with_dirs:
+        b = (M == H).astype(jnp.int32) * dirbits.HM
+        b |= (I == H).astype(jnp.int32) * dirbits.HI
+        b |= (D == H).astype(jnp.int32) * dirbits.HD
+        b |= (I1 >= t0).astype(jnp.int32) * dirbits.IEXT
+        b |= (t0 >= I1).astype(jnp.int32) * dirbits.IOPEN
+        dpre = (D1 >= t0).astype(jnp.int32) * dirbits.DEXT
+        dpre |= (t0 >= D1).astype(jnp.int32) * dirbits.DOPEN
+        b |= roll(dpre)
+        byte = b
+
+    return M, I, D, H, s1d_n, s2v_n, byte
+
+
+# ---------------------------------------------------------------------------
+# lax.scan reference implementation
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "scheme", "compat", "wildcard", "with_dirs"),
+)
+def gotoh_fill_stream_lax(
+    qstream, dstream, dsums, n2s,
+    plan: StreamPlan, scheme: ScoringScheme,
+    compat: bool, wildcard: bool, with_dirs: bool,
+):
+    """qstream/dstream: (n_rows, t_total) int32 -- slot k's codes at
+    [k*s+1, k*s+1+len); dsums/n2s: (np_slots, n_rows) int32.  Returns
+    (fm, fi, fd) each (np_slots, n_rows) plus packed dirs or None."""
+    R = qstream.shape[0]
+    P = plan.p
+    neg = jnp.full((R, P), NEG_INF, jnp.int32)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
+    roll = lambda a: jnp.roll(a, 1, axis=1)
+    s = jnp.int32(plan.s)
+
+    def body(carry, t):
+        H2, H1, M1, I1, D1, s1d, s2v, fm, fi, fd = carry
+        p = t % s
+        qc = jax.lax.dynamic_slice_in_dim(qstream, t, 1, axis=1)
+        dc = jax.lax.dynamic_slice_in_dim(dstream, t, 1, axis=1)
+        M, I, D, H, s1d, s2v, byte = _stream_step(
+            H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, p,
+            scheme, compat, wildcard, roll, with_dirs,
+        )
+        for k in range(plan.np_slots):
+            cap = jnp.logical_and(
+                t == k * plan.s + dsums[k][:, None],
+                col_iota == n2s[k][:, None],
+            )
+            fm = fm.at[k].add(jnp.where(cap, M, 0).sum(axis=1))
+            fi = fi.at[k].add(jnp.where(cap, I, 0).sum(axis=1))
+            fd = fd.at[k].add(jnp.where(cap, D, 0).sum(axis=1))
+        out = byte.astype(jnp.uint8) if with_dirs else jnp.zeros((), jnp.uint8)
+        return (H1, H, M, I, D, s1d, s2v, fm, fi, fd), out
+
+    zeros = jnp.zeros((R, P), jnp.int32)
+    fz = jnp.zeros((plan.np_slots, R), jnp.int32)
+    carry0 = (neg, neg, neg, neg, neg, zeros, zeros, fz, fz, fz)
+    carry, bytes_ = jax.lax.scan(
+        body, carry0, jnp.arange(plan.t_total, dtype=jnp.int32)
+    )
+    fm, fi, fd = carry[7:]
+    if with_dirs:
+        T4 = plan.t_total // 4
+        w = bytes_.reshape(T4, 4, R, P).astype(jnp.uint32)
+        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+    else:
+        dirs = None
+    return (fm, fi, fd), dirs
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel
+# ---------------------------------------------------------------------------
+
+
+def _stream_kernel(
+    # inputs
+    dsy_ref, n2y_ref, dso_ref, n2o_ref, q_ref, d2_ref,
+    # outputs
+    fm_e, fi_e, fd_e, fm_o, fi_o, fd_o, dirs_ref,
+    # scratch
+    H2, H1, M1, I1, D1, s1d, s2v,
+    *, plan: StreamPlan,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
+):
+    k = pl.program_id(1)
+    cc = pl.program_id(2)
+    BT, P = s2v.shape
+    chunk = plan.chunk
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, P), 1)
+    roll = lambda a: pltpu.roll(a, 1, axis=1)
+
+    @pl.when(jnp.logical_and(k == 0, cc == 0))
+    def _init_state():
+        neg = jnp.full((BT, P), NEG_INF, dtype=jnp.int32)
+        H2[...] = neg
+        H1[...] = neg
+        M1[...] = neg
+        I1[...] = neg
+        D1[...] = neg
+        s1d[...] = jnp.zeros((BT, P), jnp.int32)
+        s2v[...] = jnp.zeros((BT, P), jnp.int32)
+
+    zero = jnp.zeros((BT, P), jnp.int32)
+
+    @pl.when(jnp.logical_and(cc == 0, k % 2 == 0))
+    def _init_even():
+        fm_e[0] = zero
+        fi_e[0] = zero
+        fd_e[0] = zero
+
+    @pl.when(jnp.logical_and(cc == 0, jnp.logical_or(k == 0, k % 2 == 1)))
+    def _init_odd():
+        fm_o[0] = zero
+        fi_o[0] = zero
+        fd_o[0] = zero
+
+    dsy = dsy_ref[0]          # (BT, 1): younger pair's n1+n2 (or -1)
+    n2y = n2y_ref[0]
+    dso = dso_ref[0]          # older pair (slot k-1)
+    n2o = n2o_ref[0]
+    ymin, ymax = jnp.min(dsy), jnp.max(dsy)
+    omin, omax = jnp.min(dso), jnp.max(dso)
+    k_even = k % 2 == 0
+
+    p0 = cc * chunk
+    lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+
+    def gather(ref, i):
+        return jnp.sum(
+            jnp.where(lane128 == i, ref[...], 0), axis=1, keepdims=True
+        )
+
+    def group_body(g, carry):
+        vH2, vH1, vM1, vI1, vD1, vs1d, vs2v = carry
+        wacc = None
+        for u in range(4):
+            i = g * 4 + u          # step index within chunk
+            p = p0 + i             # younger local diagonal
+            qc = gather(q_ref, i)
+            dc = gather(d2_ref, i)
+            M, I, D, H, vs1d, vs2v, byte = _stream_step(
+                vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
+                qc, dc, col_iota, p,
+                scheme, compat, wildcard, roll, with_dirs,
+            )
+            vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
+
+            # Younger-pair capture (this slot k): parity of k picks the
+            # even/odd accumulator block.  Older pair = slot k-1 at local
+            # diagonal p + s, opposite parity.  All four branches are
+            # chunk-rare (gated on the capture window).
+            gy = jnp.logical_and(p >= ymin, p <= ymax)
+            po = p + plan.s
+            go = jnp.logical_and(po >= omin, po <= omax)
+
+            @pl.when(jnp.logical_and(gy, k_even))
+            def _cap_ye(M=M, I=I, D=D, p=p):
+                cap = jnp.logical_and(dsy == p, col_iota == n2y)
+                fm_e[0] += jnp.where(cap, M, 0)
+                fi_e[0] += jnp.where(cap, I, 0)
+                fd_e[0] += jnp.where(cap, D, 0)
+
+            @pl.when(jnp.logical_and(gy, jnp.logical_not(k_even)))
+            def _cap_yo(M=M, I=I, D=D, p=p):
+                cap = jnp.logical_and(dsy == p, col_iota == n2y)
+                fm_o[0] += jnp.where(cap, M, 0)
+                fi_o[0] += jnp.where(cap, I, 0)
+                fd_o[0] += jnp.where(cap, D, 0)
+
+            @pl.when(jnp.logical_and(go, jnp.logical_not(k_even)))
+            def _cap_oe(M=M, I=I, D=D, po=po):
+                cap = jnp.logical_and(dso == po, col_iota == n2o)
+                fm_e[0] += jnp.where(cap, M, 0)
+                fi_e[0] += jnp.where(cap, I, 0)
+                fd_e[0] += jnp.where(cap, D, 0)
+
+            @pl.when(jnp.logical_and(go, k_even))
+            def _cap_oo(M=M, I=I, D=D, po=po):
+                cap = jnp.logical_and(dso == po, col_iota == n2o)
+                fm_o[0] += jnp.where(cap, M, 0)
+                fi_o[0] += jnp.where(cap, I, 0)
+                fd_o[0] += jnp.where(cap, D, 0)
+
+            if with_dirs:
+                word = byte.astype(jnp.uint32) << (8 * u)
+                wacc = word if u == 0 else wacc | word
+        if with_dirs:
+            dirs_ref[pl.ds(g, 1), :, :] = wacc[None]
+        return (vH2, vH1, vM1, vI1, vD1, vs1d, vs2v)
+
+    carry0 = (H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...])
+    carry = jax.lax.fori_loop(0, chunk // 4, group_body, carry0)
+    H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...] = carry
+
+
+def gotoh_fill_stream_pallas(
+    qstream, dstream, dsy, n2y, dso, n2o,
+    plan: StreamPlan, scheme: ScoringScheme,
+    compat: bool, wildcard: bool, with_dirs: bool,
+    interpret: Optional[bool] = None,
+):
+    """qstream/dstream: (n_rows, t_total) int32; dsy/n2y/dso/n2o:
+    (n_slots_g, n_rows, 1) int32 per-slot capture params (younger and
+    older = shifted-by-one views).  Returns ((fm, fi, fd) each
+    (J, n_rows, P) where J = (n_slots_g+1)//2 -- index k//2, parity k%2
+    picks even/odd -- and dirs)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    R = qstream.shape[0]
+    P = plan.p
+    BT = 8 if R % 8 == 0 else R
+    NB = R // BT
+    NCC = plan.s // plan.chunk
+    J = (plan.n_slots_g + 1) // 2
+    T4 = plan.t_total // 4
+
+    grid = (NB, plan.n_slots_g, NCC)
+    kernel = functools.partial(
+        _stream_kernel, plan=plan, scheme=scheme,
+        compat=compat, wildcard=wildcard, with_dirs=with_dirs,
+    )
+    bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
+    in_specs = [
+        bspec((1, BT, 1), lambda b, k, cc: (k, b, 0)),        # dsy
+        bspec((1, BT, 1), lambda b, k, cc: (k, b, 0)),        # n2y
+        bspec((1, BT, 1), lambda b, k, cc: (k, b, 0)),        # dso (shifted)
+        bspec((1, BT, 1), lambda b, k, cc: (k, b, 0)),        # n2o (shifted)
+        bspec((BT, plan.chunk), lambda b, k, cc: (b, k * NCC + cc)),
+        bspec((BT, plan.chunk), lambda b, k, cc: (b, k * NCC + cc)),
+    ]
+    fspec_e = bspec((1, BT, P), lambda b, k, cc: (k // 2, b, 0))
+    fspec_o = bspec(
+        (1, BT, P), lambda b, k, cc: (jnp.maximum(k - 1, 0) // 2, b, 0)
+    )
+    out_specs = [
+        fspec_e, fspec_e, fspec_e, fspec_o, fspec_o, fspec_o,
+        bspec(
+            (plan.chunk // 4 if with_dirs else 1, BT, P),
+            (lambda b, k, cc: (k * NCC + cc, b, 0))
+            if with_dirs
+            else (lambda b, k, cc: (0, b, 0)),
+        ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((J, R, P), jnp.int32)] * 6 + [
+        jax.ShapeDtypeStruct((T4 if with_dirs else 1, R, P), jnp.uint32)
+    ]
+    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(7)]
+    fm_e, fi_e, fd_e, fm_o, fi_o, fd_o, dirs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        ),
+    )(dsy, n2y, dso, n2o, qstream, dstream)
+    return (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), (dirs if with_dirs else None)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def nw_affine_stream_batch(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    wildcard: bool = False,
+    with_dirs: bool = True,
+    backend: str = "auto",
+    np_slots: Optional[int] = None,
+    chunk: int = 128,
+) -> StreamResult:
+    """Streamed batched Gotoh fill.  Same contract as
+    ops.nw_affine.nw_affine_batch but ~2x the lane efficiency on uniform
+    batches.  Pads the batch to a multiple of np_slots*8 pairs internally
+    (padded lanes are stripped from finals)."""
+    B, L1 = query.shape
+    _, L2 = db.shape
+    plan = plan_stream(B, L1, L2, chunk=chunk, np_slots=np_slots)
+    NP, R, S = plan.np_slots, plan.n_rows, plan.s
+    n_padded = NP * R
+
+    q_all = np.zeros((n_padded, L1), np.int32)
+    d_all = np.zeros((n_padded, L2), np.int32)
+    q_all[:B] = query
+    d_all[:B] = db
+    qlen = np.ones(n_padded, np.int32)
+    dlen = np.ones(n_padded, np.int32)
+    qlen[:B] = np.asarray(query_len, np.int32)
+    dlen[:B] = np.asarray(db_len, np.int32)
+
+    # Row-major slots: pair b -> row b // NP, slot b % NP.
+    q_r = q_all.reshape(R, NP, L1)
+    d_r = d_all.reshape(R, NP, L2)
+    qstream = np.zeros((R, plan.t_total), np.int32)
+    dstream = np.zeros((R, plan.t_total), np.int32)
+    for k in range(NP):
+        qstream[:, k * S + 1 : k * S + 1 + L1] = q_r[:, k]
+        dstream[:, k * S + 1 : k * S + 1 + L2] = d_r[:, k]
+
+    dsum_k = (qlen + dlen).reshape(R, NP).T          # (NP, R)
+    n2_k = dlen.reshape(R, NP).T
+    G = plan.n_slots_g
+    dsy = np.full((G, R, 1), -1, np.int32)
+    n2y = np.full((G, R, 1), -1, np.int32)
+    dsy[:NP, :, 0] = dsum_k
+    n2y[:NP, :, 0] = n2_k
+    dso = np.full((G, R, 1), -1, np.int32)
+    n2o = np.full((G, R, 1), -1, np.int32)
+    hi = min(NP + 1, G)
+    dso[1:hi, :, 0] = dsum_k[: hi - 1]
+    n2o[1:hi, :, 0] = n2_k[: hi - 1]
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+
+    if backend == "pallas":
+        (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), dirs = gotoh_fill_stream_pallas(
+            jnp.asarray(qstream), jnp.asarray(dstream),
+            jnp.asarray(dsy), jnp.asarray(n2y),
+            jnp.asarray(dso), jnp.asarray(n2o),
+            plan, scheme, compat, wildcard, with_dirs,
+        )
+        fme = np.asarray(fm_e.sum(axis=2))
+        fie = np.asarray(fi_e.sum(axis=2))
+        fde = np.asarray(fd_e.sum(axis=2))
+        fmo = np.asarray(fm_o.sum(axis=2))
+        fio = np.asarray(fi_o.sum(axis=2))
+        fdo = np.asarray(fd_o.sum(axis=2))
+        fm = np.where(
+            (np.arange(NP) % 2 == 0)[:, None],
+            fme[np.arange(NP) // 2].reshape(NP, R),
+            fmo[np.arange(NP) // 2].reshape(NP, R),
+        )
+        fi = np.where(
+            (np.arange(NP) % 2 == 0)[:, None],
+            fie[np.arange(NP) // 2].reshape(NP, R),
+            fio[np.arange(NP) // 2].reshape(NP, R),
+        )
+        fd = np.where(
+            (np.arange(NP) % 2 == 0)[:, None],
+            fde[np.arange(NP) // 2].reshape(NP, R),
+            fdo[np.arange(NP) // 2].reshape(NP, R),
+        )
+    elif backend == "lax":
+        (fm, fi, fd), dirs = gotoh_fill_stream_lax(
+            jnp.asarray(qstream), jnp.asarray(dstream),
+            jnp.asarray(dsum_k), jnp.asarray(n2_k),
+            plan, scheme, compat, wildcard, with_dirs,
+        )
+        fm, fi, fd = np.asarray(fm), np.asarray(fi), np.asarray(fd)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    # (NP, R) -> (R*NP,) row-major pairs, strip padding.
+    finals = np.stack(
+        [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)], axis=1
+    )[:B].astype(np.int32)
+    return StreamResult(finals=finals, dirs=dirs, plan=plan)

@@ -34,15 +34,18 @@ def traceback_pair(
     seq2: bytes,
     compat: bool = True,
     max_alignments: int = 64,
+    d_offset: int = 0,
 ) -> Tuple[int, List[Tuple[str, str]]]:
     """Co-optimal global traceback for one pair (anti-diagonal dirs layout).
 
     dirs_b: (D4, P) uint32 slice for this pair; finals_b: (3,) int32 M/I/D
-    at (n2, n1).  Returns (score, [(aligned_seq1, aligned_seq2), ...]) in
-    the reference's print order.
+    at (n2, n1).  d_offset: diagonal offset of this pair's bytes in the
+    word stream (slot*s for ops.nw_affine_stream layouts, 0 otherwise).
+    Returns (score, [(aligned_seq1, aligned_seq2), ...]) in the
+    reference's print order.
     """
     return _gotoh_walk(
-        lambda x, y: _byte(dirs_b, x + y, x),
+        lambda x, y: _byte(dirs_b, x + y + d_offset, x),
         finals_b, seq1, seq2, compat, max_alignments,
     )
 
@@ -395,6 +398,64 @@ def traceback_batch(
                     s2,
                     compat=compat,
                     max_alignments=1 if first_only else max_alignments,
+                )
+            )
+        except AlignmentError as e:
+            results.append(e)
+    return results
+
+
+def traceback_stream_batch(
+    dirs: np.ndarray,
+    finals: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    plan,
+    compat: bool = True,
+    max_alignments: int = 64,
+    first_only: bool = False,
+):
+    """Traceback for ops.nw_affine_stream results: pairs share dirs rows
+    (pair b = slot b % np_slots of row b // np_slots, diagonal offset
+    slot*s).  Same per-pair failure isolation as traceback_batch."""
+    import os
+
+    dirs = np.asarray(dirs)
+    finals = np.asarray(finals)
+    use_native = first_only and not os.environ.get("SEQALIGN_NO_NATIVE")
+    if use_native:
+        try:
+            from sequencealigning_tpu import native
+
+            use_native = native.available()
+        except Exception:
+            use_native = False
+
+    results = []
+    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
+        row, _slot, off = plan.pair_coords(b)
+        try:
+            if use_native:
+                from sequencealigning_tpu import native
+
+                ops = native.gotoh_first_path_native(
+                    dirs[:, row, :], finals[b], len(s1), len(s2), compat,
+                    d_offset=off,
+                )
+                if ops is not None:
+                    results.append(
+                        (int(finals[b].max()), [_apply_ops(ops, s1, s2)])
+                    )
+                    continue
+            results.append(
+                traceback_pair(
+                    dirs[:, row, :],
+                    finals[b],
+                    s1,
+                    s2,
+                    compat=compat,
+                    max_alignments=1 if first_only else max_alignments,
+                    d_offset=off,
                 )
             )
         except AlignmentError as e:

@@ -1,0 +1,131 @@
+"""Streamed-pair Gotoh kernel tests: lax vs oracle, Pallas vs lax,
+stream-layout traceback vs the plain kernel's."""
+
+import os
+import random
+
+import numpy as np
+import pytest
+
+from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.ops import oracle_gotoh
+from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
+from sequencealigning_tpu.ops.nw_affine_stream import (
+    nw_affine_stream_batch,
+    plan_stream,
+)
+from sequencealigning_tpu.ops.traceback import (
+    traceback_batch,
+    traceback_stream_batch,
+)
+
+
+def _random_pairs(seed, n_pairs=48, lo=2, hi=14, alphabet=b"ACGT"):
+    rng = random.Random(seed)
+    return [
+        (
+            bytes(rng.choice(alphabet) for _ in range(rng.randint(lo, hi))),
+            bytes(rng.choice(alphabet) for _ in range(rng.randint(lo, hi))),
+        )
+        for _ in range(n_pairs)
+    ]
+
+
+def _stream(pairs, compat=True, backend="lax", wildcard=False,
+            with_dirs=True, np_slots=3):
+    batch = pack_batch(pairs, batch_size=len(pairs))
+    res = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, wildcard=wildcard, with_dirs=with_dirs,
+        backend=backend, np_slots=np_slots,
+    )
+    return res, batch
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_stream_lax_finals_match_oracle(compat):
+    pairs = _random_pairs(3)
+    res, _ = _stream(pairs, compat=compat, backend="lax")
+    for b, (s1, s2) in enumerate(pairs):
+        m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
+        exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+        got = tuple(int(v) for v in res.finals[b])
+        assert exp == got, (b, s1, s2, exp, got)
+
+
+def test_stream_wildcard_matches_plain_kernel():
+    pairs = _random_pairs(5, alphabet=b"ACGTN")
+    batch = pack_batch(pairs, batch_size=48)
+    res_s, _ = _stream(pairs, backend="lax", wildcard=True)
+    res_p = nw_affine_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        wildcard=True, backend="lax",
+    )
+    np.testing.assert_array_equal(res_s.finals, np.asarray(res_p.finals)[:48])
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_stream_pallas_interpret_matches_lax(compat):
+    pairs = _random_pairs(11)
+    r_lax, _ = _stream(pairs, compat=compat, backend="lax")
+    r_pal, _ = _stream(pairs, compat=compat, backend="pallas")
+    np.testing.assert_array_equal(r_lax.finals, r_pal.finals)
+    np.testing.assert_array_equal(np.asarray(r_lax.dirs), np.asarray(r_pal.dirs))
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_stream_traceback_matches_plain(compat):
+    pairs = _random_pairs(17, n_pairs=24, hi=12)
+    res_s, batch = _stream(pairs, compat=compat, backend="lax", np_slots=3)
+    res_p = nw_affine_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, backend="lax",
+    )
+    seqs1 = [p[0] for p in pairs]
+    seqs2 = [p[1] for p in pairs]
+    got = traceback_stream_batch(
+        res_s.dirs, res_s.finals, seqs1, seqs2, res_s.plan, compat=compat,
+    )
+    exp = traceback_batch(
+        res_p.dirs, np.asarray(res_p.finals)[: len(pairs)], seqs1, seqs2,
+        compat=compat,
+    )
+    for b, (g, e) in enumerate(zip(got, exp)):
+        if isinstance(e, Exception):
+            assert isinstance(g, type(e)) and str(g) == str(e), (b, g, e)
+        else:
+            assert g == e, (b, pairs[b], g, e)
+
+
+def test_stream_native_first_path_matches_python():
+    pairs = _random_pairs(23, n_pairs=24, hi=12)
+    res_s, _ = _stream(pairs, backend="lax", np_slots=3)
+    seqs1 = [p[0] for p in pairs]
+    seqs2 = [p[1] for p in pairs]
+    native = traceback_stream_batch(
+        res_s.dirs, res_s.finals, seqs1, seqs2, res_s.plan, first_only=True,
+    )
+    os.environ["SEQALIGN_NO_NATIVE"] = "1"
+    try:
+        py = traceback_stream_batch(
+            res_s.dirs, res_s.finals, seqs1, seqs2, res_s.plan,
+            first_only=True,
+        )
+    finally:
+        del os.environ["SEQALIGN_NO_NATIVE"]
+    norm = lambda xs: [
+        (type(x).__name__, str(x)) if isinstance(x, Exception) else x
+        for x in xs
+    ]
+    assert norm(native) == norm(py)
+
+
+def test_plan_coords_roundtrip():
+    plan = plan_stream(48, 14, 14, np_slots=3)
+    assert plan.np_slots == 3 and plan.n_rows == 16
+    seen = set()
+    for b in range(48):
+        r, k, off = plan.pair_coords(b)
+        assert off == k * plan.s
+        seen.add((r, k))
+    assert len(seen) == 48
