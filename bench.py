@@ -98,8 +98,9 @@ def main() -> int:
     scheme = ScoringScheme()
     results = {}
 
-    # --- streamed-pair kernel (primary) ---
-    plan = plan_stream(B, L1, L2, np_slots=8 if on_tpu else 2)
+    # --- streamed-pair kernel (primary): np_slots=32/bt=16 measured best
+    # (35.4 score-only / 29.5 fill+dirs GCUPS vs 34.0/27.9 at 8/8) ---
+    plan = plan_stream(B, L1, L2, np_slots=32 if on_tpu else 2)
     sargs = tuple(jnp.asarray(a) for a in _stream_args(batch, plan))
 
     def make_stream(with_dirs):
@@ -107,6 +108,7 @@ def main() -> int:
         def fn(qs, ds, a, b, c, d):
             outs, _ = gotoh_fill_stream_pallas(
                 qs, ds, a, b, c, d, plan, scheme, True, False, with_dirs,
+                bt=16 if on_tpu else 8,
             )
             return outs[0].sum(axis=2)
 

@@ -356,6 +356,7 @@ def gotoh_fill_stream_pallas(
     plan: StreamPlan, scheme: ScoringScheme,
     compat: bool, wildcard: bool, with_dirs: bool,
     interpret: Optional[bool] = None,
+    bt: int = 8,
 ):
     """qstream/dstream: (n_rows, t_total) int32; dsy/n2y/dso/n2o:
     (n_slots_g, n_rows, 1) int32 per-slot capture params (younger and
@@ -366,7 +367,7 @@ def gotoh_fill_stream_pallas(
         interpret = jax.default_backend() != "tpu"
     R = qstream.shape[0]
     P = plan.p
-    BT = 8 if R % 8 == 0 else R
+    BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
     NB = R // BT
     NCC = plan.s // plan.chunk
     J = (plan.n_slots_g + 1) // 2
