@@ -1,0 +1,324 @@
+"""Run the five BASELINE.md evaluation configs and write BENCH_CONFIGS.json.
+
+Each config reports a throughput metric and a correctness check (sampled
+against the scalar oracles / cross-algorithm identities).  Off-TPU the
+sizes shrink to smoke-test scale; on TPU the full config shapes run.
+
+Usage: python benchmarks/configs_bench.py [--out BENCH_CONFIGS.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _mkpairs(rng, n, length, divergence=0.01):
+    pairs = []
+    for _ in range(n):
+        ref = rng.choice(list(b"ACGT"), length).astype(np.uint8).tobytes()
+        mut = bytearray(ref)
+        for _ in range(max(1, int(length * divergence))):
+            p = int(rng.integers(0, len(mut)))
+            mut[p] = int(rng.choice([c for c in b"ACGT" if c != mut[p]]))
+        pairs.append((bytes(mut), ref))
+    return pairs
+
+
+def _cells(batch):
+    return float(
+        (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
+    )
+
+
+def config1_linear(on_tpu):
+    """Linear-gap NW, single pair ~1 kb: exact score + CIGAR."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops import oracle_linear
+    from sequencealigning_tpu.ops.nw_linear import nw_linear_batch
+    from sequencealigning_tpu.ops.traceback import linear_traceback_pair
+    from sequencealigning_tpu.utils.cigar import cigar_from_pair
+
+    length = 1023 if on_tpu else 96
+    rng = np.random.default_rng(1)
+    (s1, s2) = _mkpairs(rng, 1, length)[0]
+    batch = pack_batch([(s1, s2)] * 8, batch_size=8)
+
+    np.asarray(nw_linear_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, with_dirs=True
+    ).score)  # compile warmup (block: dispatch is async)
+    t0 = time.perf_counter()
+    res = nw_linear_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, with_dirs=True
+    )
+    score = int(np.asarray(res.score)[0])
+    dirs0 = np.asarray(res.dirs)[:, 0, :]
+    hits = linear_traceback_pair(dirs0, s1, s2, max_hits=1)
+    dt = time.perf_counter() - t0
+
+    # Exact oracle check (score + first alignment's CIGAR).
+    vlen = min(length, 192)
+    exp = oracle_linear.linear_score(s1[:vlen], s2[:vlen])
+    res_v = nw_linear_batch(
+        *(lambda b: (b.query, b.db, b.query_len, b.db_len))(
+            pack_batch([(s1[:vlen], s2[:vlen])] * 8, batch_size=8)
+        ),
+        with_dirs=False,
+    )
+    ok = int(np.asarray(res_v.score)[0]) == exp
+    cigar = str(cigar_from_pair(hits[0][0], hits[0][1])) if hits else None
+    return {
+        "config": "1-linear-nw-1kb",
+        "score": score,
+        "cigar_len": len(cigar) if cigar else 0,
+        "elapsed_s": round(dt, 4),
+        "correct_vs_oracle": bool(ok),
+    }
+
+
+def config2_gotoh(on_tpu):
+    """Affine-gap NW (Gotoh), 64 pairs ~2 kb: exact score + CIGAR."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops import oracle_gotoh
+    from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+    from sequencealigning_tpu.utils.cigar import cigar_from_pair
+
+    n, length = (64, 2047) if on_tpu else (16, 96)
+    rng = np.random.default_rng(2)
+    pairs = _mkpairs(rng, n, length)
+    batch = pack_batch(pairs, batch_size=n)
+
+    kw = dict(with_dirs=True, np_slots=8 if on_tpu else 2)
+    nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, **kw
+    )  # compile warmup
+    t0 = time.perf_counter()
+    res = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, **kw
+    )
+    np.asarray(res.finals)
+    fills_done = time.perf_counter()
+    tbs = traceback_stream_batch(
+        np.asarray(res.dirs), res.finals,
+        [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+        first_only=True,
+    )
+    dt_all = time.perf_counter() - t0
+
+    n_aligned = sum(1 for t in tbs if not isinstance(t, Exception))
+    # Sample-verify exact scores vs the scalar oracle.
+    ok = True
+    for b in rng.choice(n, size=2, replace=False):
+        exp = oracle_gotoh.gotoh_score(pairs[b][0], pairs[b][1])
+        ok &= int(res.finals[b].max()) == exp
+        if not isinstance(tbs[b], Exception):
+            score_b, alns = tbs[b]
+            a1, a2 = alns[0]
+            ok &= _score_alignment(a1, a2) == score_b
+    gcups = _cells(batch) / (fills_done - t0) / 1e9
+    return {
+        "config": "2-gotoh-64x2kb",
+        "fill_gcups": round(gcups, 3),
+        "tracebacks_ok": n_aligned,
+        "elapsed_s": round(dt_all, 4),
+        "correct_vs_oracle": bool(ok),
+    }
+
+
+def _score_alignment(a1, a2, match=5, mismatch=-4, open_=-8, ext=-6):
+    """Reference-convention affine score of a gapped alignment pair."""
+    s = 0
+    in_gap = None
+    for c1, c2 in zip(a1, a2):
+        if c1 == "-" or c2 == "-":
+            g = "1" if c1 == "-" else "2"
+            s += ext + (open_ if in_gap != g else 0)
+            in_gap = g
+        else:
+            s += match if c1 == c2 else mismatch
+            in_gap = None
+    return s
+
+
+def config3_wfa(on_tpu):
+    """WFA exact, 128 pairs ~10 kb low-divergence: score + CIGAR parity."""
+    from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.wfa import (
+        wfa_textbook_batch,
+        wfa_traceback_host,
+    )
+
+    n, length, s_max = (128, 10230, 512) if on_tpu else (16, 120, 128)
+    rng = np.random.default_rng(3)
+    pairs = _mkpairs(rng, n, length, divergence=0.005)
+    batch = pack_batch(pairs, batch_size=n)
+    pen = WfaPenalties()
+
+    np.asarray(wfa_textbook_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        penalties=pen, band=64, s_max=s_max,
+    ).score)  # compile warmup (block: dispatch is async)
+    t0 = time.perf_counter()
+    res = wfa_textbook_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        penalties=pen, band=64, s_max=s_max,
+    )
+    scores = np.asarray(res.score)
+    conv = np.asarray(res.converged)
+    dt = time.perf_counter() - t0
+
+    # Cross-algorithm identity: WFA penalty == -(affine NW score) under the
+    # equivalent maximizing scheme (match=0, mismatch=-x, open=-o, ext=-e).
+    eq_scheme = ScoringScheme(
+        match_=0, mismatch=-pen.mismatch,
+        gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+    )
+    idx = [0, n // 2, n - 1]
+    vb = pack_batch(([pairs[i] for i in idx] * 3)[:8], batch_size=8)
+    nwres = nw_banded_batch(
+        vb.query, vb.db, vb.query_len, vb.db_len,
+        band=160, scheme=eq_scheme, compat=False, with_dirs=False,
+    )
+    nw_finals = np.asarray(nwres.finals)
+    ok = all(
+        conv[i] and int(scores[j_]) == -int(nw_finals[j_].max())
+        for j_, i in enumerate(idx)
+    )
+    # Traceback validity on one pair.
+    p0, a1, a2 = wfa_traceback_host(res, 0, pairs[0][0], pairs[0][1], pen)
+    ok &= (
+        a1.replace("-", "").encode() == pairs[0][0]
+        and a2.replace("-", "").encode() == pairs[0][1]
+    )
+    return {
+        "config": "3-wfa-128x10kb",
+        "pairs_per_s": round(n / dt, 2),
+        "converged": int(conv.sum()),
+        "elapsed_s": round(dt, 4),
+        "correct_vs_oracle": bool(ok),
+    }
+
+
+def config4_banded(on_tpu):
+    """Banded affine, 1024 pairs ~5 kb, fixed band: score + CIGAR."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.traceback import banded_traceback_pair
+
+    n, length, band = (1024, 5115, 128) if on_tpu else (16, 100, 16)
+    rng = np.random.default_rng(4)
+    pairs = _mkpairs(rng, n, length)
+    batch = pack_batch(pairs, batch_size=n)
+
+    np.asarray(nw_banded_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=band, with_dirs=True,
+    ).finals)  # compile warmup (block: dispatch is async)
+    t0 = time.perf_counter()
+    res = nw_banded_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=band, with_dirs=True,
+    )
+    finals = np.asarray(res.finals)
+    dt = time.perf_counter() - t0
+
+    # Verify a sample against the full (unbanded) streamed fill.
+    idx = [0, n // 2, n - 1]
+    vb = pack_batch(([pairs[i] for i in idx] * 3)[:8], batch_size=8)
+    full = nw_affine_stream_batch(
+        vb.query, vb.db, vb.query_len, vb.db_len,
+        with_dirs=False, np_slots=1,
+    )
+    ok = all(
+        int(finals[i].max()) == int(full.finals[j_].max())
+        for j_, i in enumerate(idx)
+    )
+    # Banded traceback on one pair.
+    dirs0 = np.asarray(res.dirs)[:, 0, :]
+    score0, alns = banded_traceback_pair(
+        dirs0, finals[0], pairs[0][0], pairs[0][1], res.k_lo,
+        max_alignments=1,
+    )
+    ok &= bool(alns) and score0 == int(finals[0].max())
+
+    K = 2 * band + 1
+    band_cells = float(batch.db_len.astype(np.int64).sum()) * K
+    return {
+        "config": "4-banded-1024x5kb",
+        "band_gcups": round(band_cells / dt / 1e9, 3),
+        "elapsed_s": round(dt, 4),
+        "correct_vs_oracle": bool(ok),
+    }
+
+
+def config5_streaming(on_tpu):
+    """Streamed data-parallel throughput (config 5's single-chip slice;
+    multi-host scaling is validated structurally on the virtual mesh)."""
+    from sequencealigning_tpu.parallel.runner import DataParallelRunner
+    from sequencealigning_tpu.parallel.streaming import stream_align
+
+    n, length, bsz = (8192, 1023, 2048) if on_tpu else (64, 60, 32)
+    rng = np.random.default_rng(5)
+    pairs = _mkpairs(rng, n, length)
+    runner = DataParallelRunner(np_slots=8, bt=16 if on_tpu else 8)
+
+    # Warm up compile on one batch so the rate reflects steady state.
+    stream_align(pairs[:bsz], runner=runner, batch_size=bsz)
+    t0 = time.perf_counter()
+    n_done = stream_align(pairs, runner=runner, batch_size=bsz)
+    dt = time.perf_counter() - t0
+    rate = n_done / dt
+    return {
+        "config": "5-streaming-dp",
+        "pairs_per_s": round(rate, 1),
+        "pairs": n_done,
+        "length": length,
+        "projected_1M_pairs_s": round(1e6 / rate, 1),
+        "elapsed_s": round(dt, 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="BENCH_CONFIGS.json")
+    ap.add_argument("--only", default=None, help="comma-separated config ids")
+    args = ap.parse_args()
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    fns = {
+        "1": config1_linear,
+        "2": config2_gotoh,
+        "3": config3_wfa,
+        "4": config4_banded,
+        "5": config5_streaming,
+    }
+    only = set(args.only.split(",")) if args.only else set(fns)
+    results = []
+    for cid, fn in fns.items():
+        if cid not in only:
+            continue
+        try:
+            r = fn(on_tpu)
+        except Exception as ex:
+            r = {"config": cid, "error": f"{type(ex).__name__}: {ex}"}
+        results.append(r)
+        print(json.dumps(r), file=sys.stderr)
+    out = {"backend": jax.default_backend(), "results": results}
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

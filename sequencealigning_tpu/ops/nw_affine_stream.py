@@ -419,6 +419,82 @@ def gotoh_fill_stream_pallas(
     return (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), (dirs if with_dirs else None)
 
 
+@functools.lru_cache(maxsize=64)
+def _jitted_stream_pallas(plan, scheme, compat, wildcard, with_dirs):
+    """One jitted dispatch per configuration: eager per-op dispatch through
+    a remote-device tunnel costs ~0.7 s flat (PERF.md), so the whole fill
+    must go out as one executable."""
+    return jax.jit(
+        functools.partial(
+            gotoh_fill_stream_pallas,
+            plan=plan, scheme=scheme, compat=compat,
+            wildcard=wildcard, with_dirs=with_dirs,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side input prep and device-side finals assembly
+# ---------------------------------------------------------------------------
+
+
+def build_stream_inputs(
+    query: np.ndarray, db: np.ndarray,
+    query_len: np.ndarray, db_len: np.ndarray,
+    plan: StreamPlan,
+):
+    """Lay the padded batch out as per-row code streams + per-slot capture
+    params.  query/db must already be padded to plan.n_rows * plan.np_slots
+    pairs.  Returns (qstream, dstream, dsy, n2y, dso, n2o) numpy arrays."""
+    NP, R, S = plan.np_slots, plan.n_rows, plan.s
+    L1 = query.shape[1]
+    L2 = db.shape[1]
+    q_r = np.asarray(query, np.int32).reshape(R, NP, L1)
+    d_r = np.asarray(db, np.int32).reshape(R, NP, L2)
+    qstream = np.zeros((R, plan.t_total), np.int32)
+    dstream = np.zeros((R, plan.t_total), np.int32)
+    for k in range(NP):
+        qstream[:, k * S + 1 : k * S + 1 + L1] = q_r[:, k]
+        dstream[:, k * S + 1 : k * S + 1 + L2] = d_r[:, k]
+    dsum_k = (
+        np.asarray(query_len, np.int32) + np.asarray(db_len, np.int32)
+    ).reshape(R, NP).T
+    n2_k = np.asarray(db_len, np.int32).reshape(R, NP).T
+    G = plan.n_slots_g
+    dsy = np.full((G, R, 1), -1, np.int32)
+    n2y = np.full((G, R, 1), -1, np.int32)
+    dsy[:NP, :, 0] = dsum_k
+    n2y[:NP, :, 0] = n2_k
+    dso = np.full((G, R, 1), -1, np.int32)
+    n2o = np.full((G, R, 1), -1, np.int32)
+    hi = min(NP + 1, G)
+    dso[1:hi, :, 0] = dsum_k[: hi - 1]
+    n2o[1:hi, :, 0] = n2_k[: hi - 1]
+    return qstream, dstream, dsy, n2y, dso, n2o
+
+
+def stream_finals(outs, np_slots: int) -> jax.Array:
+    """Assemble (R*np_slots, 3) pair finals from the kernel's six parity
+    output blocks (jnp, jit/shard_map-safe).  Pair order is row-major
+    (pair b = slot b % np_slots of row b // np_slots)."""
+    fm_e, fi_e, fd_e, fm_o, fi_o, fd_o = outs
+    idx = np.arange(np_slots)
+    even = jnp.asarray((idx % 2 == 0)[:, None])
+    j = idx // 2
+
+    def pick(e, o):
+        e = e.sum(axis=2)  # (J, R)
+        o = o.sum(axis=2)
+        return jnp.where(even, jnp.take(e, j, axis=0), jnp.take(o, j, axis=0))
+
+    fm = pick(fm_e, fm_o)  # (NP, R)
+    fi = pick(fi_e, fi_o)
+    fd = pick(fd_e, fd_o)
+    return jnp.stack(
+        [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)], axis=1
+    )
+
+
 # ---------------------------------------------------------------------------
 # Public entry
 # ---------------------------------------------------------------------------
@@ -444,7 +520,7 @@ def nw_affine_stream_batch(
     B, L1 = query.shape
     _, L2 = db.shape
     plan = plan_stream(B, L1, L2, chunk=chunk, np_slots=np_slots)
-    NP, R, S = plan.np_slots, plan.n_rows, plan.s
+    NP, R = plan.np_slots, plan.n_rows
     n_padded = NP * R
 
     q_all = np.zeros((n_padded, L1), np.int32)
@@ -456,71 +532,34 @@ def nw_affine_stream_batch(
     qlen[:B] = np.asarray(query_len, np.int32)
     dlen[:B] = np.asarray(db_len, np.int32)
 
-    # Row-major slots: pair b -> row b // NP, slot b % NP.
-    q_r = q_all.reshape(R, NP, L1)
-    d_r = d_all.reshape(R, NP, L2)
-    qstream = np.zeros((R, plan.t_total), np.int32)
-    dstream = np.zeros((R, plan.t_total), np.int32)
-    for k in range(NP):
-        qstream[:, k * S + 1 : k * S + 1 + L1] = q_r[:, k]
-        dstream[:, k * S + 1 : k * S + 1 + L2] = d_r[:, k]
-
-    dsum_k = (qlen + dlen).reshape(R, NP).T          # (NP, R)
-    n2_k = dlen.reshape(R, NP).T
-    G = plan.n_slots_g
-    dsy = np.full((G, R, 1), -1, np.int32)
-    n2y = np.full((G, R, 1), -1, np.int32)
-    dsy[:NP, :, 0] = dsum_k
-    n2y[:NP, :, 0] = n2_k
-    dso = np.full((G, R, 1), -1, np.int32)
-    n2o = np.full((G, R, 1), -1, np.int32)
-    hi = min(NP + 1, G)
-    dso[1:hi, :, 0] = dsum_k[: hi - 1]
-    n2o[1:hi, :, 0] = n2_k[: hi - 1]
+    qstream, dstream, dsy, n2y, dso, n2o = build_stream_inputs(
+        q_all, d_all, qlen, dlen, plan
+    )
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "lax"
 
     if backend == "pallas":
-        (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), dirs = gotoh_fill_stream_pallas(
+        fn = _jitted_stream_pallas(plan, scheme, compat, wildcard, with_dirs)
+        outs, dirs = fn(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy), jnp.asarray(n2y),
             jnp.asarray(dso), jnp.asarray(n2o),
-            plan, scheme, compat, wildcard, with_dirs,
         )
-        fme = np.asarray(fm_e.sum(axis=2))
-        fie = np.asarray(fi_e.sum(axis=2))
-        fde = np.asarray(fd_e.sum(axis=2))
-        fmo = np.asarray(fm_o.sum(axis=2))
-        fio = np.asarray(fi_o.sum(axis=2))
-        fdo = np.asarray(fd_o.sum(axis=2))
-        fm = np.where(
-            (np.arange(NP) % 2 == 0)[:, None],
-            fme[np.arange(NP) // 2].reshape(NP, R),
-            fmo[np.arange(NP) // 2].reshape(NP, R),
-        )
-        fi = np.where(
-            (np.arange(NP) % 2 == 0)[:, None],
-            fie[np.arange(NP) // 2].reshape(NP, R),
-            fio[np.arange(NP) // 2].reshape(NP, R),
-        )
-        fd = np.where(
-            (np.arange(NP) % 2 == 0)[:, None],
-            fde[np.arange(NP) // 2].reshape(NP, R),
-            fdo[np.arange(NP) // 2].reshape(NP, R),
-        )
+        finals = np.asarray(stream_finals(outs, NP))
     elif backend == "lax":
         (fm, fi, fd), dirs = gotoh_fill_stream_lax(
             jnp.asarray(qstream), jnp.asarray(dstream),
-            jnp.asarray(dsum_k), jnp.asarray(n2_k),
+            jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),
             plan, scheme, compat, wildcard, with_dirs,
         )
         fm, fi, fd = np.asarray(fm), np.asarray(fi), np.asarray(fd)
+        finals = np.stack(
+            [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)], axis=1
+        )
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
-    # (NP, R) -> (R*NP,) row-major pairs, strip padding.
-    finals = np.stack(
-        [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)], axis=1
-    )[:B].astype(np.int32)
-    return StreamResult(finals=finals, dirs=dirs, plan=plan)
+    return StreamResult(
+        finals=np.asarray(finals)[:B].astype(np.int32), dirs=dirs, plan=plan
+    )

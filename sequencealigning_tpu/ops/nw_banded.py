@@ -67,6 +67,12 @@ def _scan_maxplus(c: jax.Array, e) -> jax.Array:
         "k_lo", "k_hi", "l2", "scheme", "compat", "wildcard", "with_dirs"
     ),
 )
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k_lo", "k_hi", "l2", "scheme", "compat", "wildcard", "with_dirs",
+    ),
+)
 def _banded_fill_lax(
     seq1, seq2, n1v, n2v, k_lo: int, k_hi: int, l2: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
@@ -79,10 +85,20 @@ def _banded_fill_lax(
     NEGBIG = jnp.int32(-(2 ** 24))  # band-mask -inf, must stay << any score
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)  # lane -> k
 
-    def seq1_at(y):
-        """Gather seq1[b, y[b,k]-1] with masking; y: (B,K)."""
-        idx = jnp.clip(y - 1, 0, seq1.shape[1] - 1)
-        return jnp.take_along_axis(seq1, idx, axis=1)
+    # Row x needs seq1[y-1] at y = x + k: contiguous in the lane axis, so
+    # a dynamic slice of padded seq1 replaces a per-cell gather (XLA
+    # gathers are catastrophically slow on TPU; see PERF.md).
+    pad_l = max(0, 1 - k_lo)
+    seq1_pad = jnp.pad(
+        seq1, ((0, 0), (pad_l, max(0, K + l2 + k_lo - seq1.shape[1]))),
+        constant_values=-1,
+    )
+
+    def seq1_row(x):
+        """seq1 chars for row x: lane k holds seq1[x + k_lo + k - 1]."""
+        return jax.lax.dynamic_slice_in_dim(
+            seq1_pad, x - 1 + k_lo + pad_l, K, 1
+        )
 
     def boundary_row0():
         """Row x=0: cell (0, y=k) for k >= 0."""
@@ -111,7 +127,7 @@ def _banded_fill_lax(
         valid = jnp.logical_and(y >= 1, y <= n1v)
         valid = jnp.logical_and(valid, x <= n2v)
 
-        s1 = seq1_at(y)
+        s1 = seq1_row(x)
         s2 = jax.lax.dynamic_slice_in_dim(seq2, jnp.clip(x - 1, 0, l2 - 1), 1, 1)
         if wildcard:
             eq = (s1 & s2) != 0
@@ -191,15 +207,15 @@ def _banded_fill_lax(
     _, _, _, _, fm, fi, fd = carry
     finals = jnp.stack([fm.sum(1), fi.sum(1), fd.sum(1)], axis=1)
 
-    # Row 0 byte: H-argmax of the boundary row (needed by M cells at x=1).
-    b0 = (M0 == H0).astype(jnp.int32) * dirbits.HM
-    b0 |= (I0 == H0).astype(jnp.int32) * dirbits.HI
-    b0 |= (D0 == H0).astype(jnp.int32) * dirbits.HD
-    bytes_ = jnp.concatenate(
-        [b0.astype(jnp.uint8)[None], bytes_], axis=0
-    )
-
     if with_dirs:
+        # Row 0 byte: H-argmax of the boundary row (needed by M cells at
+        # x=1).
+        b0 = (M0 == H0).astype(jnp.int32) * dirbits.HM
+        b0 |= (I0 == H0).astype(jnp.int32) * dirbits.HI
+        b0 |= (D0 == H0).astype(jnp.int32) * dirbits.HD
+        bytes_ = jnp.concatenate(
+            [b0.astype(jnp.uint8)[None], bytes_], axis=0
+        )
         X = l2 + 1
         X4 = _round_up(X, 4) // 4
         pad = X4 * 4 - X

@@ -78,28 +78,43 @@ def _wfa_textbook_jax(
             jnp.logical_and(y >= 0, y <= n1v),
         )
 
-    def extend(t):
-        """Greedy match extension of all lanes simultaneously."""
+    # Greedy match extension via a precomputed per-diagonal run-length
+    # table: runlen[t, b, k] = length of the exact-match run starting at
+    # offset t on diagonal k.  Built with one reverse lax.scan over the db
+    # axis (pure vector compares, no gathers); each WFA step then extends
+    # every wavefront lane with a single O(B*K) lookup.  This replaces the
+    # reference's per-character while-loop (wfa.rs:127-139), which on TPU
+    # would serialize one gather per character.
+    T = seq2.shape[1]
+    pad_l = max(0, -k_lo)
+    seq1_pad = jnp.pad(
+        seq1, ((0, 0), (pad_l, max(0, K + T + k_lo - seq1.shape[1]))),
+        constant_values=-1,
+    )
 
-        def cond(state):
-            _, active = state
-            return jnp.any(active)
-
-        def body(state):
-            t, _ = state
-            y = t + kv
-            inb = jnp.logical_and(
-                jnp.logical_and(t >= 0, t < n2v), jnp.logical_and(y >= 0, y < n1v)
-            )
-            c2 = jnp.take_along_axis(seq2, jnp.clip(t, 0, seq2.shape[1] - 1), 1)
-            c1 = jnp.take_along_axis(seq1, jnp.clip(y, 0, seq1.shape[1] - 1), 1)
-            active = jnp.logical_and(inb, c1 == c2)
-            return t + active.astype(jnp.int32), active
-
-        t, _ = jax.lax.while_loop(
-            cond, body, (t, jnp.ones_like(t, dtype=bool))
+    def _run_body(run, t):
+        c2 = jax.lax.dynamic_slice_in_dim(seq2, t, 1, 1)          # (B, 1)
+        s1w = jax.lax.dynamic_slice_in_dim(
+            seq1_pad, t + pad_l + k_lo, K, 1
+        )                                                          # (B, K)
+        eq = jnp.logical_and(
+            s1w == c2,
+            jnp.logical_and(t < n2v, (t + kv) < n1v),
         )
-        return t
+        run = jnp.where(eq, run + 1, 0)
+        return run, run
+
+    _, _runs = jax.lax.scan(
+        _run_body,
+        jnp.zeros((B, K), jnp.int32),
+        jnp.arange(T - 1, -1, -1, dtype=jnp.int32),
+    )
+    runlen = _runs[::-1]  # (T, B, K); runlen[t] = match run starting at t
+
+    def extend(t):
+        idx = jnp.clip(t, 0, T - 1)[None]
+        run = jnp.take_along_axis(runlen, idx, axis=0)[0]
+        return t + jnp.where(jnp.logical_and(t >= 0, t < T), run, 0)
 
     def shift_left(a):  # lane k reads k+1
         return jnp.concatenate([a[:, 1:], jnp.full((B, 1), NEG, a.dtype)], 1)

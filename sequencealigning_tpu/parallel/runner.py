@@ -28,6 +28,12 @@ from sequencealigning_tpu.ops.nw_affine import (
     _gotoh_fill_lax,
     gotoh_fill_pallas,
 )
+from sequencealigning_tpu.ops.nw_affine_stream import (
+    gotoh_fill_stream_lax,
+    gotoh_fill_stream_pallas,
+    plan_stream,
+    stream_finals,
+)
 from sequencealigning_tpu.parallel.mesh import make_mesh
 
 
@@ -45,6 +51,9 @@ class DataParallelRunner:
         wildcard: bool = False,
         backend: str = "auto",
         gather: bool = True,
+        kernel: str = "stream",
+        np_slots: int = 8,
+        bt: int = 8,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scheme = scheme
@@ -54,6 +63,11 @@ class DataParallelRunner:
             backend = "pallas" if jax.default_backend() == "tpu" else "lax"
         self.backend = backend
         self.gather = gather
+        if kernel not in ("stream", "plain"):
+            raise ValueError(f"unknown kernel {kernel!r}")
+        self.kernel = kernel
+        self.np_slots = np_slots
+        self.bt = bt
         self._fn_cache = {}
 
     @property
@@ -101,11 +115,123 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
+    def _stream_fn(self, plan):
+        key = ("stream", plan)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
+        backend, bt, gather = self.backend, self.bt, self.gather
+        NP = plan.np_slots
+
+        def per_shard(q_r, d_r, dsy, n2y, dso, n2o):
+            # Build the per-row code streams on device from the compact
+            # (R_loc, NP, L) int8 batch: host->device traffic is the raw
+            # sequences (1 byte/char), not the 4-byte padded streams.
+            S, T = plan.s, plan.t_total
+
+            def mk_stream(a):
+                r, np_, l = a.shape
+                s_ = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, 0), (1, S - l - 1)))
+                s_ = s_.reshape(r, np_ * S)
+                return jnp.pad(s_, ((0, 0), (0, T - np_ * S)))
+
+            qstream = mk_stream(q_r)
+            dstream = mk_stream(d_r)
+            if backend == "pallas":
+                outs, _ = gotoh_fill_stream_pallas(
+                    qstream, dstream, dsy, n2y, dso, n2o,
+                    plan, scheme, compat, wildcard, with_dirs=False, bt=bt,
+                )
+                finals = stream_finals(outs, NP)
+            else:
+                (fm, fi, fd), _ = gotoh_fill_stream_lax(
+                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
+                    plan, scheme, compat, wildcard, with_dirs=False,
+                )
+                finals = jnp.stack(
+                    [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
+                    axis=1,
+                )
+            if gather:
+                finals = jax.lax.all_gather(finals, "data", axis=0, tiled=True)
+            return finals
+
+        row = P("data")
+        slot = P(None, "data")
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(row, row, slot, slot, slot, slot),
+                out_specs=P() if gather else P("data"),
+                check_vma=False,
+            )
+        )
+        self._fn_cache[key] = fn
+        return fn
+
+    @staticmethod
+    def _capture_params(qlen, dlen, plan):
+        """Per-slot capture params (dsum/n2 for younger + older views)."""
+        NP, R, G = plan.np_slots, plan.n_rows, plan.n_slots_g
+        dsum_k = (qlen + dlen).reshape(R, NP).T
+        n2_k = dlen.reshape(R, NP).T
+        dsy = np.full((G, R, 1), -1, np.int32)
+        n2y = np.full((G, R, 1), -1, np.int32)
+        dsy[:NP, :, 0] = dsum_k
+        n2y[:NP, :, 0] = n2_k
+        dso = np.full((G, R, 1), -1, np.int32)
+        n2o = np.full((G, R, 1), -1, np.int32)
+        hi = min(NP + 1, G)
+        dso[1:hi, :, 0] = dsum_k[: hi - 1]
+        n2o[1:hi, :, 0] = n2_k[: hi - 1]
+        return dsy, n2y, dso, n2o
+
+    def _scores_stream(self, batch: PairBatch):
+        nd = self.n_devices
+        B = batch.query.shape[0]
+        L1 = batch.query.shape[1]
+        L2 = batch.db.shape[1]
+        NP = max(1, min(self.np_slots, B // (8 * nd)))
+        Bp = round_up(max(B, NP * 8 * nd), NP * 8 * nd)
+        plan = plan_stream(Bp, L1, L2, np_slots=NP)
+        assert plan.n_rows % (8 * nd) == 0, (plan, nd)
+
+        def pad(a, fill):
+            out = np.full((Bp,) + a.shape[1:], fill, dtype=np.int32)
+            out[:B] = a
+            return out
+
+        R = plan.n_rows
+        q_all = pad(np.asarray(batch.query, np.int32), 0).astype(np.int8)
+        d_all = pad(np.asarray(batch.db, np.int32), 0).astype(np.int8)
+        qlen = pad(np.asarray(batch.query_len, np.int32), 1)
+        dlen = pad(np.asarray(batch.db_len, np.int32), 1)
+        q_r = q_all.reshape(R, NP, L1)
+        d_r = d_all.reshape(R, NP, L2)
+        dsy, n2y, dso, n2o = self._capture_params(qlen, dlen, plan)
+
+        fn = self._stream_fn(plan)
+        row = NamedSharding(self.mesh, P("data"))
+        slot = NamedSharding(self.mesh, P(None, "data"))
+        args = [
+            jax.device_put(a, s)
+            for a, s in zip(
+                (q_r, d_r, dsy, n2y, dso, n2o),
+                (row, row, slot, slot, slot, slot),
+            )
+        ]
+        finals = fn(*args)
+        return finals[:B]
+
     def scores(self, batch: PairBatch):
         """Returns (B, 3) int32 finals (M/I/D at each pair's corner).
 
-        The batch size is padded up to a multiple of 8 * n_devices.
+        The batch size is padded up to a multiple of 8 * n_devices
+        (kernel='stream' pads to np_slots * 8 * n_devices).
         """
+        if self.kernel == "stream":
+            return self._scores_stream(batch)
         nd = self.n_devices
         B = batch.query.shape[0]
         Bp = round_up(max(B, 8 * nd), 8 * nd)

@@ -84,3 +84,24 @@ def test_stream_align_with_checkpoint(tmp_path):
     flat = np.concatenate([seen[i] for i in sorted(seen)], axis=0)
     for b, (s1, s2) in enumerate(pairs):
         assert int(flat[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
+
+
+def test_runner_stream_np_slots_pallas_interpret():
+    """Streamed kernel under shard_map (pallas interpret), multi-slot."""
+    pairs = _pairs(73, 48)
+    batch = pack_batch(pairs, batch_size=48)
+    runner = DataParallelRunner(backend="pallas", np_slots=3)
+    finals = np.asarray(runner.scores(batch))
+    assert finals.shape == (48, 3)
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(finals[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
+
+
+def test_runner_plain_kernel_still_available():
+    pairs = _pairs(79, 16)
+    batch = pack_batch(pairs, batch_size=16)
+    r_plain = DataParallelRunner(backend="lax", kernel="plain")
+    r_stream = DataParallelRunner(backend="lax", kernel="stream")
+    np.testing.assert_array_equal(
+        np.asarray(r_plain.scores(batch)), np.asarray(r_stream.scores(batch))
+    )
