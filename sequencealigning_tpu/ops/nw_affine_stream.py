@@ -281,11 +281,11 @@ def _stream_kernel(
     k_even = k % 2 == 0
 
     p0 = cc * chunk
-    lane128 = jax.lax.broadcasted_iota(jnp.int32, (BT, 128), 1)
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (BT, chunk), 1)
 
     def gather(ref, i):
         return jnp.sum(
-            jnp.where(lane128 == i, ref[...], 0), axis=1, keepdims=True
+            jnp.where(lanec == i, ref[...], 0), axis=1, keepdims=True
         )
 
     def group_body(g, carry):
