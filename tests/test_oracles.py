@@ -403,3 +403,20 @@ def test_gotoh_compat_vs_textbook_interior():
         assert oracle_gotoh.gotoh_score(s, s) == oracle_gotoh.gotoh_score(
             s, s, compat=False
         )
+
+
+def test_astar_heuristic_bound():
+    """Port of the reference's test_heuristic (align.rs:311-321):
+    heuristic_d("AATG", "AATGAA", 0, 0) <= 2*gap_ext + 4*match.  Our
+    _get_h = (1 + eps*w) * heuristic_d is even smaller (d < 0, weight > 1),
+    so the same bound holds for the weighted value."""
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.oracle_astar import _get_h
+
+    scheme = ScoringScheme()
+    bound = 2 * scheme.gap_extend + 4 * scheme.match_
+    len1, len2 = 4, 6  # AATG vs AATGAA
+    d = -((len1 - 0) + (len2 - 0))
+    assert d <= bound
+    h = _get_h(len1, len2, 0, 0, max(len1, len2), scheme.epsilon)
+    assert h <= bound
