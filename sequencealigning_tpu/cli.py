@@ -62,6 +62,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="Textbook semantics instead of reference-quirk compat",
     )
     p.add_argument("--no-out", action="store_true", help="Skip JSONL output")
+    p.add_argument(
+        "--debug", action="store_true",
+        help="Validate kernel results against closed-form score bounds",
+    )
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="Write a jax.profiler device trace to DIR",
+    )
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--band", type=int, default=128, help="Band half-width")
     p.add_argument("--match", type=int, default=5)
@@ -159,6 +167,8 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         band=args.band,
         batch_size=args.batch_size,
+        debug=args.debug,
+        profile_dir=args.profile,
     )
     aligner = get_aligner(config)
 
@@ -169,15 +179,18 @@ def main(argv=None) -> int:
             out_path.parent.mkdir(parents=True, exist_ok=True)
         out_file = open(out_path, "w")
 
+    from sequencealigning_tpu.utils.profiling import trace
+
     t0 = time.perf_counter()
     n = n_err = 0
     try:
-        for res in aligner.align_all_pairs(query, db, args.batch_size):
-            _print_result(res, config.algo, args.verbose)
-            if out_file is not None:
-                out_file.write(json.dumps(res.to_json()) + "\n")
-            n += 1
-            n_err += 0 if res.ok else 1
+        with trace(args.profile):
+            for res in aligner.align_all_pairs(query, db, args.batch_size):
+                _print_result(res, config.algo, args.verbose)
+                if out_file is not None:
+                    out_file.write(json.dumps(res.to_json()) + "\n")
+                n += 1
+                n_err += 0 if res.ok else 1
     finally:
         if out_file is not None:
             out_file.close()

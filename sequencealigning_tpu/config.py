@@ -109,6 +109,12 @@ class AlignConfig:
     batch_size: int = 64
     # Device mesh: (data,) axis sizes; None = all local devices on one axis.
     mesh_shape: tuple = ()
+    # Debug guards: validate kernel results against closed-form score
+    # bounds + sentinel-underflow checks (utils.guards); the SPMD analog of
+    # the reference's Rust type-system safety net (SURVEY.md §5).
+    debug: bool = False
+    # jax.profiler trace directory (utils.profiling.trace); None = off.
+    profile_dir: "str | None" = None
 
 
 # Nucleotide encoding used across the framework: one-hot-in-4-bits so that

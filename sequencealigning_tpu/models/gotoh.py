@@ -43,6 +43,15 @@ class GotohAligner(Aligner):
             compat=self.config.compat,
             with_dirs=True,
         )
+        if self.config.debug:
+            from sequencealigning_tpu.utils.guards import check_finals
+
+            check_finals(
+                np.asarray(res.finals)[: len(pairs)],
+                batch.query_len[: len(pairs)], batch.db_len[: len(pairs)],
+                scheme=self.config.scoring, compat=self.config.compat,
+                label="gotoh finals",
+            )
         tb = traceback_batch(
             res.dirs, res.finals,
             [p[0] for p in pairs], [p[1] for p in pairs],
