@@ -17,15 +17,15 @@ from sequencealigning_tpu.config import Mode
 from sequencealigning_tpu.errors import AlignerError, AlignmentError
 from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.models.base import Aligner
-from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
 from sequencealigning_tpu.ops.nw_affine_modes import (
     modes_end_cell,
     nw_affine_modes_batch,
 )
+from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
 from sequencealigning_tpu.ops.traceback import (
     local_affine_traceback_pair,
     semi_global_traceback_pair,
-    traceback_batch,
+    traceback_stream_batch,
 )
 
 
@@ -37,11 +37,16 @@ class GotohAligner(Aligner):
                 return [AlignmentError("not implemented") for _ in pairs]
             return self._modes_batch(pairs)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
-        res = nw_affine_batch(
+        # The streamed-pair kernel (~1.6x the plain sweep) produces
+        # identical finals/dirs semantics; pipeline depth bounded by the
+        # batch so tiny batches degenerate gracefully to depth 1.
+        np_slots = max(1, min(8, len(batch.query) // 8))
+        res = nw_affine_stream_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             scheme=self.config.scoring,
             compat=self.config.compat,
             with_dirs=True,
+            np_slots=np_slots,
         )
         if self.config.debug:
             from sequencealigning_tpu.utils.guards import check_finals
@@ -52,9 +57,9 @@ class GotohAligner(Aligner):
                 scheme=self.config.scoring, compat=self.config.compat,
                 label="gotoh finals",
             )
-        tb = traceback_batch(
-            res.dirs, res.finals,
-            [p[0] for p in pairs], [p[1] for p in pairs],
+        tb = traceback_stream_batch(
+            np.asarray(res.dirs), res.finals,
+            [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
             compat=self.config.compat,
         )
         out = []
