@@ -420,3 +420,36 @@ def test_astar_heuristic_bound():
     assert d <= bound
     h = _get_h(len1, len2, 0, 0, max(len1, len2), scheme.epsilon)
     assert h <= bound
+
+
+def test_gotoh_textbook_symmetry():
+    """Global textbook Gotoh is symmetric in its arguments (swap = transpose
+    of the DP matrix; boundary chains are symmetric without the compat
+    plane-swap quirk)."""
+    rng = random.Random(9)
+    for _ in range(8):
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 12)))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 12)))
+        assert oracle_gotoh.gotoh_score(
+            s1, s2, compat=False
+        ) == oracle_gotoh.gotoh_score(s2, s1, compat=False)
+
+
+def test_wfa_penalty_equals_negated_affine_score():
+    """Cross-algorithm identity: the WFA penalty equals -(affine NW score)
+    under the equivalent maximizing scheme (match=0, mismatch=-x,
+    open=-o, extend=-e) -- the correctness anchor BENCH config 3 uses."""
+    from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
+
+    pen = WfaPenalties()
+    eq = ScoringScheme(
+        match_=0, mismatch=-pen.mismatch,
+        gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+    )
+    rng = random.Random(13)
+    for _ in range(8):
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 14)))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 14)))
+        p = oracle_wfa.wfa_textbook_score(s1, s2, pen)
+        g = oracle_gotoh.gotoh_score(s1, s2, scheme=eq, compat=False)
+        assert p == -g, (s1, s2, p, g)
