@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-out", action="store_true", help="Skip JSONL output")
     p.add_argument(
+        "--bucket", action="store_true",
+        help="Length-bucket pairs within a window to reduce padding",
+    )
+    p.add_argument(
         "--debug", action="store_true",
         help="Validate kernel results against closed-form score bounds",
     )
@@ -167,6 +171,7 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         band=args.band,
         batch_size=args.batch_size,
+        bucket=args.bucket,
         debug=args.debug,
         profile_dir=args.profile,
     )

@@ -107,6 +107,9 @@ class AlignConfig:
     wfa_max_steps: int = 20_000
     # Batch runner knobs.
     batch_size: int = 64
+    # Length-bucket pairs within a 4-batch window before batching (reduces
+    # padding on heterogeneous workloads; output order is preserved).
+    bucket: bool = False
     # Device mesh: (data,) axis sizes; None = all local devices on one axis.
     mesh_shape: tuple = ()
     # Debug guards: validate kernel results against closed-form score

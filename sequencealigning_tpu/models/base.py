@@ -95,17 +95,40 @@ class Aligner:
         self, query: Records, db: Records, batch_size: Optional[int] = None
     ) -> Iterator[PairResult]:
         """The reference's nested driver loop (for d in db { for q in query })
-        (src/main.rs:61-78), batched."""
+        (src/main.rs:61-78), batched.
+
+        With config.bucket, pairs are length-bucketed within a sliding
+        window (4 batches) before batching, so a batch's padded shape is set
+        by similar-length pairs instead of the global maximum; results are
+        re-emitted in the original db x query order, so output is
+        unchanged."""
         bs = batch_size or self.config.batch_size
+        window = bs * (4 if getattr(self.config, "bucket", False) else 1)
         pending: List[Tuple[Record, Record]] = []
+
+        def flush(pend):
+            if len(pend) <= bs or window == bs:
+                yield from self.align_batch(pend)
+                return
+            order = sorted(
+                range(len(pend)),
+                key=lambda i: max(len(pend[i][0].seq), len(pend[i][1].seq)),
+            )
+            results: List[Optional[PairResult]] = [None] * len(pend)
+            for lo in range(0, len(order), bs):
+                idxs = order[lo : lo + bs]
+                for i, r in zip(idxs, self.align_batch([pend[i] for i in idxs])):
+                    results[i] = r
+            yield from results
+
         for d in db:
             for q in query:
                 pending.append((q, d))
-                if len(pending) >= bs:
-                    yield from self.align_batch(pending)
+                if len(pending) >= window:
+                    yield from flush(pending)
                     pending = []
         if pending:
-            yield from self.align_batch(pending)
+            yield from flush(pending)
 
 
 def get_aligner(config: AlignConfig) -> Aligner:

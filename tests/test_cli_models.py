@@ -109,3 +109,34 @@ def test_empty_seq_isolation():
     )
     assert not res[0].ok and "empty" in res[0].error
     assert res[1].ok and res[1].score == 20
+
+
+def test_bucketed_all_pairs_same_results():
+    """Length bucketing must not change results or their order."""
+    import random
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record, Records
+    from sequencealigning_tpu.models import get_aligner
+
+    rng = random.Random(31)
+    recs = Records(
+        [
+            Record(
+                seq=bytes(rng.choice(b"ACGT") for _ in range(rng.randint(3, 40))),
+                name=f">r{i}".encode(),
+            )
+            for i in range(7)
+        ]
+    )
+    base_cfg = AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, batch_size=4)
+    plain = [
+        (r.query_name, r.db_name, r.score, r.error)
+        for r in get_aligner(base_cfg).align_all_pairs(recs, recs)
+    ]
+    bcfg = AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, batch_size=4, bucket=True)
+    bucketed = [
+        (r.query_name, r.db_name, r.score, r.error)
+        for r in get_aligner(bcfg).align_all_pairs(recs, recs)
+    ]
+    assert plain == bucketed
