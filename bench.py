@@ -33,13 +33,17 @@ def _make_pairs(rng, n, length):
 
 
 def _time_device(fn, args, n_iter):
-    """Median-free simple timing with a forced device->host read (the axon
-    tunnel does not guarantee completion on block_until_ready alone)."""
+    """Best-of-n timing with a forced device->host read (the axon tunnel
+    does not guarantee completion on block_until_ready alone, and shares
+    the chip -- interference noise is one-sided, so min is the estimator
+    of the kernel's true cost)."""
     np.asarray(fn(*args))  # compile + warmup
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(n_iter):
+        t0 = time.perf_counter()
         np.asarray(fn(*args))
-    return (time.perf_counter() - t0) / n_iter
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def _stream_args(batch, plan):
@@ -82,14 +86,17 @@ def main() -> int:
 
     on_tpu = jax.default_backend() == "tpu"
     # 512 pairs amortizes the axon tunnel's ~26 ms per-call round trip
-    # (the tunnel does not overlap dispatches); length 2047 keeps the
-    # launch period S at 2048 (one chunk-multiple, ~94% lane occupancy).
-    n_pairs, length = (512, 2047) if on_tpu else (16, 126)
+    # (the tunnel does not overlap dispatches); length 2046 + trimmed
+    # padding keeps the lane width P at exactly 2048 (16 vregs -- the
+    # 17th vreg for two boundary lanes costs ~20%) and S at 2048.
+    n_pairs, length = (512, 2046) if on_tpu else (16, 126)
     n_iter = 5 if on_tpu else 1
 
     rng = np.random.default_rng(42)
     pairs = _make_pairs(rng, n_pairs, length)
-    batch = pack_batch(pairs, batch_size=n_pairs)
+    from sequencealigning_tpu.io.encode import trim_for_stream
+
+    batch = trim_for_stream(pack_batch(pairs, batch_size=n_pairs))
     cells = float(
         (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
     )

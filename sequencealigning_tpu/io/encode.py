@@ -91,3 +91,25 @@ def pack_batch(
         valid[i] = True
 
     return PairBatch(query=query, db=db, query_len=qlen, db_len=dlen, valid=valid)
+
+
+def trim_for_stream(batch: PairBatch) -> PairBatch:
+    """Trim padded sequence columns so the streamed kernel's lane width
+    P = round_up(Ld + 2, 128) doesn't spill a whole extra 128-lane block
+    (one vreg per vector op, ~15-20% of step cost) just to hold the two
+    boundary lanes.  Target padded length = 128*k - 2 >= true max length;
+    query is trimmed the same way (launch period S = round_up(Lq+1, 128))."""
+    def target(lens, pad_to_minus):
+        need = int(np.max(lens)) if len(lens) else 1
+        return max(round_up(need + pad_to_minus, 128) - pad_to_minus, 2)
+
+    ld = target(batch.db_len, 2)
+    lq = target(batch.query_len, 1)
+    db = batch.db[:, :ld] if ld < batch.db.shape[1] else batch.db
+    query = batch.query[:, :lq] if lq < batch.query.shape[1] else batch.query
+    if db is batch.db and query is batch.query:
+        return batch
+    return PairBatch(
+        query=query, db=db, query_len=batch.query_len,
+        db_len=batch.db_len, valid=batch.valid,
+    )

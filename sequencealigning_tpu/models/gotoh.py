@@ -15,7 +15,7 @@ import numpy as np
 
 from sequencealigning_tpu.config import Mode
 from sequencealigning_tpu.errors import AlignerError, AlignmentError
-from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.io.encode import pack_batch, trim_for_stream
 from sequencealigning_tpu.models.base import Aligner
 from sequencealigning_tpu.ops.nw_affine_modes import (
     modes_end_cell,
@@ -36,7 +36,9 @@ class GotohAligner(Aligner):
                 # Reference parity (needleman_wunsch_affine.rs:433-434).
                 return [AlignmentError("not implemented") for _ in pairs]
             return self._modes_batch(pairs)
-        batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
+        batch = trim_for_stream(
+            pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
+        )
         # The streamed-pair kernel (~1.6x the plain sweep) produces
         # identical finals/dirs semantics; pipeline depth bounded by the
         # batch so tiny batches degenerate gracefully to depth 1.

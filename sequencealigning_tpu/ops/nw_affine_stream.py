@@ -111,17 +111,17 @@ class StreamResult(NamedTuple):
 
 def _stream_step(
     H2, H1, M1, I1, D1, s1d, s2v,
-    qc, dc, col_iota, p,
+    qc, dc, col_iota, lane_0, p,
     scheme: ScoringScheme, compat: bool, wildcard: bool,
     roll, with_dirs: bool,
 ):
     """One anti-diagonal step.  qc/dc: (B, 1) younger query/db codes for
-    this step.  p: scalar, younger pair's local anti-diagonal.  Returns
+    this step.  lane_0: hoisted loop-invariant (col_iota == 0) mask.
+    p: scalar, younger pair's local anti-diagonal.  Returns
     (M, I, D, H, s1d_new, s2v_new, byte)."""
     o = jnp.int32(scheme.gap_open)
     e = jnp.int32(scheme.gap_extend)
 
-    lane_0 = col_iota == 0
     lane_p = col_iota == p
 
     s1d_n = jnp.where(lane_0, qc, roll(s1d))
@@ -145,6 +145,9 @@ def _stream_step(
     I = jnp.where(lane_p, col0[1], I)
     D = jnp.where(lane_p, col0[2], D)
     M = jnp.where(lane_0, row0[0], M)
+    # The I override at lane 0 cannot be dropped even in compat mode (where
+    # row0's I is -inf): the origin's M = 0 seeds the *textbook* I chain
+    # (o + p*e) through the recurrence at every slot restart.
     I = jnp.where(lane_0, row0[1], I)
     D = jnp.where(lane_0, row0[2], D)
 
@@ -186,6 +189,7 @@ def gotoh_fill_stream_lax(
     P = plan.p
     neg = jnp.full((R, P), NEG_INF, jnp.int32)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
+    lane_0 = col_iota == 0
     roll = lambda a: jnp.roll(a, 1, axis=1)
     s = jnp.int32(plan.s)
 
@@ -195,7 +199,7 @@ def gotoh_fill_stream_lax(
         qc = jax.lax.dynamic_slice_in_dim(qstream, t, 1, axis=1)
         dc = jax.lax.dynamic_slice_in_dim(dstream, t, 1, axis=1)
         M, I, D, H, s1d, s2v, byte = _stream_step(
-            H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, p,
+            H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, lane_0, p,
             scheme, compat, wildcard, roll, with_dirs,
         )
         for k in range(plan.np_slots):
@@ -245,6 +249,7 @@ def _stream_kernel(
     BT, P = s2v.shape
     chunk = plan.chunk
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, P), 1)
+    lane_0 = col_iota == 0
     roll = lambda a: pltpu.roll(a, 1, axis=1)
 
     @pl.when(jnp.logical_and(k == 0, cc == 0))
@@ -298,7 +303,7 @@ def _stream_kernel(
             dc = gather(d2_ref, i)
             M, I, D, H, vs1d, vs2v, byte = _stream_step(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
-                qc, dc, col_iota, p,
+                qc, dc, col_iota, lane_0, p,
                 scheme, compat, wildcard, roll, with_dirs,
             )
             vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D

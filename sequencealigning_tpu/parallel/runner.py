@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from sequencealigning_tpu.config import ScoringScheme
-from sequencealigning_tpu.io.encode import PairBatch, round_up
+from sequencealigning_tpu.io.encode import PairBatch, round_up, trim_for_stream
 from sequencealigning_tpu.ops.nw_affine import (
     _gotoh_fill_lax,
     gotoh_fill_pallas,
@@ -189,6 +189,7 @@ class DataParallelRunner:
 
     def _scores_stream(self, batch: PairBatch):
         nd = self.n_devices
+        batch = trim_for_stream(batch)
         B = batch.query.shape[0]
         L1 = batch.query.shape[1]
         L2 = batch.db.shape[1]
