@@ -82,16 +82,16 @@ def config1_linear(on_tpu):
 
 def config2_gotoh(on_tpu):
     """Affine-gap NW (Gotoh), 64 pairs ~2 kb: exact score + CIGAR."""
-    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.io.encode import pack_batch, trim_for_stream
     from sequencealigning_tpu.ops import oracle_gotoh
     from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
     from sequencealigning_tpu.ops.traceback import traceback_stream_batch
     from sequencealigning_tpu.utils.cigar import cigar_from_pair
 
-    n, length = (64, 2047) if on_tpu else (16, 96)
+    n, length = (64, 2046) if on_tpu else (16, 96)
     rng = np.random.default_rng(2)
     pairs = _mkpairs(rng, n, length)
-    batch = pack_batch(pairs, batch_size=n)
+    batch = trim_for_stream(pack_batch(pairs, batch_size=n))
 
     kw = dict(with_dirs=True, np_slots=8 if on_tpu else 2)
     nw_affine_stream_batch(

@@ -92,6 +92,15 @@ def plan_stream(
     t_need = (np_slots - 1) * s + d_total
     n_slots_g = -(-t_need // s)
     p = _round_up(l2 + 2, 128)
+    # 7 state buffers x (8, P) i32 + dirs chunk must fit VMEM (~16 MB);
+    # beyond ~50 kb pairs this kernel needs lane-axis sharding (out of
+    # scope, docs/architecture.md) -- fail with a useful pointer instead
+    # of an opaque Mosaic allocation error.
+    if p > 49_152:
+        raise ValueError(
+            f"pair length {l2} exceeds the single-kernel VMEM budget "
+            "(~48k lanes); use the banded or WFA engines for long pairs"
+        )
     return StreamPlan(
         n_pairs=n_pairs, np_slots=np_slots, n_rows=n_rows, s=s, chunk=chunk,
         n_slots_g=n_slots_g, t_total=n_slots_g * s, l1=l1, l2=l2, p=p,
