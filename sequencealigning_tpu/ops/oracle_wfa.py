@@ -377,13 +377,27 @@ def wfa_align(
         raise AlignmentError(
             "empty sequence: the reference never converges (usize wrap)"
         )
+    # Provable non-convergence bound: any complete alignment has at most
+    # n1+n2 columns, each costing at most max(x, o+e), so every reachable
+    # corner landing happens at penalty <= (n1+n2)*(x+o+e).  Past that,
+    # the reference's loop (which would run forever -- the greedy-extension
+    # overshoot, wfa.rs:127-139 vs :189) can be declared divergent exactly.
+    p = penalties
+    provable = (len(seq1) + len(seq2)) * (p.mismatch + p.gap_open + p.gap_extend) + 4
+    cap = min(max_steps, provable)
     ocean = Ocean.global_(penalties, pruning)
     steps = 0
     while ocean.converged_element(seq1, seq2) is None:
         ocean.expand(seq1, seq2)
         steps += 1
-        if steps > max_steps:
-            raise AlignmentError("WFA did not converge within max_steps")
+        if steps > cap:
+            raise AlignmentError(
+                "WFA did not converge within max_steps"
+                if cap == max_steps
+                else "WFA provably never converges on this pair (the "
+                "reference binary would hang: greedy extension overshoots "
+                "the len-1 convergence cell, wfa.rs:127-139 vs :189)"
+            )
     return len(ocean.wfs), ocean
 
 
