@@ -17,7 +17,6 @@ reference-quirk compat), scoring overrides, --band, --batch-size.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 import sys
 import time

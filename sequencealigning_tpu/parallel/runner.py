@@ -13,7 +13,6 @@ reference driver's per-pair error handling, src/main.rs:68-76).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
