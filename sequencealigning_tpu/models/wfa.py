@@ -31,9 +31,33 @@ class WfaAligner(Aligner):
         return self._textbook_batch(pairs)
 
     def _compat_batch(self, pairs):
+        import os
+
+        use_native = not os.environ.get("SEQALIGN_NO_NATIVE")
+        if use_native:
+            try:
+                from sequencealigning_tpu import native
+
+                use_native = native.available()
+            except Exception:
+                use_native = False
+
         out = []
         for s1, s2 in pairs:
             try:
+                if use_native:
+                    from sequencealigning_tpu import native
+
+                    r = native.wfa_compat_align_native(
+                        s1, s2, self.config.wfa_penalties,
+                        self.config.wfa_pruning, self.config.wfa_max_steps,
+                    )
+                    if r is not None:
+                        score, a1, a2 = r
+                        out.append(
+                            dict(score=score, aligned_query=a1, aligned_db=a2)
+                        )
+                        continue
                 score, ocean = oracle_wfa.wfa_align(
                     s1, s2,
                     penalties=self.config.wfa_penalties,

@@ -63,6 +63,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
         ctypes.c_long,
     ]
+    lib.wfa_compat_align.restype = ctypes.c_long
+    lib.wfa_compat_align.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_long),
+    ]
     lib.gotoh_first_path.restype = ctypes.c_long
     lib.gotoh_first_path.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
@@ -152,3 +161,55 @@ def gotoh_first_path_native(
     if r < 0:
         return None
     return out.raw[:r].decode("ascii")
+
+
+_WFA_ERRORS = {
+    -1: "WFA did not converge within max_steps",
+    -2: "WFA provably never converges on this pair (the reference binary "
+        "would hang: greedy extension overshoots the len-1 convergence "
+        "cell, wfa.rs:127-139 vs :189)",
+    -3: "empty sequence: the reference never converges (usize wrap)",
+    -5: "reference would panic: slice start > end",
+    -6: "reference would panic: slice out of range",
+    -7: "WFA traceback did not terminate",
+}
+
+
+def wfa_compat_align_native(
+    seq1: bytes,
+    seq2: bytes,
+    penalties,
+    pruning,
+    max_steps: int,
+):
+    """Native compat-WFA (fill + rec_tr traceback).  Returns
+    (score, aligned_seq1, aligned_seq2), None if the library is
+    unavailable, or raises AlignmentError exactly like the Python oracle."""
+    from sequencealigning_tpu.errors import AlignmentError
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    n1, n2 = len(seq1), len(seq2)
+    cap = n1 + n2 + 16
+    a1 = ctypes.create_string_buffer(cap)
+    a2 = ctypes.create_string_buffer(cap)
+    lens = (ctypes.c_long * 2)()
+    s1 = np.frombuffer(seq1, np.uint8)
+    s2 = np.frombuffer(seq2, np.uint8)
+    r = lib.wfa_compat_align(
+        s1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n1,
+        s2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n2,
+        penalties.mismatch, penalties.gap_open, penalties.gap_extend,
+        pruning.min_length, pruning.max_diff, max_steps,
+        a1, a2, lens,
+    )
+    if r < 0:
+        if r == -4:
+            return None  # allocation/capacity problem: use the Python path
+        raise AlignmentError(_WFA_ERRORS.get(int(r), f"native error {r}"))
+    return (
+        int(r),
+        a1.raw[: lens[0]].decode("latin-1"),
+        a2.raw[: lens[1]].decode("latin-1"),
+    )

@@ -13,6 +13,7 @@
  */
 
 #include <stdint.h>
+#include <limits.h>
 #include <stdlib.h>
 #include <string.h>
 
@@ -214,4 +215,467 @@ void gotoh_first_path_batch(const uint32_t *dirs, long d4, long b_total,
             outs + b * out_cap, out_cap);
         free(slice);
     }
+}
+
+/* ------------------------------------------------------- compat WFA ----
+ * Native port of ops/oracle_wfa.py (itself a bit-faithful emulation of the
+ * reference's src/wfa.rs, quirks included).  Semantics must match the
+ * Python oracle EXACTLY -- tests fuzz the two against each other.
+ *
+ * States: 0 = M, 1 = I, 2 = D (parents stored as a bitmask; only
+ * membership is ever tested).  Error codes (mapped to the Python oracle's
+ * AlignmentError messages by the ctypes glue):
+ *   -1 not converged within max_steps
+ *   -2 provably never converges
+ *   -3 empty sequence
+ *   -4 allocation / capacity failure
+ *   -5 traceback: slice start > end  ("reference would panic")
+ *   -6 traceback: slice out of range
+ *   -7 traceback did not terminate
+ */
+
+#define WM 0
+#define WI 1
+#define WD 2
+
+typedef struct {
+    int32_t offset;
+    uint8_t present;
+    uint8_t state;
+    uint8_t parents; /* bitmask 1<<state */
+} WElem;
+
+typedef struct {
+    int32_t lo, hi;
+    int32_t n;       /* element count (may disagree with hi-lo+1, faithful) */
+    WElem *el;
+    uint8_t present;
+} WWf;
+
+typedef struct {
+    WWf i, d, m;
+    uint8_t present;
+} WTensor;
+
+static WElem *wf_get(WWf *w, long idx) {
+    if (!w->present) return NULL;
+    long pos = idx - w->lo;
+    if (pos < 0 || pos >= w->n) return NULL;
+    WElem *e = &w->el[pos];
+    return e->present ? e : NULL;
+}
+
+static long welem_x(const WElem *e, long diag) {
+    return e->offset - (diag < 0 ? diag : 0);
+}
+static long welem_y(const WElem *e, long diag) {
+    return e->offset + (diag > 0 ? diag : 0);
+}
+static long welem_dist(const WElem *e, long len1, long len2, long diag) {
+    long a = len1 - e->offset - diag;
+    long b = len2 - e->offset;
+    return a > b ? a : b;
+}
+
+static void wf_free(WWf *w) { free(w->el); w->el = NULL; }
+
+/* tensor_new (wfa.rs:225-420 / oracle_wfa.tensor_new), verbatim. */
+static int wfa_tensor_new(WTensor *open_t, WTensor *ext_t, WTensor *mis_t,
+                          WTensor *out) {
+    memset(out, 0, sizeof(*out));
+    WWf *open_m = (open_t && open_t->present && open_t->m.present) ? &open_t->m : NULL;
+    WWf *ext_i = (ext_t && ext_t->present && ext_t->i.present) ? &ext_t->i : NULL;
+    WWf *ext_d = (ext_t && ext_t->present && ext_t->d.present) ? &ext_t->d : NULL;
+    WWf *mis_m = (mis_t && mis_t->present && mis_t->m.present) ? &mis_t->m : NULL;
+
+    long hi = 0, lo = 0;
+    int has_hi = 0, has_lo = 0;
+    WWf *srcs_hi[4] = {open_m, mis_m, ext_i, ext_d};
+    for (int k = 0; k < 4; k++) {
+        if (srcs_hi[k]) {
+            if (!has_hi || srcs_hi[k]->hi > hi) hi = srcs_hi[k]->hi;
+            has_hi = 1;
+            if (!has_lo || srcs_hi[k]->lo < lo) lo = srcs_hi[k]->lo;
+            has_lo = 1;
+        }
+    }
+    if (!has_hi || !has_lo) return 0; /* tensor absent */
+    hi += 1;
+    lo -= 1;
+
+    long width = hi - lo + 1;
+    WElem *ti = calloc(width, sizeof(WElem));
+    WElem *td = calloc(width, sizeof(WElem));
+    WElem *tm = calloc(width, sizeof(WElem));
+    if (!ti || !td || !tm) { free(ti); free(td); free(tm); return -4; }
+
+    long lo_i = 0, hi_i = 0, lo_d = 0, hi_d = 0, lo_m = 0, hi_m = 0;
+    int set_i = 0, set_d = 0, set_m = 0;
+
+    for (long idx = lo; idx <= hi; idx++) {
+        long j = idx - lo;
+        /* D: same offset from open.m[idx+1] / ext.d[idx+1]. */
+        WElem *c1 = open_m ? wf_get(open_m, idx + 1) : NULL;
+        WElem *c2 = ext_d ? wf_get(ext_d, idx + 1) : NULL;
+        if (c1 || c2) {
+            int32_t off = c1 ? c1->offset : c2->offset;
+            if (c2 && c2->offset > off) off = c2->offset;
+            uint8_t par = 0;
+            if (c1 && c1->offset == off) par |= 1 << c1->state;
+            if (c2 && c2->offset == off) par |= 1 << c2->state;
+            td[j] = (WElem){off, 1, WD, par};
+            hi_d = idx;
+            if (!set_d) { lo_d = idx; set_d = 1; }
+        }
+        /* I: offset+1 from open.m[idx-1] / ext.i[idx-1]; parents tested
+         * against the PRE-increment offset. */
+        c1 = open_m ? wf_get(open_m, idx - 1) : NULL;
+        c2 = ext_i ? wf_get(ext_i, idx - 1) : NULL;
+        if (c1 || c2) {
+            int32_t off = c1 ? c1->offset : c2->offset;
+            if (c2 && c2->offset > off) off = c2->offset;
+            uint8_t par = 0;
+            if (c1 && c1->offset == off) par |= 1 << c1->state;
+            if (c2 && c2->offset == off) par |= 1 << c2->state;
+            ti[j] = (WElem){(int32_t)(off + 1), 1, WI, par};
+            hi_i = idx;
+            if (!set_i) { lo_i = idx; set_i = 1; }
+        }
+        /* M: max of mis.m[idx]+1 and the new i/d at idx. */
+        WElem *mm = mis_m ? wf_get(mis_m, idx) : NULL;
+        WElem *ni = ti[j].present ? &ti[j] : NULL;
+        WElem *nd = td[j].present ? &td[j] : NULL;
+        if (mm || ni || nd) {
+            long off = LONG_MIN;
+            if (mm && mm->offset + 1 > off) off = mm->offset + 1;
+            if (ni && ni->offset > off) off = ni->offset;
+            if (nd && nd->offset > off) off = nd->offset;
+            uint8_t par = 0;
+            if (mm && mm->offset + 1 == off) par |= 1 << WM;
+            if (ni && ni->offset == off) par |= 1 << WI;
+            if (nd && nd->offset == off) par |= 1 << WD;
+            tm[j] = (WElem){(int32_t)off, 1, WM, par};
+            hi_m = idx;
+            if (!set_m) { lo_m = idx; set_m = 1; }
+        }
+    }
+
+    /* Slice each plane to its tracked span (equivalent to the Rust
+     * rotate_left + truncate, see oracle_wfa.tensor_new). */
+    out->present = 1;
+    struct { WWf *w; WElem *tmp; long l, h; int set; } planes[3] = {
+        {&out->i, ti, lo_i, hi_i, set_i},
+        {&out->d, td, lo_d, hi_d, set_d},
+        {&out->m, tm, lo_m, hi_m, set_m},
+    };
+    for (int k = 0; k < 3; k++) {
+        WWf *w = planes[k].w;
+        if (!planes[k].set) {
+            w->present = 0;
+            /* faithful: python sets lo/hi to the untracked init (hi, lo of
+             * the full range) but the wavefront is None -- never read. */
+            continue;
+        }
+        long span = planes[k].h - planes[k].l + 1;
+        w->el = malloc(span * sizeof(WElem));
+        if (!w->el) { free(ti); free(td); free(tm); return -4; }
+        memcpy(w->el, planes[k].tmp + (planes[k].l - lo), span * sizeof(WElem));
+        w->lo = planes[k].l;
+        w->hi = planes[k].h;
+        w->n = span;
+        w->present = 1;
+    }
+    free(ti); free(td); free(tm);
+    return 0;
+}
+
+/* Greedy match extension of the M wavefront (wfa.rs:127-139). */
+static void wfa_expand_m(WWf *m, const uint8_t *s1, long n1,
+                         const uint8_t *s2, long n2) {
+    if (!m->present) return;
+    for (long i = 0; i < m->n; i++) {
+        WElem *e = &m->el[i];
+        if (!e->present) continue;
+        long diag = m->lo + i;
+        while (welem_y(e, diag) < n1 && welem_x(e, diag) < n2 &&
+               s1[welem_y(e, diag)] == s2[welem_x(e, diag)])
+            e->offset += 1;
+    }
+}
+
+/* Adaptive trim (wfa.rs:490-623 / oracle_wfa.Ocean.trim), verbatim incl.
+ * the min_d=0 quirk and the wrapping-truncate I/D clamp. */
+static void wfa_trim(WTensor *t, long n1, long n2, int minlen, int maxdiff) {
+    if (!t->present || !t->m.present) return;
+    WWf *m = &t->m;
+    long span = m->lo - m->hi; if (span < 0) span = -span;
+    if (span <= minlen) return;
+
+    long min_d = 0;
+    for (long diag = m->lo; diag <= m->hi; diag++) {
+        WElem *e = wf_get(m, diag);
+        if (e) {
+            long d = welem_dist(e, n1, n2, diag);
+            if (d < min_d) min_d = d;
+        }
+    }
+    /* drop leading diagonals */
+    long next_d = welem_dist(&m->el[0], n1, n2, m->lo);
+    while (m->lo < m->hi && labs(next_d - min_d) > maxdiff) {
+        m->lo += 1;
+        memmove(m->el, m->el + 1, (m->n - 1) * sizeof(WElem));
+        m->n -= 1;
+        while (wf_get(m, m->lo) == NULL) {
+            if (m->lo == m->hi) break;
+            m->lo += 1;
+            memmove(m->el, m->el + 1, (m->n - 1) * sizeof(WElem));
+            m->n -= 1;
+        }
+        next_d = welem_dist(&m->el[0], n1, n2, m->lo);
+    }
+    /* drop trailing diagonals */
+    next_d = welem_dist(&m->el[m->n - 1], n1, n2, m->hi);
+    while (m->hi > m->lo && labs(next_d - min_d) > maxdiff) {
+        m->hi -= 1; m->n -= 1;
+        while (wf_get(m, m->hi) == NULL) {
+            if (m->lo == m->hi) break;
+            m->hi -= 1; m->n -= 1;
+        }
+        next_d = welem_dist(&m->el[m->n - 1], n1, n2, m->hi);
+    }
+
+    /* Clamp I/D to M's span. */
+    WWf *planes[2] = {&t->i, &t->d};
+    for (int k = 0; k < 2; k++) {
+        WWf *w = planes[k];
+        if (!w->present) continue;
+        long tr;
+        if (w->lo < m->lo) {
+            long rot = m->lo - w->lo;
+            if (rot > w->n) rot = w->n; /* rotate by more is identity mod n;
+                faithful enough: python rotates by k%len implicitly via
+                slicing -- python k can exceed len: elements[k:]+[:k] with
+                k > len gives [] + all = unchanged?  No: python slicing
+                clamps, giving elements unchanged; replicate by clamping. */
+            if (rot > 0 && rot < w->n) {
+                WElem *tmp = malloc(w->n * sizeof(WElem));
+                if (tmp) {
+                    memcpy(tmp, w->el + rot, (w->n - rot) * sizeof(WElem));
+                    memcpy(tmp + (w->n - rot), w->el, rot * sizeof(WElem));
+                    memcpy(w->el, tmp, w->n * sizeof(WElem));
+                    free(tmp);
+                }
+            }
+            long extra = (w->hi > m->hi) ? (w->hi - m->hi) : 0;
+            tr = (m->lo - w->lo) + extra;
+        } else if (w->hi > m->hi) {
+            tr = w->hi - m->hi;
+        } else {
+            tr = 0;
+        }
+        long new_len = w->n - tr;
+        if (new_len >= 0) w->n = new_len;
+        if (w->hi > m->hi) w->hi = m->hi;
+        if (w->lo < m->lo) w->lo = m->lo;
+    }
+}
+
+static WElem *wfa_converged(WTensor *t, long n1, long n2, long *out_diag) {
+    if (!t || !t->present) return NULL;
+    WWf *order[3] = {&t->i, &t->d, &t->m};
+    for (int k = 0; k < 3; k++) {
+        WWf *w = order[k];
+        if (!w->present) continue;
+        for (long i = 0; i < w->n; i++) {
+            WElem *e = &w->el[i];
+            if (!e->present) continue;
+            long diag = w->lo + i;
+            if (welem_x(e, diag) == n2 - 1 && welem_y(e, diag) == n1 - 1) {
+                if (out_diag) *out_diag = diag;
+                return e;
+            }
+        }
+    }
+    return NULL;
+}
+
+/* Full compat WFA: fill + rec_tr traceback.  Writes the gapped alignment
+ * strings (latin-1 bytes) to a1/a2 (forward order, NUL-free, lengths via
+ * out_lens).  Returns the reported score (len(wfs)) or a negative error
+ * code.  Capacity: a1/a2 must hold n1+n2+16 bytes. */
+long wfa_compat_align(const uint8_t *s1, long n1, const uint8_t *s2, long n2,
+                      int x_pen, int o_pen, int e_pen,
+                      int minlen, int maxdiff, long max_steps,
+                      char *a1_out, char *a2_out, long *out_lens) {
+    if (n1 == 0 || n2 == 0) return -3;
+    long provable = (n1 + n2) * (x_pen + o_pen + e_pen) + 4;
+    long cap_steps = max_steps < provable ? max_steps : provable;
+
+    long cap = cap_steps + 8;
+    WTensor *wfs = calloc(cap, sizeof(WTensor));
+    if (!wfs) return -4;
+    long n_wfs = 0;
+    /* seed */
+    wfs[0].present = 1;
+    wfs[0].m.present = 1;
+    wfs[0].m.lo = 0; wfs[0].m.hi = 0; wfs[0].m.n = 1;
+    wfs[0].m.el = malloc(sizeof(WElem));
+    if (!wfs[0].m.el) { free(wfs); return -4; }
+    wfs[0].m.el[0] = (WElem){0, 1, WM, 0};
+    n_wfs = 1;
+
+    long result = 0;
+    long steps = 0;
+    while (wfa_converged(&wfs[n_wfs - 1], n1, n2, NULL) == NULL) {
+        if (steps >= cap_steps) {
+            result = (cap_steps == max_steps) ? -1 : -2;
+            goto done;
+        }
+        long s = n_wfs;
+        long k_open = s - o_pen - e_pen, k_ext = s - e_pen, k_mis = s - x_pen;
+        WTensor *t_open = (k_open >= 0 && k_open < n_wfs) ? &wfs[k_open] : NULL;
+        WTensor *t_ext = (k_ext >= 0 && k_ext < n_wfs) ? &wfs[k_ext] : NULL;
+        WTensor *t_mis = (k_mis >= 0 && k_mis < n_wfs) ? &wfs[k_mis] : NULL;
+        int rc = wfa_tensor_new(t_open, t_ext, t_mis, &wfs[n_wfs]);
+        if (rc < 0) { result = rc; goto done; }
+        if (wfs[n_wfs].present)
+            wfa_expand_m(&wfs[n_wfs].m, s1, n1, s2, n2);
+        n_wfs += 1;
+        wfa_trim(&wfs[n_wfs - 1], n1, n2, minlen, maxdiff);
+        steps += 1;
+    }
+    result = n_wfs; /* score = len(wfs), the reference's off-by-one report */
+
+    /* ---- rec_tr traceback (oracle_wfa.wfa_traceback, verbatim) ---- */
+    {
+        long diag = n1 - n2;
+        WElem *ce = wfa_converged(&wfs[n_wfs - 1], n1, n2, NULL);
+        long a1n = 0, a2n = 0; /* build REVERSED, flip at the end */
+        if (ce != NULL) {
+            WElem cur = *ce;
+            long current_score = n_wfs;
+            long guard = 0, guard_max = n1 + n2 + 16 + n_wfs;
+            long acap = n1 + n2 + 16;
+            #define EXT_REV(dst, dn, seq, start, stop) do { \
+                if ((start) > (stop)) { result = -5; goto done; } \
+                if ((start) < 0 || (stop) > (seq##_len)) { result = -6; goto done; } \
+                for (long _q = (stop) - 1; _q >= (start); _q--) { \
+                    if (dn >= acap) { result = -4; goto done; } \
+                    dst[dn++] = (char)seq[_q]; } \
+            } while (0)
+            long s1_len = n1, s2_len = n2;
+            while (!(diag == 0 && cur.offset == 0)) {
+                if (++guard > guard_max) { result = -7; goto done; }
+                int moved = 0;
+                int pens[3] = {x_pen, e_pen, o_pen + e_pen};
+                for (int pi = 0; pi < 3 && !moved; pi++) {
+                    long d_pen = pens[pi];
+                    if (d_pen > current_score) continue;
+                    long next_score = current_score - d_pen;
+                    WTensor *t = (next_score >= 0 && next_score < n_wfs)
+                                     ? &wfs[next_score] : NULL;
+                    if (!t || !t->present) continue;
+                    if (pi == 0) { /* mismatch */
+                        if (cur.state != WM && (cur.parents & (1 << WM))) {
+                            WElem *w = t->m.present ? wf_get(&t->m, diag) : NULL;
+                            if (w) {
+                                EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                cur = *w; current_score = next_score; moved = 1;
+                            }
+                        }
+                    } else if (pi == 1) { /* gap extend */
+                        if (cur.parents & (1 << WD)) {
+                            WElem *w = t->d.present ? wf_get(&t->d, diag - 1) : NULL;
+                            if (w) {
+                                EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                if (a2n >= acap) { result = -4; goto done; }
+                                a2_out[a2n++] = '-';
+                                EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                diag -= 1;
+                                cur = *w; current_score = next_score; moved = 1;
+                                continue;
+                            }
+                        }
+                        WElem *w = t->i.present ? wf_get(&t->i, diag + 1) : NULL;
+                        if (w) {
+                            if (a1n >= acap) { result = -4; goto done; }
+                            a1_out[a1n++] = '-';
+                            EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                            EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                            diag += 1;
+                            cur = *w; current_score = next_score; moved = 1;
+                        }
+                    } else if (cur.parents & (1 << WM)) { /* gap open */
+                        if (cur.state == WD) {
+                            WElem *w = t->d.present ? wf_get(&t->d, diag - 1) : NULL;
+                            if (w) {
+                                EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                if (a2n >= acap) { result = -4; goto done; }
+                                a2_out[a2n++] = '-';
+                                EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                diag -= 1;
+                                cur = *w; current_score = next_score; moved = 1;
+                            }
+                        } else if (cur.state == WI) {
+                            WElem *w = t->i.present ? wf_get(&t->i, diag + 1) : NULL;
+                            if (w) {
+                                if (a1n >= acap) { result = -4; goto done; }
+                                a1_out[a1n++] = '-';
+                                EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                diag += 1;
+                                cur = *w; current_score = next_score; moved = 1;
+                            }
+                        } else { /* state M: try I then D (wfa.rs:801-842) */
+                            WElem *w = t->i.present ? wf_get(&t->i, diag + 1) : NULL;
+                            if (w) {
+                                if (a1n >= acap) { result = -4; goto done; }
+                                a1_out[a1n++] = '-';
+                                EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                diag += 1;
+                                cur = *w; current_score = next_score; moved = 1;
+                            } else {
+                                w = t->d.present ? wf_get(&t->d, diag - 1) : NULL;
+                                if (w) {
+                                    EXT_REV(a1_out, a1n, s1, welem_y(w, diag), welem_y(&cur, diag));
+                                    /* sic: the reference pushes the gap onto
+                                     * seq1 here (wfa.rs:829), bug preserved */
+                                    if (a1n >= acap) { result = -4; goto done; }
+                                    a1_out[a1n++] = '-';
+                                    EXT_REV(a2_out, a2n, s2, welem_x(w, diag), welem_x(&cur, diag));
+                                    diag -= 1;
+                                    cur = *w; current_score = next_score; moved = 1;
+                                }
+                            }
+                        }
+                    }
+                }
+                if (!moved) break; /* "huh": partial alignment returned */
+            }
+            #undef EXT_REV
+        }
+        /* reverse in place */
+        for (long i = 0; i < a1n / 2; i++) {
+            char tmp = a1_out[i]; a1_out[i] = a1_out[a1n - 1 - i]; a1_out[a1n - 1 - i] = tmp;
+        }
+        for (long i = 0; i < a2n / 2; i++) {
+            char tmp = a2_out[i]; a2_out[i] = a2_out[a2n - 1 - i]; a2_out[a2n - 1 - i] = tmp;
+        }
+        out_lens[0] = a1n;
+        out_lens[1] = a2n;
+    }
+
+done:
+    for (long i = 0; i < n_wfs; i++) {
+        if (wfs[i].present) {
+            wf_free(&wfs[i].i); wf_free(&wfs[i].d);
+            /* m.el may have been advanced by trim pops?  No: pops memmove
+             * within the same allocation, pointer unchanged. */
+            wf_free(&wfs[i].m);
+        }
+    }
+    free(wfs);
+    return result;
 }

@@ -105,3 +105,70 @@ def test_native_first_path_matches_python(compat):
         except AlignmentError:
             got = ("panic", None)
         assert exp == got, (b, s1, s2)
+
+
+def test_native_wfa_compat_matches_python_oracle():
+    """Fuzz the C compat-WFA against the Python oracle: identical scores,
+    alignments, and error messages on random pairs (including provable
+    non-convergence and traceback-panic cases)."""
+    import random
+
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.config import WfaPenalties, WfaPruning
+    from sequencealigning_tpu.errors import AlignmentError
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(77)
+    pen, pru = WfaPenalties(), WfaPruning()
+
+    def py(s1, s2):
+        try:
+            score, ocean = oracle_wfa.wfa_align(
+                s1, s2, penalties=pen, pruning=pru, max_steps=20_000
+            )
+            a1, a2 = oracle_wfa.wfa_traceback(ocean, s1, s2)
+            return (score, a1, a2)
+        except AlignmentError as e:
+            return ("err", str(e))
+
+    def nat(s1, s2):
+        try:
+            r = native.wfa_compat_align_native(s1, s2, pen, pru, 20_000)
+            assert r is not None
+            return r
+        except AlignmentError as e:
+            return ("err", str(e))
+
+    def cases():
+        for _ in range(60):  # independent random pairs
+            n1 = rng.randint(1, 28)
+            n2 = rng.randint(1, 28)
+            yield (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        for _ in range(20):  # mutated copies: deep oceans, trim active
+            n = rng.randint(20, 60)
+            ref = bytes(rng.choice(b"ACGT") for _ in range(n))
+            mut = bytearray(ref)
+            for _ in range(rng.randint(1, 4)):
+                p_ = rng.randrange(n)
+                mut[p_] = rng.choice([c for c in b"ACGT" if c != mut[p_]])
+            yield (bytes(mut), ref)
+
+    checked_conv = checked_err = 0
+    for s1, s2 in cases():
+        expect = py(s1, s2)
+        got = nat(s1, s2)
+        assert got == expect, (s1, s2, expect, got)
+        if expect[0] == "err":
+            checked_err += 1
+        else:
+            checked_conv += 1
+    # Ensure the fuzz covered both regimes.
+    assert checked_conv >= 5 and checked_err >= 5, (checked_conv, checked_err)
