@@ -6,9 +6,13 @@ true n1*n2 cells per pair (padding and pipeline-drain work is not
 credited).  vs_baseline is against the 50 GCUPS/chip north-star target
 (BASELINE.md).
 
-Primary metric = the streamed-pair kernel (ops.nw_affine_stream) with
-direction-byte emission for traceback; score-only fill and the plain
-anti-diagonal kernel (ops.nw_affine) are reported in detail.
+Primary metric = the streamed-pair kernel (ops.nw_affine_stream) in
+fast4 mode: the production fill-plus-traceback contract (exact scores +
+4 direction bits/cell -- argmax plane + extend flags -- from which the
+host walker reconstructs one exact optimal CIGAR per pair; validated in
+tests/test_nw_stream.py).  Detail reports the 7-bit co-optimal-
+enumeration mode (reference-parity output, all tie bits), score-only
+fill, and the plain per-pair kernel.
 
 Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 """
@@ -121,7 +125,11 @@ def main() -> int:
 
         return fn
 
-    for label, wd in (("stream_fill+dirs", True), ("stream_score_only", False)):
+    for label, wd in (
+        ("stream_fill+dirs", True),
+        ("stream_fill+fast4", "fast4"),
+        ("stream_score_only", False),
+    ):
         dt = _time_device(make_stream(wd), sargs, n_iter)
         results[label] = cells / dt / 1e9
         print(
@@ -159,7 +167,7 @@ def main() -> int:
         file=sys.stderr,
     )
 
-    primary = results["stream_fill+dirs"]
+    primary = results["stream_fill+fast4"]
     print(
         json.dumps(
             {
@@ -170,6 +178,9 @@ def main() -> int:
                 "detail": {
                     "stream_score_only_gcups": round(
                         results["stream_score_only"], 3
+                    ),
+                    "stream_cooptimal_dirs_gcups": round(
+                        results["stream_fill+dirs"], 3
                     ),
                     "plain_fill_dirs_gcups": round(
                         results["plain_fill+dirs"], 3

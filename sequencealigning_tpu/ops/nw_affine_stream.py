@@ -122,11 +122,14 @@ def _stream_step(
     H2, H1, M1, I1, D1, s1d, s2v,
     qc, dc, col_iota, lane_0, p,
     scheme: ScoringScheme, compat: bool, wildcard: bool,
-    roll, with_dirs: bool,
+    roll, dirs_mode,
 ):
     """One anti-diagonal step.  qc/dc: (B, 1) younger query/db codes for
     this step.  lane_0: hoisted loop-invariant (col_iota == 0) mask.
-    p: scalar, younger pair's local anti-diagonal.  Returns
+    p: scalar, younger pair's local anti-diagonal.  dirs_mode: False/None
+    (score only), "full" (7 tie bits/cell, co-optimal enumeration), or
+    "fast4" (4 bits/cell: H-argmax plane code with M>I>D priority + the
+    two extend flags -- exactly what a first-path walk needs).  Returns
     (M, I, D, H, s1d_new, s2v_new, byte)."""
     o = jnp.int32(scheme.gap_open)
     e = jnp.int32(scheme.gap_extend)
@@ -163,7 +166,7 @@ def _stream_step(
     H = jnp.maximum(M, jnp.maximum(I, D))
 
     byte = None
-    if with_dirs:
+    if dirs_mode == "full" or dirs_mode is True:
         b = (M == H).astype(jnp.int32) * dirbits.HM
         b |= (I == H).astype(jnp.int32) * dirbits.HI
         b |= (D == H).astype(jnp.int32) * dirbits.HD
@@ -172,6 +175,14 @@ def _stream_step(
         dpre = (D1 >= t0).astype(jnp.int32) * dirbits.DEXT
         dpre |= (t0 >= D1).astype(jnp.int32) * dirbits.DOPEN
         b |= roll(dpre)
+        byte = b
+    elif dirs_mode == "fast4":
+        code = jnp.where(
+            M == H, 0, jnp.where(I == H, 1, 2)
+        )  # argmax plane, priority M > I > D
+        b = code
+        b |= (I1 >= t0).astype(jnp.int32) * 4   # I from extend
+        b |= roll((D1 >= t0).astype(jnp.int32)) * 8  # D from extend
         byte = b
 
     return M, I, D, H, s1d_n, s2v_n, byte
@@ -184,12 +195,12 @@ def _stream_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "scheme", "compat", "wildcard", "with_dirs"),
+    static_argnames=("plan", "scheme", "compat", "wildcard", "dirs_mode"),
 )
 def gotoh_fill_stream_lax(
     qstream, dstream, dsums, n2s,
     plan: StreamPlan, scheme: ScoringScheme,
-    compat: bool, wildcard: bool, with_dirs: bool,
+    compat: bool, wildcard: bool, dirs_mode,
 ):
     """qstream/dstream: (n_rows, t_total) int32 -- slot k's codes at
     [k*s+1, k*s+1+len); dsums/n2s: (np_slots, n_rows) int32.  Returns
@@ -209,7 +220,7 @@ def gotoh_fill_stream_lax(
         dc = jax.lax.dynamic_slice_in_dim(dstream, t, 1, axis=1)
         M, I, D, H, s1d, s2v, byte = _stream_step(
             H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, lane_0, p,
-            scheme, compat, wildcard, roll, with_dirs,
+            scheme, compat, wildcard, roll, dirs_mode,
         )
         for k in range(plan.np_slots):
             cap = jnp.logical_and(
@@ -219,7 +230,7 @@ def gotoh_fill_stream_lax(
             fm = fm.at[k].add(jnp.where(cap, M, 0).sum(axis=1))
             fi = fi.at[k].add(jnp.where(cap, I, 0).sum(axis=1))
             fd = fd.at[k].add(jnp.where(cap, D, 0).sum(axis=1))
-        out = byte.astype(jnp.uint8) if with_dirs else jnp.zeros((), jnp.uint8)
+        out = byte.astype(jnp.uint8) if dirs_mode else jnp.zeros((), jnp.uint8)
         return (H1, H, M, I, D, s1d, s2v, fm, fi, fd), out
 
     zeros = jnp.zeros((R, P), jnp.int32)
@@ -229,7 +240,13 @@ def gotoh_fill_stream_lax(
         body, carry0, jnp.arange(plan.t_total, dtype=jnp.int32)
     )
     fm, fi, fd = carry[7:]
-    if with_dirs:
+    if dirs_mode == "fast4":
+        T8 = plan.t_total // 8
+        w = bytes_.reshape(T8, 8, R, P).astype(jnp.uint32)
+        dirs = w[:, 0]
+        for u in range(1, 8):
+            dirs = dirs | (w[:, u] << (4 * u))
+    elif dirs_mode:
         T4 = plan.t_total // 4
         w = bytes_.reshape(T4, 4, R, P).astype(jnp.uint32)
         dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
@@ -251,8 +268,10 @@ def _stream_kernel(
     # scratch
     H2, H1, M1, I1, D1, s1d, s2v,
     *, plan: StreamPlan,
-    scheme: ScoringScheme, compat: bool, wildcard: bool, with_dirs: bool,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, dirs_mode,
 ):
+    upack = 8 if dirs_mode == "fast4" else 4
+    shift = 32 // upack
     k = pl.program_id(1)
     cc = pl.program_id(2)
     BT, P = s2v.shape
@@ -305,15 +324,15 @@ def _stream_kernel(
     def group_body(g, carry):
         vH2, vH1, vM1, vI1, vD1, vs1d, vs2v = carry
         wacc = None
-        for u in range(4):
-            i = g * 4 + u          # step index within chunk
+        for u in range(upack):
+            i = g * upack + u      # step index within chunk
             p = p0 + i             # younger local diagonal
             qc = gather(q_ref, i)
             dc = gather(d2_ref, i)
             M, I, D, H, vs1d, vs2v, byte = _stream_step(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
                 qc, dc, col_iota, lane_0, p,
-                scheme, compat, wildcard, roll, with_dirs,
+                scheme, compat, wildcard, roll, dirs_mode,
             )
             vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
 
@@ -353,22 +372,22 @@ def _stream_kernel(
                 fi_o[0] += jnp.where(cap, I, 0)
                 fd_o[0] += jnp.where(cap, D, 0)
 
-            if with_dirs:
-                word = byte.astype(jnp.uint32) << (8 * u)
+            if dirs_mode:
+                word = byte.astype(jnp.uint32) << (shift * u)
                 wacc = word if u == 0 else wacc | word
-        if with_dirs:
+        if dirs_mode:
             dirs_ref[pl.ds(g, 1), :, :] = wacc[None]
         return (vH2, vH1, vM1, vI1, vD1, vs1d, vs2v)
 
     carry0 = (H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...])
-    carry = jax.lax.fori_loop(0, chunk // 4, group_body, carry0)
+    carry = jax.lax.fori_loop(0, chunk // upack, group_body, carry0)
     H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...] = carry
 
 
 def gotoh_fill_stream_pallas(
     qstream, dstream, dsy, n2y, dso, n2o,
     plan: StreamPlan, scheme: ScoringScheme,
-    compat: bool, wildcard: bool, with_dirs: bool,
+    compat: bool, wildcard: bool, dirs_mode,
     interpret: Optional[bool] = None,
     bt: int = 8,
 ):
@@ -385,12 +404,13 @@ def gotoh_fill_stream_pallas(
     NB = R // BT
     NCC = plan.s // plan.chunk
     J = (plan.n_slots_g + 1) // 2
-    T4 = plan.t_total // 4
+    upack = 8 if dirs_mode == "fast4" else 4
+    T4 = plan.t_total // upack
 
     grid = (NB, plan.n_slots_g, NCC)
     kernel = functools.partial(
         _stream_kernel, plan=plan, scheme=scheme,
-        compat=compat, wildcard=wildcard, with_dirs=with_dirs,
+        compat=compat, wildcard=wildcard, dirs_mode=dirs_mode,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     in_specs = [
@@ -408,14 +428,14 @@ def gotoh_fill_stream_pallas(
     out_specs = [
         fspec_e, fspec_e, fspec_e, fspec_o, fspec_o, fspec_o,
         bspec(
-            (plan.chunk // 4 if with_dirs else 1, BT, P),
+            (plan.chunk // upack if dirs_mode else 1, BT, P),
             (lambda b, k, cc: (k * NCC + cc, b, 0))
-            if with_dirs
+            if dirs_mode
             else (lambda b, k, cc: (0, b, 0)),
         ),
     ]
     out_shape = [jax.ShapeDtypeStruct((J, R, P), jnp.int32)] * 6 + [
-        jax.ShapeDtypeStruct((T4 if with_dirs else 1, R, P), jnp.uint32)
+        jax.ShapeDtypeStruct((T4 if dirs_mode else 1, R, P), jnp.uint32)
     ]
     scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(7)]
     fm_e, fi_e, fd_e, fm_o, fi_o, fd_o, dirs = pl.pallas_call(
@@ -430,11 +450,11 @@ def gotoh_fill_stream_pallas(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
     )(dsy, n2y, dso, n2o, qstream, dstream)
-    return (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), (dirs if with_dirs else None)
+    return (fm_e, fi_e, fd_e, fm_o, fi_o, fd_o), (dirs if dirs_mode else None)
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_stream_pallas(plan, scheme, compat, wildcard, with_dirs):
+def _jitted_stream_pallas(plan, scheme, compat, wildcard, dirs_mode):
     """One jitted dispatch per configuration: eager per-op dispatch through
     a remote-device tunnel costs ~0.7 s flat (PERF.md), so the whole fill
     must go out as one executable."""
@@ -442,7 +462,7 @@ def _jitted_stream_pallas(plan, scheme, compat, wildcard, with_dirs):
         functools.partial(
             gotoh_fill_stream_pallas,
             plan=plan, scheme=scheme, compat=compat,
-            wildcard=wildcard, with_dirs=with_dirs,
+            wildcard=wildcard, dirs_mode=dirs_mode,
         )
     )
 
@@ -522,7 +542,7 @@ def nw_affine_stream_batch(
     scheme: ScoringScheme = ScoringScheme(),
     compat: bool = True,
     wildcard: bool = False,
-    with_dirs: bool = True,
+    with_dirs = True,
     backend: str = "auto",
     np_slots: Optional[int] = None,
     chunk: int = 128,
@@ -553,8 +573,9 @@ def nw_affine_stream_batch(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "lax"
 
+    dirs_mode = "full" if with_dirs is True else with_dirs
     if backend == "pallas":
-        fn = _jitted_stream_pallas(plan, scheme, compat, wildcard, with_dirs)
+        fn = _jitted_stream_pallas(plan, scheme, compat, wildcard, dirs_mode)
         outs, dirs = fn(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy), jnp.asarray(n2y),
@@ -565,7 +586,7 @@ def nw_affine_stream_batch(
         (fm, fi, fd), dirs = gotoh_fill_stream_lax(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),
-            plan, scheme, compat, wildcard, with_dirs,
+            plan, scheme, compat, wildcard, dirs_mode,
         )
         fm, fi, fd = np.asarray(fm), np.asarray(fi), np.asarray(fd)
         finals = np.stack(

@@ -405,6 +405,72 @@ def traceback_batch(
     return results
 
 
+def _nibble(dirs_b: np.ndarray, d: int, x: int) -> int:
+    return int(dirs_b[d >> 3, x] >> (4 * (d & 7))) & 0xF
+
+
+def fast4_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    compat: bool = True,
+    d_offset: int = 0,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """First-path traceback from the 4-bit 'fast4' dirs layout (8 cells per
+    u32 word; bits [0:2] = H-argmax plane code with M > I > D priority,
+    bit 2 = I-extend, bit 3 = D-extend).
+
+    Returns (score, [(aligned_seq1, aligned_seq2)]) -- one optimal
+    alignment (documented plane priority, not the reference's co-optimal
+    LIFO order; use the full 7-bit mode for that)."""
+    n1, n2 = len(seq1), len(seq2)
+    score = int(finals_b.max())
+
+    # Seed plane from the corner finals (priority M > I > D).
+    if int(finals_b[M]) == score:
+        plane = M
+    elif int(finals_b[I]) == score:
+        plane = I
+    else:
+        plane = D
+
+    ops: List[str] = []
+    x, y = n2, n1
+    guard = n1 + n2 + 4
+    while x > 0 or y > 0:
+        guard -= 1
+        if guard < 0:
+            raise AlignmentError("traceback did not terminate")
+        if x == 0:
+            # Row chain: compat keeps it in D, textbook in I -- either way
+            # the only move left is consuming seq1.
+            ops.append("I")
+            y -= 1
+            continue
+        if y == 0:
+            ops.append("D")
+            x -= 1
+            continue
+        b = _nibble(dirs_b, x + y + d_offset, x)
+        if plane == M:
+            ops.append("M")
+            x, y = x - 1, y - 1
+            if x == 0 and y == 0:
+                break
+            plane = (M, I, D)[_nibble(dirs_b, x + y + d_offset, x) & 3]
+        elif plane == I:
+            ops.append("I")
+            plane = I if b & 4 else M
+            y -= 1
+        else:
+            ops.append("D")
+            plane = D if b & 8 else M
+            x -= 1
+    ops.reverse()
+    return score, [_apply_ops("".join(ops), seq1, seq2)]
+
+
 def traceback_stream_batch(
     dirs: np.ndarray,
     finals: np.ndarray,
@@ -414,14 +480,30 @@ def traceback_stream_batch(
     compat: bool = True,
     max_alignments: int = 64,
     first_only: bool = False,
+    dirs_mode: str = "full",
 ):
     """Traceback for ops.nw_affine_stream results: pairs share dirs rows
     (pair b = slot b % np_slots of row b // np_slots, diagonal offset
-    slot*s).  Same per-pair failure isolation as traceback_batch."""
+    slot*s).  Same per-pair failure isolation as traceback_batch.
+    dirs_mode='fast4' walks the 4-bit first-path layout."""
     import os
 
     dirs = np.asarray(dirs)
     finals = np.asarray(finals)
+    if dirs_mode == "fast4":
+        results = []
+        for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
+            row, _slot, off = plan.pair_coords(b)
+            try:
+                results.append(
+                    fast4_traceback_pair(
+                        dirs[:, row, :], finals[b], s1, s2,
+                        compat=compat, d_offset=off,
+                    )
+                )
+            except AlignmentError as e:
+                results.append(e)
+        return results
     use_native = first_only and not os.environ.get("SEQALIGN_NO_NATIVE")
     if use_native:
         try:

@@ -139,13 +139,13 @@ class DataParallelRunner:
             if backend == "pallas":
                 outs, _ = gotoh_fill_stream_pallas(
                     qstream, dstream, dsy, n2y, dso, n2o,
-                    plan, scheme, compat, wildcard, with_dirs=False, bt=bt,
+                    plan, scheme, compat, wildcard, dirs_mode=False, bt=bt,
                 )
                 finals = stream_finals(outs, NP)
             else:
                 (fm, fi, fd), _ = gotoh_fill_stream_lax(
                     qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
-                    plan, scheme, compat, wildcard, with_dirs=False,
+                    plan, scheme, compat, wildcard, dirs_mode=False,
                 )
                 finals = jnp.stack(
                     [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],

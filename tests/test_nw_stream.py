@@ -32,7 +32,7 @@ def _random_pairs(seed, n_pairs=48, lo=2, hi=14, alphabet=b"ACGT"):
 
 
 def _stream(pairs, compat=True, backend="lax", wildcard=False,
-            with_dirs=True, np_slots=3):
+            with_dirs=True, np_slots=3):  # with_dirs: True/'full'/'fast4'/False
     batch = pack_batch(pairs, batch_size=len(pairs))
     res = nw_affine_stream_batch(
         batch.query, batch.db, batch.query_len, batch.db_len,
@@ -129,3 +129,68 @@ def test_plan_coords_roundtrip():
         assert off == k * plan.s
         seen.add((r, k))
     assert len(seen) == 48
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_fast4_dirs_traceback_scores_exact(compat):
+    """fast4 (4-bit first-path) dirs: the walked alignment must be a valid
+    optimal alignment (score recomputed from the gapped pair == finals)."""
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+
+    pairs = _random_pairs(41, n_pairs=24, hi=16)
+    batch = pack_batch(pairs, batch_size=24)
+    res = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, with_dirs="fast4", backend="lax", np_slots=3,
+    )
+    sch = ScoringScheme()
+
+    def rescore(a1, a2):
+        s = 0
+        gap = None
+        for c1, c2 in zip(a1, a2):
+            if c1 == "-" or c2 == "-":
+                g = 1 if c1 == "-" else 2
+                s += sch.gap_extend + (sch.gap_open if gap != g else 0)
+                gap = g
+            else:
+                s += sch.match_ if c1 == c2 else sch.mismatch
+                gap = None
+        return s
+
+    tbs = traceback_stream_batch(
+        np.asarray(res.dirs), res.finals,
+        [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+        compat=compat, dirs_mode="fast4",
+    )
+    n_checked = 0
+    for b, r in enumerate(tbs):
+        if isinstance(r, Exception):
+            continue
+        score, alns = r
+        a1, a2 = alns[0]
+        assert a1.replace("-", "").encode() == pairs[b][0]
+        assert a2.replace("-", "").encode() == pairs[b][1]
+        exp = int(res.finals[b].max())
+        got = rescore(a1, a2)
+        if compat:
+            # Compat boundary chains charge one extra extension per gap run
+            # on the matrix edge (open + (k+1)*ext), so the textbook
+            # rescoring of the walked alignment reads up to two extensions
+            # HIGHER than the compat score.
+            assert got in (exp, exp - sch.gap_extend, exp - 2 * sch.gap_extend), (
+                b, pairs[b], exp, got, a1, a2,
+            )
+        else:
+            assert got == exp, (b, pairs[b], exp, got, a1, a2)
+        n_checked += 1
+    assert n_checked >= 20
+
+
+def test_fast4_pallas_matches_lax():
+    pairs = _random_pairs(43, n_pairs=24, hi=14)
+    r_lax, _ = _stream(pairs, backend="lax", np_slots=3, with_dirs="fast4")
+    r_pal, _ = _stream(pairs, backend="pallas", np_slots=3, with_dirs="fast4")
+    np.testing.assert_array_equal(r_lax.finals, r_pal.finals)
+    np.testing.assert_array_equal(np.asarray(r_lax.dirs), np.asarray(r_pal.dirs))
