@@ -19,7 +19,7 @@ from typing import Callable, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from sequencealigning_tpu.io.encode import PairBatch, pack_batch
+from sequencealigning_tpu.io.encode import PairBatch, pack_batch, trim_for_stream
 from sequencealigning_tpu.parallel.runner import DataParallelRunner
 
 
@@ -45,12 +45,23 @@ def stream_align(
     max_in_flight: int = 2,
     checkpoint_path: Optional[str] = None,
     on_result: Optional[Callable[[int, np.ndarray], None]] = None,
+    cigars: bool = False,
+    on_alignments: Optional[Callable[[int, list], None]] = None,
 ) -> int:
     """Stream pairs through the runner.  Returns the number of pairs aligned.
 
     on_result(batch_index, scores) is called per completed batch (scores:
-    (B, 3) finals).  If checkpoint_path is given, completed-batch indices are
-    persisted and already-completed batches are skipped on resume.
+    (B, 3) finals).  If checkpoint_path is given, completed-batch indices
+    are persisted and already-completed batches are skipped on resume
+    (at-least-once delivery: the batch in flight when a run is interrupted
+    is re-delivered, so callbacks must be idempotent).
+
+    With cigars=True each batch also runs the fast4 direction fill and a
+    host first-path traceback; on_alignments(batch_index, results) receives
+    per-pair (score, [(aligned_query, aligned_db)]) tuples or
+    AlignmentError instances.  This path fetches the direction words to the
+    host (~0.5 byte per DP cell), so it is for moderate batches / fat host
+    links; at extreme scale stream scores only, or use the banded engine.
     """
     runner = runner or DataParallelRunner()
     start_batch = 0
@@ -58,30 +69,73 @@ def stream_align(
         with open(checkpoint_path) as f:
             start_batch = json.load(f).get("next_batch", 0)
 
-    in_flight: List[Tuple[int, "np.ndarray", int]] = []
+    in_flight: List[tuple] = []
     n_pairs = 0
 
     def drain_one():
         nonlocal n_pairs
-        idx, scores, n = in_flight.pop(0)
+        idx, scores, n, extra = in_flight.pop(0)
         scores = np.asarray(scores)  # blocks until ready
         n_pairs += n
         if on_result is not None:
             on_result(idx, scores[:n])
+        if extra is not None and on_alignments is not None:
+            dirs, plan, seqs1, seqs2 = extra
+            from sequencealigning_tpu.ops.traceback import (
+                traceback_stream_batch,
+            )
+
+            tbs = traceback_stream_batch(
+                np.asarray(dirs), scores, seqs1, seqs2, plan,
+                compat=runner.compat, dirs_mode="fast4",
+            )
+            on_alignments(idx, tbs)
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp"
             with open(tmp, "w") as f:
                 json.dump({"next_batch": idx + 1}, f)
             os.replace(tmp, checkpoint_path)
 
-    for i, batch in enumerate(batches_from_pairs(pairs, batch_size)):
+    for i, batch_pairs in enumerate(_chunks(pairs, batch_size)):
         if i < start_batch:
             continue
-        n_valid = int(batch.valid.sum())
-        scores = runner.scores(batch)  # async dispatch
-        in_flight.append((i, scores, n_valid))
+        if cigars:
+            from sequencealigning_tpu.ops.nw_affine_stream import (
+                nw_affine_stream_batch,
+            )
+
+            batch = trim_for_stream(
+                pack_batch(batch_pairs, batch_size=batch_size)
+            )
+            res = nw_affine_stream_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                scheme=runner.scheme, compat=runner.compat,
+                with_dirs="fast4", np_slots=runner.np_slots,
+            )
+            n_valid = len(batch_pairs)
+            extra = (
+                res.dirs, res.plan,
+                [p[0] for p in batch_pairs], [p[1] for p in batch_pairs],
+            )
+            in_flight.append((i, res.finals, n_valid, extra))
+        else:
+            batch = pack_batch(batch_pairs, batch_size=batch_size)
+            n_valid = int(batch.valid.sum())
+            scores = runner.scores(batch)  # async dispatch
+            in_flight.append((i, scores, n_valid, None))
         while len(in_flight) > max_in_flight:
             drain_one()
     while in_flight:
         drain_one()
     return n_pairs
+
+
+def _chunks(pairs: Iterable[Tuple[bytes, bytes]], n: int):
+    buf: List[Tuple[bytes, bytes]] = []
+    for p in pairs:
+        buf.append(p)
+        if len(buf) >= n:
+            yield buf
+            buf = []
+    if buf:
+        yield buf

@@ -105,3 +105,33 @@ def test_runner_plain_kernel_still_available():
     np.testing.assert_array_equal(
         np.asarray(r_plain.scores(batch)), np.asarray(r_stream.scores(batch))
     )
+
+
+def test_stream_align_with_cigars():
+    from sequencealigning_tpu.ops import oracle_gotoh
+
+    pairs = _pairs(83, 20)
+    runner = DataParallelRunner(backend="lax", np_slots=2)
+    got = {}
+
+    def on_alignments(idx, tbs):
+        got[idx] = tbs
+
+    n = stream_align(
+        pairs, runner=runner, batch_size=8, cigars=True,
+        on_alignments=on_alignments,
+    )
+    assert n == 20
+    flat = [t for idx in sorted(got) for t in got[idx]]
+    assert len(flat) >= 20
+    checked = 0
+    for b, r in enumerate(flat[:20]):
+        if isinstance(r, Exception):
+            continue
+        score, alns = r
+        assert score == oracle_gotoh.gotoh_score(*pairs[b])
+        a1, a2 = alns[0]
+        assert a1.replace("-", "").encode() == pairs[b][0]
+        assert a2.replace("-", "").encode() == pairs[b][1]
+        checked += 1
+    assert checked >= 15
