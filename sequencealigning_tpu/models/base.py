@@ -37,6 +37,16 @@ class PairResult:
         d = dataclasses.asdict(self)
         if d.get("cigar") is not None:
             d["cigar"] = str(d["cigar"])
+        if self.score is not None and self.aligned_query is not None:
+            # Karlin-Altschul statistics (the reference reserves lambda/K,
+            # src/align.rs:15-16, but never uses them; here they work).
+            from sequencealigning_tpu.utils.stats import bit_score, e_value
+
+            n1 = len(self.aligned_query.replace("-", ""))
+            n2 = len(self.aligned_db.replace("-", ""))
+            if n1 and n2:
+                d["e_value"] = e_value(self.score, n1, n2)
+                d["bit_score"] = bit_score(self.score)
         return d
 
     def fill_derived(self) -> "PairResult":

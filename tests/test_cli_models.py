@@ -140,3 +140,22 @@ def test_bucketed_all_pairs_same_results():
         for r in get_aligner(bcfg).align_all_pairs(recs, recs)
     ]
     assert plain == bucketed
+
+
+def test_result_json_includes_karlin_altschul_stats():
+    import math
+
+    from sequencealigning_tpu.config import AlignConfig, Algo, ScoringScheme
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.utils.stats import bit_score, e_value
+
+    al = get_aligner(AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH))
+    res = al.align_pair(
+        Record(seq=b"ACGTACGT", name=b">q"), Record(seq=b"ACGTACGT", name=b">d")
+    )
+    d = res.to_json()
+    assert math.isclose(d["e_value"], e_value(res.score, 8, 8))
+    assert math.isclose(d["bit_score"], bit_score(res.score))
+    # Identity alignment of 8 bp at +5/match: sanity-check the formulas.
+    assert d["bit_score"] > 0
