@@ -28,7 +28,7 @@ def _build() -> Optional[str]:
     for cc in ("cc", "gcc", "clang"):
         try:
             subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-o", _LIB, _SRC],
+                [cc, "-O2", "-shared", "-fPIC", "-pthread", "-o", _LIB, _SRC],
                 check=True,
                 capture_output=True,
                 timeout=120,
@@ -71,6 +71,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_long,
         ctypes.c_char_p, ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_long),
+    ]
+    lib.fast4_first_path_batch.restype = None
+    lib.fast4_first_path_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_int), ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_long, ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
     ]
     lib.gotoh_first_path.restype = ctypes.c_long
     lib.gotoh_first_path.argtypes = [
@@ -213,3 +222,51 @@ def wfa_compat_align_native(
         a1.raw[: lens[0]].decode("latin-1"),
         a2.raw[: lens[1]].decode("latin-1"),
     )
+
+
+def fast4_first_path_batch_native(
+    dirs: np.ndarray,
+    finals: np.ndarray,
+    rows: np.ndarray,
+    d_offs: np.ndarray,
+    n1s: np.ndarray,
+    n2s: np.ndarray,
+    n_threads: int = 8,
+):
+    """Threaded native first-path walks over a (T8, R, P) fast4 dirs
+    tensor.  Returns a list of forward op strings ('M'/'I'/'D'), None per
+    pair on walker failure, or None overall if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint32)
+    t8, r, p = dirs.shape
+    b_total = len(rows)
+    n1s = np.ascontiguousarray(n1s, np.int64)
+    n2s = np.ascontiguousarray(n2s, np.int64)
+    rows = np.ascontiguousarray(rows, np.int64)
+    d_offs = np.ascontiguousarray(d_offs, np.int64)
+    finals = np.ascontiguousarray(finals, np.int32)
+    out_cap = int(n1s.max() + n2s.max() + 8) if b_total else 8
+    outs = ctypes.create_string_buffer(b_total * out_cap)
+    lens = np.zeros(b_total, np.int64)
+    lib.fast4_first_path_batch(
+        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), r, p,
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        d_offs.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n1s.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n2s.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        finals.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), b_total,
+        outs, out_cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads,
+    )
+    raw = outs.raw
+    results = []
+    for b in range(b_total):
+        n = int(lens[b])
+        if n < 0:
+            results.append(None)
+        else:
+            results.append(raw[b * out_cap : b * out_cap + n].decode("ascii"))
+    return results

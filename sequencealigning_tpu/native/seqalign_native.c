@@ -679,3 +679,114 @@ done:
     free(wfs);
     return result;
 }
+
+/* ------------------------------------------------- fast4 traceback ----
+ * First-path walker for the 4-bit dirs layout (8 cells per u32 word;
+ * bits[0:2] = H-argmax plane code with M>I>D priority, bit2 = I-extend,
+ * bit3 = D-extend).  Must mirror ops/traceback.py::fast4_traceback_pair
+ * exactly (tests fuzz the two).  dirs is the full (T8, R, P) tensor; the
+ * pair's bytes live in row `row` at diagonal offset d_off.
+ */
+
+#include <pthread.h>
+
+static inline int f4_nibble(const uint32_t *dirs, long rp, long row, long p,
+                            long d, long x) {
+    return (int)((dirs[(d >> 3) * rp + row * p + x] >> (4 * (d & 7))) & 0xF);
+}
+
+long fast4_first_path(const uint32_t *dirs, long rows, long p, long row,
+                      long d_off, long n1, long n2,
+                      int sm, int si, int sd,
+                      char *out, long cap) {
+    long rp = rows * p;
+    int score = sm > si ? (sm > sd ? sm : sd) : (si > sd ? si : sd);
+    int plane = (sm == score) ? PLANE_M : (si == score ? PLANE_I : PLANE_D);
+    long x = n2, y = n1;
+    long n_ops = 0;
+    long guard = n1 + n2 + 4;
+    if (cap < guard) return -2;
+    while (x > 0 || y > 0) {
+        if (--guard < 0) return -1;
+        if (x == 0) { out[n_ops++] = 'I'; y -= 1; continue; }
+        if (y == 0) { out[n_ops++] = 'D'; x -= 1; continue; }
+        int b = f4_nibble(dirs, rp, row, p, x + y + d_off, x);
+        if (plane == PLANE_M) {
+            out[n_ops++] = 'M';
+            x -= 1; y -= 1;
+            if (x == 0 && y == 0) break;
+            plane = f4_nibble(dirs, rp, row, p, x + y + d_off, x) & 3;
+            if (plane > PLANE_D) plane = PLANE_D;
+        } else if (plane == PLANE_I) {
+            out[n_ops++] = 'I';
+            plane = (b & 4) ? PLANE_I : PLANE_M;
+            y -= 1;
+        } else {
+            out[n_ops++] = 'D';
+            plane = (b & 8) ? PLANE_D : PLANE_M;
+            x -= 1;
+        }
+    }
+    /* reverse to forward order */
+    for (long i = 0; i < n_ops / 2; i++) {
+        char t = out[i]; out[i] = out[n_ops - 1 - i]; out[n_ops - 1 - i] = t;
+    }
+    return n_ops;
+}
+
+typedef struct {
+    const uint32_t *dirs;
+    long rows, p;
+    const long *row_idx, *d_offs, *n1s, *n2s;
+    const int *finals; /* (B, 3) */
+    char *outs;
+    long out_cap;
+    long *lens;
+    long b_lo, b_hi;
+} F4Task;
+
+static void *f4_worker(void *arg) {
+    F4Task *t = (F4Task *)arg;
+    for (long b = t->b_lo; b < t->b_hi; b++) {
+        t->lens[b] = fast4_first_path(
+            t->dirs, t->rows, t->p, t->row_idx[b], t->d_offs[b],
+            t->n1s[b], t->n2s[b],
+            t->finals[b * 3 + 0], t->finals[b * 3 + 1], t->finals[b * 3 + 2],
+            t->outs + b * t->out_cap, t->out_cap);
+    }
+    return NULL;
+}
+
+/* Batched, threaded fast4 walker.  outs: (B, out_cap) char matrix; lens[b]
+ * = op count or negative error. */
+void fast4_first_path_batch(const uint32_t *dirs, long rows, long p,
+                            const long *row_idx, const long *d_offs,
+                            const long *n1s, const long *n2s,
+                            const int *finals, long b_total,
+                            char *outs, long out_cap, long *lens,
+                            int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > b_total) n_threads = (int)(b_total > 0 ? b_total : 1);
+    pthread_t tids[64];
+    F4Task tasks[64];
+    long per = (b_total + n_threads - 1) / n_threads;
+    int started = 0;
+    for (int k = 0; k < n_threads; k++) {
+        long lo = k * per, hi = lo + per;
+        if (lo >= b_total) break;
+        if (hi > b_total) hi = b_total;
+        tasks[k] = (F4Task){dirs, rows, p, row_idx, d_offs, n1s, n2s,
+                            finals, outs, out_cap, lens, lo, hi};
+        if (pthread_create(&tids[k], NULL, f4_worker, &tasks[k]) != 0) {
+            /* fall back to inline execution for this span */
+            f4_worker(&tasks[k]);
+            tids[k] = 0;
+            started = k + 1;
+            continue;
+        }
+        started = k + 1;
+    }
+    for (int k = 0; k < started; k++)
+        if (tids[k]) pthread_join(tids[k], NULL);
+}

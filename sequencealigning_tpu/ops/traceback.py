@@ -491,9 +491,41 @@ def traceback_stream_batch(
     dirs = np.asarray(dirs)
     finals = np.asarray(finals)
     if dirs_mode == "fast4":
+        coords = [plan.pair_coords(b) for b in range(len(seqs1))]
+        if not os.environ.get("SEQALIGN_NO_NATIVE"):
+            try:
+                from sequencealigning_tpu import native
+
+                if native.available():
+                    ops_list = native.fast4_first_path_batch_native(
+                        dirs, finals,
+                        np.asarray([c[0] for c in coords]),
+                        np.asarray([c[2] for c in coords]),
+                        np.asarray([len(s) for s in seqs1]),
+                        np.asarray([len(s) for s in seqs2]),
+                    )
+                    if ops_list is not None:
+                        out = []
+                        for b, ops in enumerate(ops_list):
+                            if ops is None:
+                                out.append(
+                                    AlignmentError(
+                                        "traceback did not terminate"
+                                    )
+                                )
+                            else:
+                                out.append(
+                                    (
+                                        int(finals[b].max()),
+                                        [_apply_ops(ops, seqs1[b], seqs2[b])],
+                                    )
+                                )
+                        return out
+            except Exception:
+                pass
         results = []
         for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
-            row, _slot, off = plan.pair_coords(b)
+            row, _slot, off = coords[b]
             try:
                 results.append(
                     fast4_traceback_pair(

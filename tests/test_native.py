@@ -172,3 +172,48 @@ def test_native_wfa_compat_matches_python_oracle():
             checked_conv += 1
     # Ensure the fuzz covered both regimes.
     assert checked_conv >= 5 and checked_err >= 5, (checked_conv, checked_err)
+
+
+def test_native_fast4_walker_matches_python():
+    import os
+    import random
+
+    import numpy as np
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(91)
+    pairs = [
+        (
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 20))),
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(2, 20))),
+        )
+        for _ in range(24)
+    ]
+    batch = pack_batch(pairs, batch_size=24)
+    res = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        with_dirs="fast4", backend="lax", np_slots=3,
+    )
+    args = (
+        np.asarray(res.dirs), res.finals,
+        [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+    )
+    nat = traceback_stream_batch(*args, dirs_mode="fast4")
+    os.environ["SEQALIGN_NO_NATIVE"] = "1"
+    try:
+        py = traceback_stream_batch(*args, dirs_mode="fast4")
+    finally:
+        del os.environ["SEQALIGN_NO_NATIVE"]
+    norm = lambda xs: [
+        (type(x).__name__, str(x)) if isinstance(x, Exception) else x
+        for x in xs
+    ]
+    assert norm(nat) == norm(py)
