@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--no-out", action="store_true", help="Skip JSONL output")
     p.add_argument(
+        "--first-only", action="store_true",
+        help="One optimal alignment per pair (fast4 path) instead of the "
+        "reference's co-optimal enumeration",
+    )
+    p.add_argument(
         "--bucket", action="store_true",
         help="Length-bucket pairs within a window to reduce padding",
     )
@@ -171,6 +176,7 @@ def main(argv=None) -> int:
         band=args.band,
         batch_size=args.batch_size,
         bucket=args.bucket,
+        first_only=args.first_only,
         debug=args.debug,
         profile_dir=args.profile,
     )

@@ -110,6 +110,10 @@ class AlignConfig:
     # Length-bucket pairs within a 4-batch window before batching (reduces
     # padding on heterogeneous workloads; output order is preserved).
     bucket: bool = False
+    # Gotoh global mode: emit one optimal alignment per pair from the 4-bit
+    # fast4 direction layout (half the dirs memory, threaded native walker)
+    # instead of the reference's full co-optimal enumeration.
+    first_only: bool = False
     # Device mesh: (data,) axis sizes; None = all local devices on one axis.
     mesh_shape: tuple = ()
     # Debug guards: validate kernel results against closed-form score

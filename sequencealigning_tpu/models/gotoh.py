@@ -43,11 +43,12 @@ class GotohAligner(Aligner):
         # identical finals/dirs semantics; pipeline depth bounded by the
         # batch so tiny batches degenerate gracefully to depth 1.
         np_slots = max(1, min(8, len(batch.query) // 8))
+        first_only = getattr(self.config, "first_only", False)
         res = nw_affine_stream_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             scheme=self.config.scoring,
             compat=self.config.compat,
-            with_dirs=True,
+            with_dirs="fast4" if first_only else True,
             np_slots=np_slots,
         )
         if self.config.debug:
@@ -63,6 +64,7 @@ class GotohAligner(Aligner):
             np.asarray(res.dirs), res.finals,
             [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
             compat=self.config.compat,
+            dirs_mode="fast4" if first_only else "full",
         )
         out = []
         for r in tb:

@@ -159,3 +159,34 @@ def test_result_json_includes_karlin_altschul_stats():
     assert math.isclose(d["bit_score"], bit_score(res.score))
     # Identity alignment of 8 bp at +5/match: sanity-check the formulas.
     assert d["bit_score"] > 0
+
+
+def test_gotoh_first_only_matches_score():
+    import random
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import oracle_gotoh
+
+    rng = random.Random(53)
+    al = get_aligner(
+        AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, first_only=True)
+    )
+    pairs = [
+        (
+            Record(
+                seq=bytes(rng.choice(b"ACGT") for _ in range(rng.randint(3, 20))),
+                name=b">q",
+            ),
+            Record(
+                seq=bytes(rng.choice(b"ACGT") for _ in range(rng.randint(3, 20))),
+                name=b">d",
+            ),
+        )
+        for _ in range(12)
+    ]
+    for r, (q, d) in zip(al.align_batch(pairs), pairs):
+        assert r.ok, r.error
+        assert r.score == oracle_gotoh.gotoh_score(q.seq, d.seq)
+        assert r.aligned_query.replace("-", "").encode() == q.seq
