@@ -269,9 +269,15 @@ def _stream_kernel(
     H2, H1, M1, I1, D1, s1d, s2v,
     *, plan: StreamPlan,
     scheme: ScoringScheme, compat: bool, wildcard: bool, dirs_mode,
+    unroll: int = 0,
 ):
     upack = 8 if dirs_mode == "fast4" else 4
     shift = 32 // upack
+    # Steps per fori_loop iteration: each loop iteration carries a fixed
+    # overhead of a few microseconds (state spill/reload), so unroll more
+    # steps than one dirs word covers.
+    U = unroll if unroll else upack
+    assert U % upack == 0 and plan.chunk % U == 0, (U, upack, plan.chunk)
     k = pl.program_id(1)
     cc = pl.program_id(2)
     BT, P = s2v.shape
@@ -324,8 +330,8 @@ def _stream_kernel(
     def group_body(g, carry):
         vH2, vH1, vM1, vI1, vD1, vs1d, vs2v = carry
         wacc = None
-        for u in range(upack):
-            i = g * upack + u      # step index within chunk
+        for u in range(U):
+            i = g * U + u          # step index within chunk
             p = p0 + i             # younger local diagonal
             qc = gather(q_ref, i)
             dc = gather(d2_ref, i)
@@ -373,14 +379,16 @@ def _stream_kernel(
                 fd_o[0] += jnp.where(cap, D, 0)
 
             if dirs_mode:
-                word = byte.astype(jnp.uint32) << (shift * u)
-                wacc = word if u == 0 else wacc | word
-        if dirs_mode:
-            dirs_ref[pl.ds(g, 1), :, :] = wacc[None]
+                word = byte.astype(jnp.uint32) << (shift * (u % upack))
+                wacc = word if u % upack == 0 else wacc | word
+                if (u + 1) % upack == 0:
+                    dirs_ref[pl.ds(g * (U // upack) + u // upack, 1), :, :] = (
+                        wacc[None]
+                    )
         return (vH2, vH1, vM1, vI1, vD1, vs1d, vs2v)
 
     carry0 = (H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...])
-    carry = jax.lax.fori_loop(0, chunk // upack, group_body, carry0)
+    carry = jax.lax.fori_loop(0, chunk // U, group_body, carry0)
     H2[...], H1[...], M1[...], I1[...], D1[...], s1d[...], s2v[...] = carry
 
 
@@ -390,6 +398,7 @@ def gotoh_fill_stream_pallas(
     compat: bool, wildcard: bool, dirs_mode,
     interpret: Optional[bool] = None,
     bt: int = 8,
+    unroll: int = 32,
 ):
     """qstream/dstream: (n_rows, t_total) int32; dsy/n2y/dso/n2o:
     (n_slots_g, n_rows, 1) int32 per-slot capture params (younger and
@@ -411,6 +420,7 @@ def gotoh_fill_stream_pallas(
     kernel = functools.partial(
         _stream_kernel, plan=plan, scheme=scheme,
         compat=compat, wildcard=wildcard, dirs_mode=dirs_mode,
+        unroll=unroll,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     in_specs = [
