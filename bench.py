@@ -89,57 +89,68 @@ def main() -> int:
     )
 
     on_tpu = jax.default_backend() == "tpu"
-    # 512 pairs amortizes the axon tunnel's ~26 ms per-call round trip
-    # (the tunnel does not overlap dispatches); length 2046 + trimmed
-    # padding keeps the lane width P at exactly 2048 (16 vregs -- the
-    # 17th vreg for two boundary lanes costs ~20%) and S at 2048.
-    n_pairs, length = (512, 2046) if on_tpu else (16, 126)
+    # Large batches matter: per-grid-invocation pipeline bubbles dominate
+    # below ~2k pairs (512 pairs measured 41 GCUPS where 4096 measures
+    # ~74 -- same kernel).  Length 2046 + trimmed padding keeps the lane
+    # width P at exactly 2048 (a spill vreg for 2 boundary lanes costs
+    # ~20%) and the launch period S at 2048.
+    n_pairs, length = (4096, 2046) if on_tpu else (16, 126)
     n_iter = 5 if on_tpu else 1
 
     rng = np.random.default_rng(42)
-    pairs = _make_pairs(rng, n_pairs, length)
     from sequencealigning_tpu.io.encode import trim_for_stream
 
-    batch = trim_for_stream(pack_batch(pairs, batch_size=n_pairs))
+    scheme = ScoringScheme()
+    results = {}
+
+    def measure(label, n, wd, np_slots):
+        pairs = _make_pairs(rng, n, length)
+        batch = trim_for_stream(pack_batch(pairs, batch_size=n))
+        cells = float(
+            (
+                batch.query_len.astype(np.int64)
+                * batch.db_len.astype(np.int64)
+            ).sum()
+        )
+        B, L1 = batch.query.shape
+        _, L2 = batch.db.shape
+        plan = plan_stream(B, L1, L2, np_slots=np_slots)
+        sargs = tuple(jnp.asarray(a) for a in _stream_args(batch, plan))
+
+        @jax.jit
+        def fn(qs, ds, a, b, c, d):
+            outs, _ = gotoh_fill_stream_pallas(
+                qs, ds, a, b, c, d, plan, scheme, True, False, wd,
+                bt=16 if on_tpu else 8,
+            )
+            return outs[0].sum(axis=2)
+
+        dt = _time_device(fn, sargs, n_iter)
+        results[label] = cells / dt / 1e9
+        print(
+            f"[bench] {label}: {dt*1e3:.2f} ms/batch, "
+            f"{results[label]:.2f} GCUPS ({n} pairs x {length} bp, "
+            f"backend={jax.default_backend()})",
+            file=sys.stderr,
+        )
+
+    # fast4 (primary) and score-only at the full batch; the 1-byte
+    # co-optimal dirs tensor exceeds HBM at 4096 pairs, so it runs at 1024.
+    measure("stream_fill+fast4", n_pairs, "fast4", 128 if on_tpu else 2)
+    measure("stream_score_only", n_pairs, False, 128 if on_tpu else 2)
+    measure(
+        "stream_fill+dirs", n_pairs // 4 if on_tpu else n_pairs, True,
+        64 if on_tpu else 2,
+    )
+
+    # --- plain anti-diagonal kernel (comparison, 512 pairs) ---
+    pairs = _make_pairs(rng, 512 if on_tpu else 8, length)
+    batch = pack_batch(pairs, batch_size=len(pairs))
     cells = float(
         (batch.query_len.astype(np.int64) * batch.db_len.astype(np.int64)).sum()
     )
     B, L1 = batch.query.shape
     _, L2 = batch.db.shape
-    scheme = ScoringScheme()
-    results = {}
-
-    # --- streamed-pair kernel (primary): np_slots=32/bt=16 measured best
-    # (35.4 score-only / 29.5 fill+dirs GCUPS vs 34.0/27.9 at 8/8) ---
-    plan = plan_stream(B, L1, L2, np_slots=32 if on_tpu else 2)
-    sargs = tuple(jnp.asarray(a) for a in _stream_args(batch, plan))
-
-    def make_stream(with_dirs):
-        @jax.jit
-        def fn(qs, ds, a, b, c, d):
-            outs, _ = gotoh_fill_stream_pallas(
-                qs, ds, a, b, c, d, plan, scheme, True, False, with_dirs,
-                bt=16 if on_tpu else 8,
-            )
-            return outs[0].sum(axis=2)
-
-        return fn
-
-    for label, wd in (
-        ("stream_fill+dirs", True),
-        ("stream_fill+fast4", "fast4"),
-        ("stream_score_only", False),
-    ):
-        dt = _time_device(make_stream(wd), sargs, n_iter)
-        results[label] = cells / dt / 1e9
-        print(
-            f"[bench] {label}: {dt*1e3:.2f} ms/batch, "
-            f"{results[label]:.2f} GCUPS ({n_pairs} pairs x {length} bp, "
-            f"backend={jax.default_backend()})",
-            file=sys.stderr,
-        )
-
-    # --- plain anti-diagonal kernel (comparison) ---
     P = round_up(L2 + 1, 128)
     s2v = np.zeros((B, P), np.int32)
     s2v[:, 1 : L2 + 1] = batch.db
