@@ -265,10 +265,11 @@ def config5_streaming(on_tpu):
     from sequencealigning_tpu.parallel.runner import DataParallelRunner
     from sequencealigning_tpu.parallel.streaming import stream_align
 
-    n, length, bsz = (8192, 1023, 2048) if on_tpu else (64, 60, 32)
+    n, length, bsz = (32768, 1022, 8192) if on_tpu else (64, 60, 32)
     rng = np.random.default_rng(5)
     pairs = _mkpairs(rng, n, length)
-    runner = DataParallelRunner(np_slots=8, bt=16 if on_tpu else 8)
+    runner = DataParallelRunner(np_slots=64 if on_tpu else 8,
+                                bt=16 if on_tpu else 8)
 
     # Warm up compile on one batch so the rate reflects steady state.
     stream_align(pairs[:bsz], runner=runner, batch_size=bsz)

@@ -51,8 +51,8 @@ class DataParallelRunner:
         backend: str = "auto",
         gather: bool = True,
         kernel: str = "stream",
-        np_slots: int = 8,
-        bt: int = 8,
+        np_slots: int = 32,
+        bt: int = 16,
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scheme = scheme
