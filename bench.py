@@ -135,12 +135,12 @@ def main() -> int:
         )
 
     # fast4 (primary) and score-only at the full batch; the 1-byte
-    # co-optimal dirs tensor exceeds HBM at 4096 pairs, so it runs at 1024.
+    # co-optimal dirs tensor exceeds HBM at 4096 pairs, so it runs at 2048.
     measure("stream_fill+fast4", n_pairs, "fast4", 128 if on_tpu else 2)
     measure("stream_score_only", n_pairs, False, 128 if on_tpu else 2)
     measure(
-        "stream_fill+dirs", n_pairs // 4 if on_tpu else n_pairs, True,
-        64 if on_tpu else 2,
+        "stream_fill+dirs", n_pairs // 2 if on_tpu else n_pairs, True,
+        128 if on_tpu else 2,
     )
 
     # --- plain anti-diagonal kernel (comparison, 512 pairs) ---
