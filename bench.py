@@ -103,7 +103,7 @@ def main() -> int:
     scheme = ScoringScheme()
     results = {}
 
-    def measure(label, n, wd, np_slots):
+    def measure(label, n, wd, np_slots, bt=None):
         pairs = _make_pairs(rng, n, length)
         batch = trim_for_stream(pack_batch(pairs, batch_size=n))
         cells = float(
@@ -117,11 +117,12 @@ def main() -> int:
         plan = plan_stream(B, L1, L2, np_slots=np_slots)
         sargs = tuple(jnp.asarray(a) for a in _stream_args(batch, plan))
 
+        bt_ = bt or (16 if on_tpu else 8)
+
         @jax.jit
         def fn(qs, ds, a, b, c, d):
             outs, _ = gotoh_fill_stream_pallas(
-                qs, ds, a, b, c, d, plan, scheme, True, False, wd,
-                bt=16 if on_tpu else 8,
+                qs, ds, a, b, c, d, plan, scheme, True, False, wd, bt=bt_,
             )
             return outs[0].sum(axis=2)
 
@@ -137,7 +138,12 @@ def main() -> int:
     # fast4 (primary) and score-only at the full batch; the 1-byte
     # co-optimal dirs tensor exceeds HBM at 4096 pairs, so it runs at 2048.
     measure("stream_fill+fast4", n_pairs, "fast4", 128 if on_tpu else 2)
-    measure("stream_score_only", n_pairs, False, 128 if on_tpu else 2)
+    # Score-only tolerates the larger batch tile (bt=32 + dirs crashes this
+    # Mosaic, see PERF.md) and a 2x batch: ~110 GCUPS.
+    measure(
+        "stream_score_only", n_pairs * 2 if on_tpu else n_pairs, False,
+        128 if on_tpu else 2, bt=32 if on_tpu else None,
+    )
     measure(
         "stream_fill+dirs", n_pairs // 2 if on_tpu else n_pairs, True,
         128 if on_tpu else 2,
