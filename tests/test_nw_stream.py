@@ -194,3 +194,35 @@ def test_fast4_pallas_matches_lax():
     r_pal, _ = _stream(pairs, backend="pallas", np_slots=3, with_dirs="fast4")
     np.testing.assert_array_equal(r_lax.finals, r_pal.finals)
     np.testing.assert_array_equal(np.asarray(r_lax.dirs), np.asarray(r_pal.dirs))
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_stream_asymmetric_padded_shapes(compat):
+    """Padded query/db lengths differ (L1p != L2p): exercises S > P (long
+    queries) and S > L1 (long dbs) plus the drain-slot math."""
+    rng = random.Random(59)
+
+    def mk(lo1, hi1, lo2, hi2, n):
+        return [
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(rng.randint(lo1, hi1))),
+                bytes(rng.choice(b"ACGT") for _ in range(rng.randint(lo2, hi2))),
+            )
+            for _ in range(n)
+        ]
+
+    for pairs in (
+        mk(130, 250, 2, 50, 16),    # query pads to 256, db to 128
+        mk(2, 50, 130, 250, 16),    # db pads to 256, query to 128
+    ):
+        batch = pack_batch(pairs, batch_size=16)
+        for backend in ("lax", "pallas"):
+            res = nw_affine_stream_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                compat=compat, with_dirs=False, backend=backend, np_slots=2,
+            )
+            for b, (s1, s2) in enumerate(pairs):
+                exp = oracle_gotoh.gotoh_score(s1, s2, compat=compat)
+                assert int(res.finals[b].max()) == exp, (
+                    backend, b, len(s1), len(s2),
+                )
