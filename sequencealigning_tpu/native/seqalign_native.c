@@ -195,27 +195,6 @@ done:
     return result;
 }
 
-/* Batched variant: pairs share one dirs tensor laid out (D4, B, P).
- * outs: (B, out_cap) char matrix; lens[b] = result code per pair. */
-void gotoh_first_path_batch(const uint32_t *dirs, long d4, long b_total,
-                            long p, const long *n1s, const long *n2s,
-                            int compat, const int *finals /* (B,3) M,I,D */,
-                            char *outs, long out_cap, long *lens) {
-    /* Per-pair slice view: dirs[(d>>2)*B*P + b*P + x].  Repack per pair to
-     * reuse the single-pair walker's (D4, P) indexing. */
-    for (long b = 0; b < b_total; b++) {
-        uint32_t *slice = (uint32_t *)malloc(sizeof(uint32_t) * d4 * p);
-        if (!slice) { lens[b] = -3; continue; }
-        for (long d = 0; d < d4; d++)
-            memcpy(slice + d * p, dirs + (d * b_total + b) * p,
-                   sizeof(uint32_t) * p);
-        lens[b] = gotoh_first_path(
-            slice, d4, p, 0, n1s[b], n2s[b], compat,
-            finals[b * 3 + 0], finals[b * 3 + 1], finals[b * 3 + 2],
-            outs + b * out_cap, out_cap);
-        free(slice);
-    }
-}
 
 /* ------------------------------------------------------- compat WFA ----
  * Native port of ops/oracle_wfa.py (itself a bit-faithful emulation of the
@@ -378,7 +357,15 @@ static int wfa_tensor_new(WTensor *open_t, WTensor *ext_t, WTensor *mis_t,
         }
         long span = planes[k].h - planes[k].l + 1;
         w->el = malloc(span * sizeof(WElem));
-        if (!w->el) { free(ti); free(td); free(tm); return -4; }
+        if (!w->el) {
+            free(ti); free(td); free(tm);
+            for (int q = 0; q < k; q++) {
+                free(planes[q].w->el);
+                planes[q].w->el = NULL;
+                planes[q].w->present = 0;
+            }
+            return -4;
+        }
         memcpy(w->el, planes[k].tmp + (planes[k].l - lo), span * sizeof(WElem));
         w->lo = planes[k].l;
         w->hi = planes[k].h;
@@ -537,7 +524,7 @@ long wfa_compat_align(const uint8_t *s1, long n1, const uint8_t *s2, long n2,
         WTensor *t_ext = (k_ext >= 0 && k_ext < n_wfs) ? &wfs[k_ext] : NULL;
         WTensor *t_mis = (k_mis >= 0 && k_mis < n_wfs) ? &wfs[k_mis] : NULL;
         int rc = wfa_tensor_new(t_open, t_ext, t_mis, &wfs[n_wfs]);
-        if (rc < 0) { result = rc; goto done; }
+        if (rc < 0) { n_wfs += wfs[n_wfs].present ? 1 : 0; result = rc; goto done; }
         if (wfs[n_wfs].present)
             wfa_expand_m(&wfs[n_wfs].m, s1, n1, s2, n2);
         n_wfs += 1;
@@ -575,7 +562,11 @@ long wfa_compat_align(const uint8_t *s1, long n1, const uint8_t *s2, long n2,
                     WTensor *t = (next_score >= 0 && next_score < n_wfs)
                                      ? &wfs[next_score] : NULL;
                     if (!t || !t->present) continue;
-                    if (pi == 0) { /* mismatch */
+                    /* Dispatch by penalty VALUE, exactly like the Python
+                     * oracle's if/elif chain: with colliding penalties
+                     * (e.g. x == e) the mismatch branch shadows the others
+                     * on later iterations too. */
+                    if (d_pen == x_pen) { /* mismatch */
                         if (cur.state != WM && (cur.parents & (1 << WM))) {
                             WElem *w = t->m.present ? wf_get(&t->m, diag) : NULL;
                             if (w) {
@@ -584,7 +575,7 @@ long wfa_compat_align(const uint8_t *s1, long n1, const uint8_t *s2, long n2,
                                 cur = *w; current_score = next_score; moved = 1;
                             }
                         }
-                    } else if (pi == 1) { /* gap extend */
+                    } else if (d_pen == e_pen) { /* gap extend */
                         if (cur.parents & (1 << WD)) {
                             WElem *w = t->d.present ? wf_get(&t->d, diag - 1) : NULL;
                             if (w) {

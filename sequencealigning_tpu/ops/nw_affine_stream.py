@@ -500,11 +500,18 @@ def build_stream_inputs(
     for k in range(NP):
         qstream[:, k * S + 1 : k * S + 1 + L1] = q_r[:, k]
         dstream[:, k * S + 1 : k * S + 1 + L2] = d_r[:, k]
+    return (qstream, dstream) + capture_params(query_len, db_len, plan)
+
+
+def capture_params(query_len, db_len, plan: StreamPlan):
+    """Per-slot capture parameters: (dsy, n2y, dso, n2o), the younger and
+    older (shifted-by-one-slot) views of each pair's n1+n2 / n2, padded
+    with -1 for the drain slots."""
+    NP, R, G = plan.np_slots, plan.n_rows, plan.n_slots_g
     dsum_k = (
         np.asarray(query_len, np.int32) + np.asarray(db_len, np.int32)
     ).reshape(R, NP).T
     n2_k = np.asarray(db_len, np.int32).reshape(R, NP).T
-    G = plan.n_slots_g
     dsy = np.full((G, R, 1), -1, np.int32)
     n2y = np.full((G, R, 1), -1, np.int32)
     dsy[:NP, :, 0] = dsum_k
@@ -514,7 +521,7 @@ def build_stream_inputs(
     hi = min(NP + 1, G)
     dso[1:hi, :, 0] = dsum_k[: hi - 1]
     n2o[1:hi, :, 0] = n2_k[: hi - 1]
-    return qstream, dstream, dsy, n2y, dso, n2o
+    return dsy, n2y, dso, n2o
 
 
 def stream_finals(outs, np_slots: int) -> jax.Array:

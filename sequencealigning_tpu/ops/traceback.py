@@ -299,32 +299,47 @@ def linear_traceback_pair(
     s1 = seq1.decode("latin-1")
     s2 = seq2.decode("latin-1")
 
+    branch_order = (LDOWN, LRIGHT, LDIAG)
     for start in starts:
         if len(hits) >= max_hits:
             break
         q: List[str] = []
         db: List[str] = []
         state = {"siq": 0, "sid": 0}
-        # Iterative DFS with explicit stack of (cell, next-branch cursor).
-        # Recursion mirrors oracle_linear.linear_traceback.
-        import sys
-
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, n1 + n2 + 1000))
-
-        def rec(cur):
-            if len(hits) >= max_hits:
-                return
-            x, y = cur
-            bits = _linear_bits(dirs_b, x, y) & (LDOWN | LRIGHT | LDIAG)
-            if cur == (0, 0) or not bits:
-                hits.append(
-                    ("".join(reversed(q)), "".join(reversed(db)),
-                     state["siq"], state["sid"])
-                )
-                return
-            for bit in (LDOWN, LRIGHT, LDIAG):
-                if not bits & bit:
+        # Explicit-stack DFS (no recursion: a 100 kb pair would otherwise
+        # walk n1+n2 frames deep).  Frame = [cell, branch cursor, bits];
+        # chars pushed when descending into a child are popped when that
+        # child's frame is removed -- identical order to the reference's
+        # recursion (needleman_wunsch.rs:205-254).
+        frames: List[list] = [[start, 0, None]]
+        while frames:
+            frame = frames[-1]
+            (x, y) = frame[0]
+            if frame[1] == 0:
+                # Frame entry (the reference's function prologue).
+                if len(hits) >= max_hits:
+                    frames.pop()
+                    if frames:
+                        q.pop()
+                        db.pop()
+                    continue
+                bits = _linear_bits(dirs_b, x, y) & (LDOWN | LRIGHT | LDIAG)
+                frame[2] = bits
+                if (x, y) == (0, 0) or not bits:
+                    hits.append(
+                        ("".join(reversed(q)), "".join(reversed(db)),
+                         state["siq"], state["sid"])
+                    )
+                    frames.pop()
+                    if frames:
+                        q.pop()
+                        db.pop()
+                    continue
+            descended = False
+            while frame[1] < 3:
+                bit = branch_order[frame[1]]
+                frame[1] += 1
+                if not frame[2] & bit:
                     continue
                 state["siq"] = max(y, 1) - 1
                 state["sid"] = max(x, 1) - 1
@@ -340,14 +355,14 @@ def linear_traceback_pair(
                     q.append(s1[y - 1])
                     db.append(s2[x - 1])
                     nxt = (x - 1, y - 1)
-                rec(nxt)
-                q.pop()
-                db.pop()
-
-        try:
-            rec(start)
-        finally:
-            sys.setrecursionlimit(old)
+                frames.append([nxt, 0, None])
+                descended = True
+                break
+            if not descended:
+                frames.pop()
+                if frames:
+                    q.pop()
+                    db.pop()
     return hits
 
 
@@ -458,7 +473,9 @@ def fast4_traceback_pair(
             x, y = x - 1, y - 1
             if x == 0 and y == 0:
                 break
-            plane = (M, I, D)[_nibble(dirs_b, x + y + d_offset, x) & 3]
+            # Clamp code 3 (never emitted by the fast4 kernel, but possible
+            # when walking a mismatched layout) to D, like the C walker.
+            plane = (M, I, D)[min(_nibble(dirs_b, x + y + d_offset, x) & 3, 2)]
         elif plane == I:
             ops.append("I")
             plane = I if b & 4 else M
@@ -546,6 +563,13 @@ def traceback_stream_batch(
             use_native = False
 
     results = []
+    row_cache = {}
+
+    def row_slice(row):
+        if row not in row_cache:
+            row_cache[row] = np.ascontiguousarray(dirs[:, row, :])
+        return row_cache[row]
+
     for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
         row, _slot, off = plan.pair_coords(b)
         try:
@@ -553,7 +577,7 @@ def traceback_stream_batch(
                 from sequencealigning_tpu import native
 
                 ops = native.gotoh_first_path_native(
-                    dirs[:, row, :], finals[b], len(s1), len(s2), compat,
+                    row_slice(row), finals[b], len(s1), len(s2), compat,
                     d_offset=off,
                 )
                 if ops is not None:

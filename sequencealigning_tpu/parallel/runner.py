@@ -28,6 +28,7 @@ from sequencealigning_tpu.ops.nw_affine import (
     gotoh_fill_pallas,
 )
 from sequencealigning_tpu.ops.nw_affine_stream import (
+    capture_params,
     gotoh_fill_stream_lax,
     gotoh_fill_stream_pallas,
     plan_stream,
@@ -74,11 +75,11 @@ class DataParallelRunner:
         return int(np.prod(self.mesh.devices.shape))
 
     def _sharded_fn(self, l1: int, l2: int, p: int):
-        key = (l1, l2, p)
+        key = (l1, l2, p, self.gather)
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
-        backend = self.backend
+        backend, gather = self.backend, self.gather
 
         def per_shard(seq1, s2v, dsum, n2mask):
             if backend == "pallas":
@@ -91,7 +92,7 @@ class DataParallelRunner:
                     seq1, s2v, dsum, n2mask != 0, l1, l2,
                     scheme, compat, wildcard, with_dirs=False,
                 )
-            if self.gather:
+            if gather:
                 # Result merge over ICI/DCN: every host sees every score.
                 finals = jax.lax.all_gather(
                     finals, "data", axis=0, tiled=True
@@ -99,7 +100,7 @@ class DataParallelRunner:
             return finals
 
         spec = P("data")
-        out_spec = P() if self.gather else P("data")
+        out_spec = P() if gather else P("data")
         fn = jax.jit(
             jax.shard_map(
                 per_shard,
@@ -115,7 +116,7 @@ class DataParallelRunner:
         return fn
 
     def _stream_fn(self, plan):
-        key = ("stream", plan)
+        key = ("stream", plan, self.gather)
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
@@ -169,23 +170,6 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
-    @staticmethod
-    def _capture_params(qlen, dlen, plan):
-        """Per-slot capture params (dsum/n2 for younger + older views)."""
-        NP, R, G = plan.np_slots, plan.n_rows, plan.n_slots_g
-        dsum_k = (qlen + dlen).reshape(R, NP).T
-        n2_k = dlen.reshape(R, NP).T
-        dsy = np.full((G, R, 1), -1, np.int32)
-        n2y = np.full((G, R, 1), -1, np.int32)
-        dsy[:NP, :, 0] = dsum_k
-        n2y[:NP, :, 0] = n2_k
-        dso = np.full((G, R, 1), -1, np.int32)
-        n2o = np.full((G, R, 1), -1, np.int32)
-        hi = min(NP + 1, G)
-        dso[1:hi, :, 0] = dsum_k[: hi - 1]
-        n2o[1:hi, :, 0] = n2_k[: hi - 1]
-        return dsy, n2y, dso, n2o
-
     def _scores_stream(self, batch: PairBatch):
         nd = self.n_devices
         batch = trim_for_stream(batch)
@@ -209,7 +193,7 @@ class DataParallelRunner:
         dlen = pad(np.asarray(batch.db_len, np.int32), 1)
         q_r = q_all.reshape(R, NP, L1)
         d_r = d_all.reshape(R, NP, L2)
-        dsy, n2y, dso, n2o = self._capture_params(qlen, dlen, plan)
+        dsy, n2y, dso, n2o = capture_params(qlen, dlen, plan)
 
         fn = self._stream_fn(plan)
         row = NamedSharding(self.mesh, P("data"))

@@ -217,3 +217,49 @@ def test_native_fast4_walker_matches_python():
         for x in xs
     ]
     assert norm(nat) == norm(py)
+
+
+def test_native_wfa_colliding_penalties_match_python():
+    """Penalty-value collisions (x == e) make the Python oracle's if/elif
+    dispatch shadow later branches; the C port must dispatch by value the
+    same way."""
+    import random
+
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.config import WfaPenalties, WfaPruning
+    from sequencealigning_tpu.errors import AlignmentError
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(113)
+    pen = WfaPenalties(mismatch=6, gap_open=2, gap_extend=6)  # x == e
+    pru = WfaPruning()
+
+    def norm(fn, s1, s2):
+        try:
+            return fn(s1, s2)
+        except AlignmentError as e:
+            return ("err", str(e))
+
+    def py(s1, s2):
+        score, ocean = oracle_wfa.wfa_align(
+            s1, s2, penalties=pen, pruning=pru, max_steps=20_000
+        )
+        a1, a2 = oracle_wfa.wfa_traceback(ocean, s1, s2)
+        return (score, a1, a2)
+
+    def nat(s1, s2):
+        r = native.wfa_compat_align_native(s1, s2, pen, pru, 20_000)
+        assert r is not None
+        return r
+
+    for _ in range(40):
+        n1 = rng.randint(1, 24)
+        n2 = rng.randint(1, 24)
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
+        assert norm(nat, s1, s2) == norm(py, s1, s2), (s1, s2)
