@@ -249,11 +249,17 @@ def config4_banded(on_tpu):
     )
     ok &= bool(alns) and score0 == int(finals[0].max())
 
-    K = 2 * band + 1
+    # Credit the lanes the kernel actually computes: the band is padded to
+    # the batch's length-diff spread and rounded up to 128 lanes.
+    diff = batch.query_len.astype(np.int64) - batch.db_len.astype(np.int64)
+    k_lo_ = int(min(0, diff.min()) - band)
+    k_hi_ = int(max(0, diff.max()) + band)
+    K = -(-(k_hi_ - k_lo_ + 1) // 128) * 128
     band_cells = float(batch.db_len.astype(np.int64).sum()) * K
     return {
         "config": "4-banded-1024x5kb",
         "band_gcups": round(band_cells / dt / 1e9, 3),
+        "band_lanes": K,
         "elapsed_s": round(dt, 4),
         "correct_vs_oracle": bool(ok),
     }

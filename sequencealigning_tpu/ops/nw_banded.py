@@ -64,12 +64,6 @@ def _scan_maxplus(c: jax.Array, e) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "k_lo", "k_hi", "l2", "scheme", "compat", "wildcard", "with_dirs"
-    ),
-)
-@functools.partial(
-    jax.jit,
-    static_argnames=(
         "k_lo", "k_hi", "l2", "scheme", "compat", "wildcard", "with_dirs",
     ),
 )

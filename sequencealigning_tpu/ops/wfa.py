@@ -30,7 +30,7 @@ convergence/trim/score quirks) lives in ops.oracle_wfa.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +40,6 @@ from sequencealigning_tpu.config import WfaPenalties
 from sequencealigning_tpu.errors import AlignmentError
 
 NEG = -(2 ** 20)
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 class WfaBatchResult(NamedTuple):

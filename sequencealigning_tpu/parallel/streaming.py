@@ -23,21 +23,6 @@ from sequencealigning_tpu.io.encode import PairBatch, pack_batch, trim_for_strea
 from sequencealigning_tpu.parallel.runner import DataParallelRunner
 
 
-def batches_from_pairs(
-    pairs: Iterable[Tuple[bytes, bytes]],
-    batch_size: int,
-    len_multiple: int = 128,
-) -> Iterator[PairBatch]:
-    buf: List[Tuple[bytes, bytes]] = []
-    for p in pairs:
-        buf.append(p)
-        if len(buf) >= batch_size:
-            yield pack_batch(buf, batch_size=batch_size, len_multiple=len_multiple)
-            buf = []
-    if buf:
-        yield pack_batch(buf, batch_size=batch_size, len_multiple=len_multiple)
-
-
 def stream_align(
     pairs: Iterable[Tuple[bytes, bytes]],
     runner: Optional[DataParallelRunner] = None,
@@ -59,9 +44,12 @@ def stream_align(
     With cigars=True each batch also runs the fast4 direction fill and a
     host first-path traceback; on_alignments(batch_index, results) receives
     per-pair (score, [(aligned_query, aligned_db)]) tuples or
-    AlignmentError instances.  This path fetches the direction words to the
-    host (~0.5 byte per DP cell), so it is for moderate batches / fat host
-    links; at extreme scale stream scores only, or use the banded engine.
+    AlignmentError instances.  Limitations: the cigar fill runs on the
+    default device via nw_affine_stream_batch (the runner's mesh / kernel
+    / gather knobs apply only to the scores path), and it fetches the
+    direction words to the host (~0.5 byte per DP cell) -- use it for
+    moderate batches / fat host links; at extreme scale stream scores
+    only, or use the banded engine.
     """
     runner = runner or DataParallelRunner()
     start_batch = 0
@@ -123,7 +111,7 @@ def stream_align(
             n_valid = int(batch.valid.sum())
             scores = runner.scores(batch)  # async dispatch
             in_flight.append((i, scores, n_valid, None))
-        while len(in_flight) > max_in_flight:
+        while len(in_flight) >= max_in_flight:
             drain_one()
     while in_flight:
         drain_one()

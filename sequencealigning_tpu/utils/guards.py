@@ -67,10 +67,15 @@ def check_finals(
                 f"{label}[{b}]: score {s} outside admissible "
                 f"[{lo - slack}, {hi}] for lengths ({n1}, {n2})"
             )
-    # Overflow sentinel check: any lane that drifted below ~2x NEG_INF means
-    # sentinel arithmetic leaked into a captured value.
-    if (finals < 4 * NEG_INF).any():
-        raise GuardError(f"{label}: sentinel underflow detected")
+        # Sentinel-underflow check per plane: a legitimate plane value is
+        # either a real score (>= lo - slack) or the -inf sentinel minus at
+        # most the same worst-case gap run; anything below means sentinel
+        # arithmetic leaked and kept decrementing.
+        floor = NEG_INF + (lo - slack)
+        if (finals[b] < floor).any():
+            raise GuardError(
+                f"{label}[{b}]: sentinel underflow (plane below {floor})"
+            )
 
 
 def check_offsets(offsets, n2v, label: str = "wfa offsets") -> None:
@@ -80,6 +85,7 @@ def check_offsets(offsets, n2v, label: str = "wfa offsets") -> None:
 
     o = np.asarray(offsets)
     present = o > -(2 ** 19)
-    bad = np.logical_and(present, o > np.asarray(n2v).reshape(-1, 1))
+    n2 = np.asarray(n2v).reshape(-1, 1)
+    bad = np.logical_and(present, np.logical_or(o < 0, o > n2))
     if bad.any():
-        raise GuardError(f"{label}: offset beyond sequence end")
+        raise GuardError(f"{label}: offset outside [0, n2]")
