@@ -77,13 +77,15 @@ class Records:
 
 def _has_extension(path: Union[str, os.PathLike], ext: str) -> bool:
     """Mirror of Rust ``Path::extension`` comparison (parse.rs:101-106):
-    the extension is everything after the last dot of the final component,
-    and the final component must not *start* with that dot."""
+    the extension is everything after the *last* dot of the final
+    component, unless that dot is the component's first character.  Done
+    by hand because os.path.splitext never splits leading-dot runs, so it
+    rejects names like '..fa' that Rust accepts."""
     base = os.path.basename(os.fspath(path))
-    root, dot_ext = os.path.splitext(base)
-    if not root or not dot_ext:
+    i = base.rfind(".")
+    if i <= 0:
         return False
-    return dot_ext[1:] == ext
+    return base[i + 1 :] == ext
 
 
 def parse_bytes(contents: bytes) -> Records:
@@ -183,5 +185,5 @@ def parse_fasta_lenient(path: Union[str, os.PathLike], warn=None) -> Records:
 def write_fasta(records: Records, path: Union[str, os.PathLike]) -> None:
     """Write records back out (reference: ``Records::_write_to_fa``,
     src/parse.rs:129-132)."""
-    with open(path, "w") as f:
+    with open(path, "w", encoding="latin-1", newline="") as f:
         f.write(records.display())

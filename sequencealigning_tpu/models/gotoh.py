@@ -95,6 +95,22 @@ class GotohAligner(Aligner):
         dirs = np.asarray(res.dirs)
         out = []
         for b, (s1, s2) in enumerate(pairs):
+            if not s1 or not s2:
+                # Degenerate pair: SW score of an empty sequence is 0, and
+                # semi-global end gaps are free -- the masked fill never
+                # updates a candidate cell here and would return sentinels.
+                if local:
+                    out.append(dict(score=0, aligned_query="", aligned_db=""))
+                else:
+                    out.append(
+                        dict(
+                            score=0,
+                            aligned_query=s1.decode("latin-1")
+                            + "-" * len(s2),
+                            aligned_db="-" * len(s1) + s2.decode("latin-1"),
+                        )
+                    )
+                continue
             try:
                 score, x, y = modes_end_cell(res, b)
                 if local:

@@ -30,3 +30,18 @@ DOPEN = 64
 # Local (Smith-Waterman-affine) mode only: M(x,y) restarted from 0 here --
 # the traceback stop condition.
 LSTART = 128
+
+
+def pack_bytes_to_words(bytes_, d_total: int):
+    """Pack a (D, B, P) uint8 per-diagonal byte stack into (ceil(D/4), B, P)
+    uint32 words, little-endian in d -- the shared layout every fill
+    variant must emit and ops.traceback._byte reads."""
+    import jax.numpy as jnp
+
+    d4 = -(-d_total // 4)
+    pad = d4 * 4 - d_total
+    bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
+    w = bytes_.reshape(d4, 4, bytes_.shape[1], bytes_.shape[2]).astype(
+        jnp.uint32
+    )
+    return w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)

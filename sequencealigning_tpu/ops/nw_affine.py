@@ -189,12 +189,7 @@ def _gotoh_fill_lax(
         [fm.sum(axis=1), fi.sum(axis=1), fd.sum(axis=1)], axis=1
     )
     if with_dirs:
-        # Pack (D, B, P) u8 -> (D4, B, P) u32, little-endian in d.
-        D4 = _round_up(D_total, 4) // 4
-        pad = D4 * 4 - D_total
-        bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
-        w = bytes_.reshape(D4, 4, B, P).astype(jnp.uint32)
-        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        dirs = dirbits.pack_bytes_to_words(bytes_, D_total)
     else:
         dirs = None
     return finals, dirs
@@ -299,6 +294,8 @@ def gotoh_fill_pallas(
     of lane n2.  B must be a multiple of 8."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if chunk % 4 != 0:
+        raise ValueError(f"chunk must be a multiple of 4, got {chunk}")
     B, P = s2v.shape
     BT = 8 if B % 8 == 0 else B
     NB = B // BT

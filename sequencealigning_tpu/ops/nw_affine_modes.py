@@ -138,11 +138,7 @@ def _fill_modes_lax(
     )
     bv, bd = carry[6], carry[7]
     if with_dirs:
-        D4 = _round_up(D_total, 4) // 4
-        pad = D4 * 4 - D_total
-        bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
-        w = bytes_.reshape(D4, 4, B, P).astype(jnp.uint32)
-        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        dirs = dirbits.pack_bytes_to_words(bytes_, D_total)
     else:
         dirs = None
     return bv, bd, dirs

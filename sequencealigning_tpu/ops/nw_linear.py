@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from sequencealigning_tpu.ops import dirbits
 from sequencealigning_tpu.config import ScoringScheme
 
 LDOWN, LRIGHT, LDIAG, LISMAX = 1, 2, 4, 8
@@ -114,6 +115,7 @@ def _linear_fill_lax(
         # Validity (needed for local max / ISMAX; global corner capture is
         # exact anyway).
         valid = jnp.logical_and(col_iota <= n2v, col_iota >= d - n1v)
+        valid = jnp.logical_and(valid, col_iota <= d)  # y = d - x >= 0
         valid = jnp.logical_and(valid, d <= dsum)
 
         cap = jnp.logical_and(dsum == d, n2mask)
@@ -153,11 +155,7 @@ def _linear_fill_lax(
     corner_score = corner.sum(axis=1)
     run_max = runmax.max(axis=1)
     if with_dirs:
-        D4 = _round_up(D_total, 4) // 4
-        pad = D4 * 4 - D_total
-        bytes_ = jnp.pad(bytes_, ((0, pad), (0, 0), (0, 0)))
-        w = bytes_.reshape(D4, 4, B, P).astype(jnp.uint32)
-        dirs = w[:, 0] | (w[:, 1] << 8) | (w[:, 2] << 16) | (w[:, 3] << 24)
+        dirs = dirbits.pack_bytes_to_words(bytes_, D_total)
     else:
         dirs = None
     return corner_score, run_max, dirs

@@ -18,8 +18,16 @@ def e_value(
     db_len: int,
     scheme: ScoringScheme = ScoringScheme(),
 ) -> float:
-    """Karlin-Altschul expect value: E = K * m * n * exp(-lambda * S)."""
-    return scheme.k * query_len * db_len * math.exp(-scheme.lambda_ * score)
+    """Karlin-Altschul expect value: E = K * m * n * exp(-lambda * S).
+
+    Computed in log space and capped at the float maximum so strongly
+    negative global scores (exp argument > 709) return a finite huge E
+    instead of raising OverflowError."""
+    log_e = (
+        math.log(scheme.k * max(query_len, 1) * max(db_len, 1))
+        - scheme.lambda_ * score
+    )
+    return math.exp(min(log_e, 709.0))
 
 
 def bit_score(score: float, scheme: ScoringScheme = ScoringScheme()) -> float:
