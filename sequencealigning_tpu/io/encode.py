@@ -23,9 +23,21 @@ for _ch, _v in ENCODE.items():
 
 
 def encode_seq(seq: bytes) -> np.ndarray:
-    """bytes -> int32 one-hot-nibble codes."""
+    """bytes -> int32 one-hot-nibble codes.
+
+    Raises ValueError on bytes outside the uppercase {A,C,G,T,N} alphabet:
+    mapping them silently to PAD would score them as guaranteed mismatches.
+    Strip/clean inputs first (io.fasta.parse_fasta does, with the
+    reference's recoverable CharError semantics)."""
     arr = np.frombuffer(seq, dtype=np.uint8)
-    return _ENCODE_LUT[arr]
+    codes = _ENCODE_LUT[arr]
+    if len(seq) and (codes == 0).any():
+        bad = sorted({chr(b) for b, c in zip(arr, codes) if c == 0})
+        raise ValueError(
+            f"invalid sequence characters {bad}; allowed: A,C,G,T,N "
+            "(parse_fasta strips and reports invalid bytes)"
+        )
+    return codes
 
 
 def decode_seq(codes: Sequence[int]) -> str:

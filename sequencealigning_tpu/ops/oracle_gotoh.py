@@ -79,7 +79,6 @@ def gotoh_fill(
         dc = d[x]
         # D depends only on the previous row: vectorize over y.
         dc[1:] = np.maximum(mp[1:] + o, dp[1:]) + e
-        dc[0] = d[x, 0]
         sub = np.where(s1 == s2[x - 1], mat, mis)
         best_prev = np.maximum(np.maximum(mp[:-1], ip[:-1]), dp[:-1])
         mc[1:] = best_prev + sub
@@ -174,7 +173,7 @@ def gotoh_traceback_all(
     def cell_parents(x: int, y: int, plane: int) -> List[int]:
         if compat:
             if x == 0 and y > 0 and plane == D:
-                return [D] if y >= 1 else []
+                return [D]
             if y == 0 and x > 0 and plane == I:
                 return [I]
             if x == 0 or y == 0:

@@ -141,6 +141,14 @@ def linear_traceback(
     s1 = seq1.decode("latin-1")
     s2 = seq2.decode("latin-1")
 
+    import sys
+
+    # The oracle stays recursive for spec clarity (production walkers in
+    # ops.traceback use explicit stacks); bump the limit once for all
+    # starts rather than per start cell.
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, len(seq1) + len(seq2) + 1000))
+
     for start in starts:
         q: List[str] = []
         db: List[str] = []
@@ -175,12 +183,6 @@ def linear_traceback(
                 q.pop()
                 db.pop()
 
-        import sys
-
-        old = sys.getrecursionlimit()
-        sys.setrecursionlimit(max(old, len(s1) + len(s2) + 1000))
-        try:
-            rec(start)
-        finally:
-            sys.setrecursionlimit(old)
+        rec(start)
+    sys.setrecursionlimit(old)
     return hits

@@ -21,10 +21,17 @@ mode) of the reference's WFA, preserving its documented-by-code quirks:
   I/D spans are then clamped to M's (with release-mode wrapping semantics on
   the truncate length).  Skipped while hi-lo <= MINLENGTH=5.
 * Traceback (rec_tr, wfa.rs:654-853) returns ONE alignment and starts from
-  current_score == len(wfs) (one past the final tensor index), so it probes
-  predecessor tensors off by one; branch conditions and lookup order are
-  replicated verbatim.  Rust slice panics (start > end) and usize underflow
-  surface here as ``AlignmentError``.
+  current_score == len(wfs) (one past the final tensor index, verbatim from
+  Ocean::traceback passing ``l = wfs.len()``), so it probes predecessor
+  tensors off by one.  **Consequence at the default penalties** (x=4, o=2,
+  e=6 -- all reachable scores are even): every probe (s-4 / s-6 / s-8 from
+  an odd start) lands on an always-empty odd slot, the first iteration
+  falls through to the "huh" partial return, and the printed alignment is
+  EMPTY.  That is what the Rust binary does too; odd user penalties make
+  the branches reachable.  Branch dispatch is by penalty VALUE (matching
+  the Rust's ``if next_score_d == m`` chain), so colliding penalties shadow
+  later branches identically.  Rust slice panics (start > end) and usize
+  underflow surface here as ``AlignmentError``.
 
 The textbook implementation (correct scores, proper adaptive heuristic)
 lives in wfa_textbook_* functions below and is the default for
