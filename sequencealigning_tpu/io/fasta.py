@@ -68,6 +68,14 @@ class Records:
     def __iter__(self) -> Iterator[Record]:
         return iter(self.records)
 
+    def drain(self) -> Iterator[Record]:
+        """Consume records back-to-front (reference: the ``Iterator`` impl
+        for ``Records`` pops from the back, src/parse.rs:121-126; unused by
+        the reference's own main).  ``__iter__`` stays front-to-back so the
+        driver loop order matches src/main.rs:61-78."""
+        while self.records:
+            yield self.records.pop()
+
     def __len__(self) -> int:
         return len(self.records)
 

@@ -28,6 +28,9 @@ class PairResult:
     alignments: Optional[List[Tuple[str, str]]] = None
     error: Optional[str] = None
     elapsed_s: float = 0.0
+    # Alignment mode ("global"/"local"/"semi-global"), set by align_batch;
+    # scopes the Karlin-Altschul statistics below.
+    mode: Optional[str] = None
 
     @property
     def ok(self) -> bool:
@@ -40,6 +43,8 @@ class PairResult:
         if self.score is not None and self.aligned_query is not None:
             # Karlin-Altschul statistics (the reference reserves lambda/K,
             # src/align.rs:15-16, but never uses them; here they work).
+            # The constants are for local ungapped alignment, so global-mode
+            # values are labeled approximate (stats_domain).
             from sequencealigning_tpu.utils.stats import bit_score, e_value
 
             n1 = len(self.aligned_query.replace("-", ""))
@@ -47,6 +52,11 @@ class PairResult:
             if n1 and n2:
                 d["e_value"] = e_value(self.score, n1, n2)
                 d["bit_score"] = bit_score(self.score)
+                d["stats_domain"] = (
+                    "local"
+                    if self.mode in ("local", "semi-global")
+                    else "approx_global"
+                )
         return d
 
     def fill_derived(self) -> "PairResult":
@@ -86,6 +96,7 @@ class Aligner:
                 query_name=q.name.decode("latin-1"),
                 db_name=d.name.decode("latin-1"),
                 elapsed_s=elapsed / max(len(pairs), 1),
+                mode=self.config.mode.value,
             )
             if isinstance(r, AlignerError):
                 pr.error = str(r)

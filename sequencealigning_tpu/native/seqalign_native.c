@@ -760,6 +760,9 @@ void fast4_first_path_batch(const uint32_t *dirs, long rows, long p,
     if (n_threads > 64) n_threads = 64;
     if (n_threads > b_total) n_threads = (int)(b_total > 0 ? b_total : 1);
     pthread_t tids[64];
+    /* pthread_t is opaque (may be a struct off-glibc); track thread-started
+     * state in a separate flag array instead of overloading tids values. */
+    int running[64] = {0};
     F4Task tasks[64];
     long per = (b_total + n_threads - 1) / n_threads;
     int started = 0;
@@ -772,12 +775,12 @@ void fast4_first_path_batch(const uint32_t *dirs, long rows, long p,
         if (pthread_create(&tids[k], NULL, f4_worker, &tasks[k]) != 0) {
             /* fall back to inline execution for this span */
             f4_worker(&tasks[k]);
-            tids[k] = 0;
             started = k + 1;
             continue;
         }
+        running[k] = 1;
         started = k + 1;
     }
     for (int k = 0; k < started; k++)
-        if (tids[k]) pthread_join(tids[k], NULL);
+        if (running[k]) pthread_join(tids[k], NULL);
 }

@@ -27,11 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.io.encode import round_up as _round_up
 from sequencealigning_tpu.ops import dirbits
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from sequencealigning_tpu.ops.nw_affine import _gotoh_step
 
 
 class ModesResult(NamedTuple):
@@ -53,48 +51,22 @@ def _fill_modes_lax(
 ):
     B, P = s2v.shape
     D_total = l1 + l2 + 1
-    o = jnp.int32(scheme.gap_open)
-    e = jnp.int32(scheme.gap_extend)
     neg = jnp.full_like(s2v, NEG_INF)
     NEGBIG = jnp.int32(-(2 ** 24))
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, P), 1)
     roll = lambda a: jnp.roll(a, 1, axis=1)
+    mode = "local" if local else "semi"
 
     def body(carry, d):
         H2, H1, M1, I1, D1, s1d, bv, bd = carry
         idx = jnp.clip(d - 1, 0, seq1.shape[1] - 1)
         seq1_col = jax.lax.dynamic_slice_in_dim(seq1, idx, 1, axis=1)
-        s1d_new = jnp.where(col_iota == 0, seq1_col, roll(s1d))
-
-        if wildcard:
-            eq = (s1d_new & s2v) != 0
-        else:
-            eq = s1d_new == s2v
-        sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
-
-        H2r = roll(H2)
-        M1r = roll(M1)
-        D1r = roll(D1)
-        M = H2r + sub
-        restart = jnp.zeros_like(M) != 0
-        if local:
-            restart = M < 0
-            M = jnp.maximum(M, 0)
-        dd = M1r + o
-        D = jnp.maximum(dd, D1r) + e
-        ii = M1 + o
-        I = jnp.maximum(ii, I1) + e
-
-        lane_d = col_iota == d
-        lane_0 = col_iota == 0
-        on_b = jnp.logical_or(lane_0, lane_d)
-        # Boundary: M = 0 (fresh start / free end gap), I = D = -inf.
-        M = jnp.where(on_b, 0, M)
-        I = jnp.where(on_b, NEG_INF, I)
-        D = jnp.where(on_b, NEG_INF, D)
-        restart = jnp.where(on_b, local, restart)
-
-        H = jnp.maximum(M, jnp.maximum(I, D))
+        # One shared copy of the Gotoh recurrence + dirs emission
+        # (ops.nw_affine._gotoh_step); only the boundary hook differs.
+        M, I, D, H, s1d_new, byte = _gotoh_step(
+            H2, H1, M1, I1, D1, s1d, seq1_col, s2v, col_iota, d,
+            scheme, False, wildcard, roll, with_dirs, mode=mode,
+        )
 
         # Validity within each pair's true rectangle.
         y = d - col_iota
@@ -114,18 +86,7 @@ def _fill_modes_lax(
         bv = jnp.where(upd, score_here, bv)
         bd = jnp.where(upd, d, bd)
 
-        if with_dirs:
-            b = (M == H).astype(jnp.int32) * dirbits.HM
-            b |= (I == H).astype(jnp.int32) * dirbits.HI
-            b |= (D == H).astype(jnp.int32) * dirbits.HD
-            b |= (I1 >= ii).astype(jnp.int32) * dirbits.IEXT
-            b |= (ii >= I1).astype(jnp.int32) * dirbits.IOPEN
-            b |= (D1r >= dd).astype(jnp.int32) * dirbits.DEXT
-            b |= (dd >= D1r).astype(jnp.int32) * dirbits.DOPEN
-            b |= restart.astype(jnp.int32) * dirbits.LSTART
-            out = b.astype(jnp.uint8)
-        else:
-            out = jnp.zeros((), jnp.uint8)
+        out = byte.astype(jnp.uint8) if with_dirs else jnp.zeros((), jnp.uint8)
         return (H1, H, M, I, D, s1d_new, bv, bd), out
 
     zeros = jnp.zeros_like(s2v)

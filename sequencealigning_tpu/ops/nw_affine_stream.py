@@ -54,6 +54,12 @@ from sequencealigning_tpu.ops import dirbits
 from sequencealigning_tpu.ops.nw_affine import _boundary_scalars, _round_up
 
 
+# Empirical single-kernel lane budget at the minimum row tile (BT=8): the 7
+# (8, P) int32 state buffers fit Mosaic's VMEM allocator up to ~48k lanes
+# (round-1 measurement).  Larger row tiles scale the limit down by 8/BT.
+_STATE_LANE_BUDGET = 49_152
+
+
 class StreamPlan(NamedTuple):
     """Layout of a streamed fill.  Pair b is slot (b % np_slots) of row
     (b // np_slots); its direction bytes use d_offset = slot * s."""
@@ -92,14 +98,14 @@ def plan_stream(
     t_need = (np_slots - 1) * s + d_total
     n_slots_g = -(-t_need // s)
     p = _round_up(l2 + 2, 128)
-    # 7 state buffers x (8, P) i32 + dirs chunk must fit VMEM (~16 MB);
-    # beyond ~50 kb pairs this kernel needs lane-axis sharding (out of
-    # scope, docs/architecture.md) -- fail with a useful pointer instead
-    # of an opaque Mosaic allocation error.
-    if p > 49_152:
+    # The VMEM feasibility check lives in gotoh_fill_stream_pallas where the
+    # row-tile BT is known (scratch is 7 * BT * P * 4 bytes); plan_stream
+    # only rejects widths that no BT can carry.
+    if p > _STATE_LANE_BUDGET:
         raise ValueError(
             f"pair length {l2} exceeds the single-kernel VMEM budget "
-            "(~48k lanes); use the banded or WFA engines for long pairs"
+            f"(~{_STATE_LANE_BUDGET // 1024}k lanes); use "
+            "nw_affine_tiled_batch (ops.nw_affine_tiled) for long pairs"
         )
     return StreamPlan(
         n_pairs=n_pairs, np_slots=np_slots, n_rows=n_rows, s=s, chunk=chunk,
@@ -410,6 +416,16 @@ def gotoh_fill_stream_pallas(
     R = qstream.shape[0]
     P = plan.p
     BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
+    # VMEM feasibility at the actual row tile: scratch is 7 * BT * P * 4
+    # bytes, so the lane budget shrinks as 8/BT (ADVICE round 1: the
+    # plan-time guard assumed BT=8 and let larger tiles hit an opaque
+    # Mosaic allocation error).
+    if not interpret and BT * P > 8 * _STATE_LANE_BUDGET:
+        raise ValueError(
+            f"lane width {P} with row tile bt={BT} exceeds the VMEM state "
+            f"budget ({8 * _STATE_LANE_BUDGET // BT} lanes at this bt); "
+            "lower bt or use ops.nw_affine_tiled for long pairs"
+        )
     NB = R // BT
     NCC = plan.s // plan.chunk
     J = (plan.n_slots_g + 1) // 2

@@ -32,11 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.io.encode import round_up as _round_up
 from sequencealigning_tpu.ops import dirbits
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 class BandedResult(NamedTuple):

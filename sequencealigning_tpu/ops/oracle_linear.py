@@ -148,41 +148,42 @@ def linear_traceback(
     # starts rather than per start cell.
     old = sys.getrecursionlimit()
     sys.setrecursionlimit(max(old, len(seq1) + len(seq2) + 1000))
+    try:
+        for start in starts:
+            q: List[str] = []
+            db: List[str] = []
+            state = {"siq": 0, "sid": 0}
 
-    for start in starts:
-        q: List[str] = []
-        db: List[str] = []
-        state = {"siq": 0, "sid": 0}
+            def rec(cur: Tuple[int, int]) -> None:
+                if len(hits) >= max_hits:
+                    return
+                i, j = cur
+                if cur == (0, 0) or not paths[i][j]:
+                    hits.append(
+                        ("".join(reversed(q)), "".join(reversed(db)),
+                         state["siq"], state["sid"])
+                    )
+                    return
+                for p in paths[i][j]:
+                    state["siq"] = max(i, 1) - 1
+                    state["sid"] = max(j, 1) - 1
+                    if p == DOWN:
+                        q.append(s1[i - 1])
+                        db.append("-")
+                        nxt = (i - 1, j)
+                    elif p == RIGHT:
+                        q.append("-")
+                        db.append(s2[j - 1])
+                        nxt = (i, j - 1)
+                    else:
+                        q.append(s1[i - 1])
+                        db.append(s2[j - 1])
+                        nxt = (i - 1, j - 1)
+                    rec(nxt)
+                    q.pop()
+                    db.pop()
 
-        def rec(cur: Tuple[int, int]) -> None:
-            if len(hits) >= max_hits:
-                return
-            i, j = cur
-            if cur == (0, 0) or not paths[i][j]:
-                hits.append(
-                    ("".join(reversed(q)), "".join(reversed(db)),
-                     state["siq"], state["sid"])
-                )
-                return
-            for p in paths[i][j]:
-                state["siq"] = max(i, 1) - 1
-                state["sid"] = max(j, 1) - 1
-                if p == DOWN:
-                    q.append(s1[i - 1])
-                    db.append("-")
-                    nxt = (i - 1, j)
-                elif p == RIGHT:
-                    q.append("-")
-                    db.append(s2[j - 1])
-                    nxt = (i, j - 1)
-                else:
-                    q.append(s1[i - 1])
-                    db.append(s2[j - 1])
-                    nxt = (i - 1, j - 1)
-                rec(nxt)
-                q.pop()
-                db.pop()
-
-        rec(start)
-    sys.setrecursionlimit(old)
+            rec(start)
+    finally:
+        sys.setrecursionlimit(old)
     return hits

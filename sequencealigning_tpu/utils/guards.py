@@ -26,13 +26,14 @@ def score_bounds(n1: int, n2: int, scheme: ScoringScheme):
 
     upper: min(n1, n2) matches plus one gap covering the length difference.
     lower: all-mismatch on the overlap plus the length-difference gap, or
-    the two-full-gaps alignment, whichever is worse.
+    the two-full-gaps alignment -- both are achievable alignments, so the
+    optimum is >= each of them: take the max (the tighter bound).
     """
     o, e, m, x = scheme.gap_open, scheme.gap_extend, scheme.match_, scheme.mismatch
     diff = abs(n1 - n2)
     gap_diff = (o + diff * e) if diff else 0
     upper = min(n1, n2) * m + gap_diff
-    lower = min(
+    lower = max(
         min(n1, n2) * x + gap_diff,
         (o + n1 * e) + (o + n2 * e),
     )

@@ -159,6 +159,9 @@ def test_result_json_includes_karlin_altschul_stats():
     assert math.isclose(d["bit_score"], bit_score(res.score))
     # Identity alignment of 8 bp at +5/match: sanity-check the formulas.
     assert d["bit_score"] > 0
+    # Karlin-Altschul constants are for local ungapped alignment; a
+    # global-mode result must carry the approximate-domain label.
+    assert d["stats_domain"] == "approx_global"
 
 
 def test_gotoh_first_only_matches_score():

@@ -137,3 +137,13 @@ def test_multiline_sequence_joined():
 
 def test_empty_file_has_no_records():
     assert len(parse_bytes(b"").records) == 0
+
+
+def test_drain_pops_from_back():
+    """Records::drain mirrors the reference's pop-from-back Iterator impl
+    (src/parse.rs:121-126); __iter__ stays front-to-back for the driver."""
+    res = parse_bytes(b">A\nAC\n>B\nGT\n>C\nTT\n")
+    assert [r.name for r in res] == [b">A", b">B", b">C"]
+    drained = list(res.drain())
+    assert [r.name for r in drained] == [b">C", b">B", b">A"]
+    assert len(res) == 0
