@@ -488,6 +488,67 @@ def fast4_traceback_pair(
     return score, [_apply_ops("".join(ops), seq1, seq2)]
 
 
+def banded_fast4_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    k_lo: int,
+    compat: bool = True,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """First-path traceback for ops.nw_banded's fast4 layout: the 4-bit
+    code of cell (x, y) lives at word dirs[x//8, (y-x)-k_lo], shift
+    4*(x%8).  Same code semantics as fast4_traceback_pair."""
+    n1, n2 = len(seq1), len(seq2)
+    score = int(finals_b.max())
+
+    def nib(x: int, y: int) -> int:
+        k = (y - x) - k_lo
+        if k < 0 or k >= dirs_b.shape[1]:
+            return 0
+        return int(dirs_b[x >> 3, k] >> (4 * (x & 7))) & 0xF
+
+    if int(finals_b[M]) == score:
+        plane = M
+    elif int(finals_b[I]) == score:
+        plane = I
+    else:
+        plane = D
+
+    ops: List[str] = []
+    x, y = n2, n1
+    guard = n1 + n2 + 4
+    while x > 0 or y > 0:
+        guard -= 1
+        if guard < 0:
+            raise AlignmentError("banded fast4 traceback did not terminate")
+        if x == 0:
+            ops.append("I")
+            y -= 1
+            continue
+        if y == 0:
+            ops.append("D")
+            x -= 1
+            continue
+        b = nib(x, y)
+        if plane == M:
+            ops.append("M")
+            x, y = x - 1, y - 1
+            if x == 0 and y == 0:
+                break
+            plane = (M, I, D)[min(nib(x, y) & 3, 2)]
+        elif plane == I:
+            ops.append("I")
+            plane = I if b & 4 else M
+            y -= 1
+        else:
+            ops.append("D")
+            plane = D if b & 8 else M
+            x -= 1
+    ops.reverse()
+    return score, [_apply_ops("".join(ops), seq1, seq2)]
+
+
 def traceback_stream_batch(
     dirs: np.ndarray,
     finals: np.ndarray,
