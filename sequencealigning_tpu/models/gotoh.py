@@ -30,6 +30,15 @@ from sequencealigning_tpu.ops.traceback import (
 
 
 class GotohAligner(Aligner):
+    # Longest db the streamed kernel can hold in VMEM (lanes at bt=8,
+    # ops.nw_affine_stream._STATE_LANE_BUDGET); beyond it pairs take the
+    # tiled-score + verified-banded-alignment path (the reference has no
+    # ceiling but its Rc cell grid OOMs far earlier,
+    # needleman_wunsch_affine.rs:67-74).
+    long_pair_lanes = 49_152
+    # Band-doubling cap for the long-pair alignment search.
+    long_pair_max_band = 4096
+
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
         if self.config.mode is not Mode.GLOBAL:
             if self.config.compat:
@@ -39,6 +48,8 @@ class GotohAligner(Aligner):
         batch = trim_for_stream(
             pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
         )
+        if batch.db.shape[1] + 2 > self.long_pair_lanes:
+            return self._long_batch(pairs, batch)
         # The streamed-pair kernel (~1.6x the plain sweep) produces
         # identical finals/dirs semantics; pipeline depth bounded by the
         # batch so tiny batches degenerate gracefully to depth 1.
@@ -82,6 +93,70 @@ class GotohAligner(Aligner):
                     aligned_db=alns[0][1],
                     alignments=alns,
                 )
+            )
+        return out
+
+    def _long_batch(self, pairs: List[Tuple[bytes, bytes]], batch):
+        """Long-pair path (db beyond the streamed kernel's VMEM lanes):
+
+        1. exact corner finals via the tiled fill (ops.nw_affine_tiled,
+           score-only, any length);
+        2. alignment via a banded fast4 fill with band doubling until the
+           banded score MATCHES the exact score -- at that point the banded
+           path is provably optimal (Ukkonen-style verification).
+
+        If the optimum still escapes the capped band the exact score is
+        returned with no alignment (aligned_query=None) -- explicit, not
+        silent: the CLI prints the score-only form.
+        """
+        from sequencealigning_tpu.ops.nw_affine_tiled import (
+            nw_affine_tiled_batch,
+        )
+        from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+        from sequencealigning_tpu.ops.traceback import (
+            banded_fast4_traceback_pair,
+        )
+
+        exact = nw_affine_tiled_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=self.config.scoring, compat=self.config.compat,
+        )
+        n = len(pairs)
+        scores = exact[:n].max(axis=1)
+        out: List = [None] * n
+        pending = list(range(n))
+        band = max(self.config.band, 128)
+        while pending and band <= self.long_pair_max_band:
+            res = nw_banded_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                band=band, scheme=self.config.scoring,
+                compat=self.config.compat, with_dirs="fast4",
+            )
+            bf = np.asarray(res.finals)[:n]
+            dirs = None
+            still = []
+            for b in pending:
+                if int(bf[b].max()) != int(scores[b]):
+                    still.append(b)
+                    continue
+                if dirs is None:
+                    dirs = np.asarray(res.dirs)  # one device fetch per round
+                try:
+                    score, alns = banded_fast4_traceback_pair(
+                        dirs[:, b, :], bf[b], pairs[b][0], pairs[b][1],
+                        res.k_lo, compat=self.config.compat,
+                    )
+                    out[b] = dict(
+                        score=score, aligned_query=alns[0][0],
+                        aligned_db=alns[0][1], alignments=alns,
+                    )
+                except AlignerError as e:
+                    out[b] = e
+            pending = still
+            band *= 2
+        for b in pending:
+            out[b] = dict(
+                score=int(scores[b]), aligned_query=None, aligned_db=None
             )
         return out
 

@@ -1,0 +1,130 @@
+"""Tiled long-pair affine fill: tile-boundary carry == full Gotoh oracle,
+and the GotohAligner long-pair path (exact score + verified banded
+alignment)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from sequencealigning_tpu.io.encode import pack_batch
+from sequencealigning_tpu.ops import oracle_gotoh
+from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_batch
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def _pairs(seed, n=8, lo=1, hi=300):
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        n1 = rng.randint(lo, hi)
+        n2 = rng.randint(lo, hi)
+        out.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    return out
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_tiled_lax_matches_oracle_across_tiles(compat):
+    """tile_lanes=128 forces multi-tile boundary carries at these sizes."""
+    pairs = _pairs(31, hi=300)
+    batch = pack_batch(pairs, batch_size=8)
+    finals = nw_affine_tiled_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, tile_lanes=128, backend="lax",
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
+        exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+        assert tuple(int(v) for v in finals[b]) == exp, (b, s1, s2)
+
+
+def test_tiled_matches_plain_fill_and_edges():
+    """Tiled finals == the plain full fill on a mixed batch including a
+    single-char and an empty-db pair (closed-form corner)."""
+    from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
+
+    pairs = _pairs(37, n=6, hi=150) + [(b"ACGT", b"A"), (b"ACG", b"")]
+    batch = pack_batch(pairs, batch_size=8)
+    tiled = nw_affine_tiled_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=True, tile_lanes=128, backend="lax",
+    )
+    full = np.asarray(
+        nw_affine_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            compat=True, with_dirs=False, backend="lax",
+        ).finals
+    )
+    assert np.array_equal(tiled[: len(pairs)], full[: len(pairs)])
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="pallas tile fill in interpret mode is minutes-slow"
+)
+@pytest.mark.parametrize("compat", [True, False])
+def test_tiled_pallas_matches_oracle(compat):
+    pairs = _pairs(41, hi=500)
+    batch = pack_batch(pairs, batch_size=8)
+    finals = nw_affine_tiled_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        compat=compat, tile_lanes=256, backend="pallas",
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
+        exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+        assert tuple(int(v) for v in finals[b]) == exp, (b, s1, s2)
+
+
+def test_long_pair_model_path(monkeypatch):
+    """GotohAligner routes over-budget batches through tiled score +
+    band-doubled verified alignment.  Exercised at CPU scale by lowering
+    the lane threshold."""
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+
+    al = get_aligner(AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH))
+    monkeypatch.setattr(type(al), "long_pair_lanes", 64)
+    rng = random.Random(43)
+    n = 200
+    s1 = bytes(rng.choice(b"ACGT") for _ in range(n))
+    s2l = list(s1)
+    for i in range(0, n, 17):
+        s2l[i] = rng.choice(b"ACGT")
+    del s2l[50:55]  # an indel to exercise off-diagonal alignment
+    s2 = bytes(s2l)
+
+    res = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+    assert res.ok, res.error
+    assert res.score == oracle_gotoh.gotoh_score(s1, s2)
+    assert res.aligned_query is not None
+    # The alignment must reproduce the two sequences when gaps are removed.
+    assert res.aligned_query.replace("-", "") == s1.decode()
+    assert res.aligned_db.replace("-", "") == s2.decode()
+
+
+def test_long_pair_band_escape_returns_exact_score(monkeypatch):
+    """If the optimum escapes even the max band, the exact score is still
+    returned (alignment explicitly absent)."""
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+
+    al = get_aligner(AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH))
+    monkeypatch.setattr(type(al), "long_pair_lanes", 64)
+    monkeypatch.setattr(type(al), "long_pair_max_band", 2)
+    # Optimal path needs a 60-long gap: escapes band 2 (and the doubling
+    # cap) but the tiled score is exact regardless.
+    s1 = b"G" * 60 + b"A" * 40
+    s2 = b"A" * 40
+    res = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+    assert res.ok
+    assert res.score == oracle_gotoh.gotoh_score(s1, s2)
+    assert res.aligned_query is None
