@@ -50,6 +50,17 @@ class GotohAligner(Aligner):
         )
         if batch.db.shape[1] + 2 > self.long_pair_lanes:
             return self._long_batch(pairs, batch)
+        n_sub = self._dirs_chunks(batch, len(pairs))
+        if n_sub > 1:
+            # Chunked dirs draining (round-1 gap: the 1-byte co-optimal
+            # dirs tensor exceeds HBM around 4096 x 2kb pairs in one
+            # sweep).  Fill-and-drain per sub-batch; each drain frees the
+            # previous dirs tensor before the next fill allocates.
+            out: List = []
+            per = -(-len(pairs) // n_sub)
+            for lo in range(0, len(pairs), per):
+                out.extend(self._align_batch_impl(pairs[lo : lo + per]))
+            return out
         # The streamed-pair kernel (~1.6x the plain sweep) produces
         # identical finals/dirs semantics; pipeline depth bounded by the
         # batch so tiny batches degenerate gracefully to depth 1.
@@ -95,6 +106,24 @@ class GotohAligner(Aligner):
                 )
             )
         return out
+
+    # HBM budget for the direction tensor of one streamed fill; beyond it
+    # the batch fills in sub-batches drained sequentially.
+    dirs_hbm_budget = 9 * 2 ** 30
+
+    def _dirs_chunks(self, batch, n_pairs: int) -> int:
+        """Number of fill-and-drain sub-batches needed to keep the dirs
+        tensor under budget.  Per pair the streamed layout stores ~s * P
+        bytes (1 byte/cell full mode, 1/2 byte fast4)."""
+        from sequencealigning_tpu.io.encode import round_up
+
+        l1 = batch.query.shape[1]
+        l2 = batch.db.shape[1]
+        s = round_up(max(l1, l2) + 1, 128)
+        p = round_up(l2 + 2, 128)
+        per_byte = 1.0 if not getattr(self.config, "first_only", False) else 0.5
+        total = n_pairs * s * p * per_byte
+        return max(1, int(-(-total // self.dirs_hbm_budget)))
 
     def _long_batch(self, pairs: List[Tuple[bytes, bytes]], batch):
         """Long-pair path (db beyond the streamed kernel's VMEM lanes):

@@ -5,8 +5,13 @@ Reference: wfa_align (src/wfa.rs:23-42), Global mode only (:24-27).
 * compat=True: the bit-faithful host emulation (ops.oracle_wfa), score
   reported as len(wavefronts) with the reference's convergence quirks.
 * compat=False: the batched TPU textbook engine (ops.wfa) -- correct
-  penalties, static-band pruning, host traceback from offset histories;
-  band escapes fall back to the exact scalar oracle."""
+  penalties, static-band pruning, host traceback from the offset log.
+  Band escapes re-run with a doubled band (the adaptive behavior of the
+  reference's trim, src/wfa.rs:490-623, as retry instead of in-loop
+  reallocation); pairs that still escape fall through to the exact
+  Gotoh engine under the penalty-converted scheme (match=0), so every
+  pair always gets BOTH an exact penalty and an alignment (round 1
+  returned a score with no alignment on escape)."""
 
 from __future__ import annotations
 
@@ -70,28 +75,79 @@ class WfaAligner(Aligner):
                 out.append(e)
         return out
 
+    # Band-doubling cap for escape retries (larger bands square the
+    # run-length table's memory; beyond this the Gotoh fallback is both
+    # exact and cheaper).
+    wfa_max_band = 256
+
     def _textbook_batch(self, pairs):
-        batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
-        res = wfa_textbook_batch(
-            batch.query, batch.db, batch.query_len, batch.db_len,
-            penalties=self.config.wfa_penalties,
-            band=self.config.band,
-        )
-        converged = np.asarray(res.converged)
-        out = []
-        for b, (s1, s2) in enumerate(pairs):
+        out = [None] * len(pairs)
+        pending = list(range(len(pairs)))
+        band = self.config.band
+        while pending and band <= self.wfa_max_band:
+            sub = [pairs[i] for i in pending]
+            batch = pack_batch(
+                sub, batch_size=max(8, -(-len(sub) // 8) * 8)
+            )
             try:
-                if converged[b]:
+                res = wfa_textbook_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len,
+                    penalties=self.config.wfa_penalties, band=band,
+                )
+            except AlignmentError:
+                break  # beyond the int16 offset cap: exact fallback below
+            converged = np.asarray(res.converged)
+            still = []
+            for j, i in enumerate(pending):
+                if not converged[j]:
+                    still.append(i)
+                    continue
+                try:
                     score, a1, a2 = wfa_traceback_host(
-                        res, b, s1, s2, self.config.wfa_penalties
+                        res, j, pairs[i][0], pairs[i][1],
+                        self.config.wfa_penalties,
                     )
-                else:
-                    # Band escape: exact scalar fallback.
-                    score = oracle_wfa.wfa_textbook_score(
-                        s1, s2, self.config.wfa_penalties
+                    out[i] = dict(
+                        score=score, aligned_query=a1, aligned_db=a2
                     )
-                    a1 = a2 = None
-                out.append(dict(score=score, aligned_query=a1, aligned_db=a2))
-            except AlignerError as e:
-                out.append(e)
+                except AlignerError as e:
+                    out[i] = e
+            pending = still
+            band *= 2
+        if pending:
+            self._gotoh_fallback(pairs, pending, out)
         return out
+
+    def _gotoh_fallback(self, pairs, pending, out):
+        """Exact escape path: gap-affine min-penalty == negated textbook
+        Gotoh under (match=0, -x, -o, -e), so the Gotoh engine provides
+        both the exact penalty and an alignment for any pair."""
+        import dataclasses
+
+        from sequencealigning_tpu.config import ScoringScheme
+        from sequencealigning_tpu.models.gotoh import GotohAligner
+
+        pen = self.config.wfa_penalties
+        cfg = dataclasses.replace(
+            self.config,
+            scoring=ScoringScheme(
+                match_=0, mismatch=-pen.mismatch,
+                gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+            ),
+            compat=False,
+            first_only=True,
+        )
+        sub = [pairs[i] for i in pending]
+        for i, r in zip(pending, GotohAligner(cfg)._align_batch_impl(sub)):
+            if isinstance(r, AlignerError):
+                out[i] = r
+            elif r.get("aligned_query") is None:
+                out[i] = dict(
+                    score=-r["score"], aligned_query=None, aligned_db=None
+                )
+            else:
+                out[i] = dict(
+                    score=-r["score"],
+                    aligned_query=r["aligned_query"],
+                    aligned_db=r["aligned_db"],
+                )

@@ -193,3 +193,34 @@ def test_gotoh_first_only_matches_score():
         assert r.ok, r.error
         assert r.score == oracle_gotoh.gotoh_score(q.seq, d.seq)
         assert r.aligned_query.replace("-", "").encode() == q.seq
+
+
+def test_gotoh_dirs_chunking_matches_unchunked(monkeypatch):
+    """Over-budget co-optimal batches fill in drained sub-batches with
+    identical results (round-1 gap: full dirs exceeded HBM at 4096 pairs)."""
+    import random
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+
+    rng = random.Random(7)
+    recs = [
+        Record(
+            seq=bytes(rng.choice(b"ACGT") for _ in range(rng.randint(5, 40))),
+            name=f">r{i}".encode(),
+        )
+        for i in range(12)
+    ]
+    pairs = [(recs[i], recs[(i * 5 + 3) % 12]) for i in range(12)]
+    al = get_aligner(AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH))
+    plain = [
+        (r.score, r.aligned_query, r.aligned_db, r.alignments)
+        for r in al.align_batch(pairs)
+    ]
+    monkeypatch.setattr(type(al), "dirs_hbm_budget", 20_000)  # ~4 sub-batches
+    chunked = [
+        (r.score, r.aligned_query, r.aligned_db, r.alignments)
+        for r in al.align_batch(pairs)
+    ]
+    assert plain == chunked

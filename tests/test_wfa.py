@@ -126,3 +126,73 @@ def test_band_escape_reports_nonconvergence():
     else:
         with pytest.raises(AlignmentError):
             wfa_traceback_host(res, 0, s1, s2)
+
+
+def test_textbook_band_escape_recovers_with_alignment():
+    """A pair whose optimum leaves the initial band must come back with
+    BOTH the exact penalty and an alignment (round-1 gap: escape returned
+    score-only)."""
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    # 40-long indel escapes band 8, converges at 16+ after doubling.
+    s1 = b"ACGT" * 30
+    s2 = b"ACGT" * 10 + b"ACGT" * 30
+    al = get_aligner(AlignConfig(algo=Algo.WFA, compat=False, band=8))
+    r = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+    assert r.ok, r.error
+    assert r.score == oracle_wfa.wfa_textbook_score(s1, s2)
+    assert r.aligned_query is not None
+    assert r.aligned_query.replace("-", "").encode() == s1
+    assert r.aligned_db.replace("-", "").encode() == s2
+
+
+def test_textbook_gotoh_fallback_beyond_max_band(monkeypatch):
+    """Escapes beyond the doubling cap fall to the exact penalty-converted
+    Gotoh engine -- still exact, still with an alignment."""
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.models.wfa import WfaAligner
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    monkeypatch.setattr(WfaAligner, "wfa_max_band", 4)
+    s1 = b"TTTT" * 20
+    s2 = b"ACGTACGTACGT" * 5 + b"TTTT" * 20   # needs a 60-long gap
+    al = get_aligner(AlignConfig(algo=Algo.WFA, compat=False, band=2))
+    r = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+    assert r.ok, r.error
+    assert r.score == oracle_wfa.wfa_textbook_score(s1, s2)
+    assert r.aligned_query is not None
+    assert r.aligned_query.replace("-", "").encode() == s1
+    assert r.aligned_db.replace("-", "").encode() == s2
+
+
+def test_textbook_converges_beyond_old_s_max_ceiling():
+    """The ring-buffer fill has no score-sized allocation: a pair needing
+    s > 512 (the old default ceiling) converges on-device."""
+    import random
+
+    from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    rng = random.Random(71)
+    n = 400
+    s1l = [rng.choice("ACGT") for _ in range(n)]
+    s2l = list(s1l)
+    for i in range(0, n, 2):  # 50% divergence: s ~ 200 * 4 = 800
+        s2l[i] = rng.choice("ACGT")
+    s1 = "".join(s1l).encode()
+    s2 = "".join(s2l).encode()
+    batch = pack_batch([(s1, s2)], batch_size=8)
+    res = wfa_textbook_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, band=32
+    )
+    assert bool(res.converged[0])
+    score, a1, a2 = wfa_traceback_host(res, 0, s1, s2)
+    assert score == oracle_wfa.wfa_textbook_score(s1, s2)
+    assert score > 512  # genuinely beyond the old ceiling
+    assert a1.replace("-", "").encode() == s1
