@@ -230,6 +230,12 @@ def config4_banded(on_tpu):
     finals = np.asarray(res.finals)
     dt = time.perf_counter() - t0
 
+    # Kernel-only rate (inputs device-resident): the end-to-end number
+    # above charges the per-call int8 transfer, which on a tunneled dev
+    # box dwarfs the fill; production hosts pay ~PCIe instead.
+    dt_kernel = _banded_kernel_only(batch, band, "full")
+    dt_fast4 = _banded_kernel_only(batch, band, "fast4")
+
     # Verify a sample against the full (unbanded) streamed fill.
     idx = [0, n // 2, n - 1]
     vb = pack_batch(([pairs[i] for i in idx] * 3)[:8], batch_size=8)
@@ -258,11 +264,51 @@ def config4_banded(on_tpu):
     band_cells = float(batch.db_len.astype(np.int64).sum()) * K
     return {
         "config": "4-banded-1024x5kb",
-        "band_gcups": round(band_cells / dt / 1e9, 3),
+        "band_gcups": round(band_cells / dt_kernel / 1e9, 3),
+        "band_gcups_fast4": round(band_cells / dt_fast4 / 1e9, 3),
+        "band_gcups_e2e": round(band_cells / dt / 1e9, 3),
         "band_lanes": K,
         "elapsed_s": round(dt, 4),
         "correct_vs_oracle": bool(ok),
     }
+
+
+def _banded_kernel_only(batch, band: int, dirs_mode) -> float:
+    """Best-of-3 fill time with device-resident inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from sequencealigning_tpu.io.encode import round_up
+    from sequencealigning_tpu.ops import nw_banded as nb
+
+    qlen = batch.query_len
+    dlen = batch.db_len
+    B = batch.query.shape[0]
+    L2 = batch.db.shape[1]
+    diff = qlen.astype(np.int64) - dlen.astype(np.int64)
+    k_lo = int(min(0, diff.min()) - band)
+    k_hi = int(max(0, diff.max()) + band)
+    K = round_up(k_hi - k_lo + 1, 128)
+    backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+    bt, chunk = nb._pick_tile(B, K, dirs_mode)
+    xp = round_up(L2 + 1, max(chunk, 128)) if backend == "pallas" else L2 + 1
+    fn = nb._jitted_banded(
+        backend, k_lo, K, L2, xp, nb.ScoringScheme(), True, False,
+        dirs_mode, bt, chunk,
+    )
+    args = (
+        jnp.asarray(np.asarray(batch.query, np.int8)),
+        jnp.asarray(np.asarray(batch.db, np.int8)),
+        jnp.asarray(qlen, jnp.int32)[:, None],
+        jnp.asarray(dlen, jnp.int32)[:, None],
+    )
+    np.asarray(fn(*args)[0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(fn(*args)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def config5_streaming(on_tpu):

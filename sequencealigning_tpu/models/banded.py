@@ -13,13 +13,21 @@ from sequencealigning_tpu.errors import AlignerError, AlignmentError
 from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.models.base import Aligner
 from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
-from sequencealigning_tpu.ops.traceback import banded_traceback_pair
+from sequencealigning_tpu.ops.traceback import (
+    banded_fast4_traceback_pair,
+    banded_traceback_pair,
+)
 
 
 class BandedAligner(Aligner):
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
         if self.config.mode is not Mode.GLOBAL:
             return [AlignmentError("not implemented") for _ in pairs]
+        # first_only: 4-bit fast4 dirs (half the dirs traffic, priority
+        # first-path walk) -- mirrors the GotohAligner knob; the default
+        # keeps the full 7-bit layout whose walk order matches the
+        # co-optimal enumeration tests.
+        fast4 = getattr(self.config, "first_only", False)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
         res = nw_banded_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
@@ -28,16 +36,23 @@ class BandedAligner(Aligner):
             compat=self.config.compat,
             # A*-style scoring: N matches anything (align.rs:298-304)
             wildcard=True,
+            with_dirs="fast4" if fast4 else True,
         )
         dirs = np.asarray(res.dirs)
         finals = np.asarray(res.finals)
         out = []
         for b, (s1, s2) in enumerate(pairs):
             try:
-                score, alns = banded_traceback_pair(
-                    dirs[:, b, :], finals[b], s1, s2, res.k_lo,
-                    compat=self.config.compat, max_alignments=1,
-                )
+                if fast4:
+                    score, alns = banded_fast4_traceback_pair(
+                        dirs[:, b, :], finals[b], s1, s2, res.k_lo,
+                        compat=self.config.compat,
+                    )
+                else:
+                    score, alns = banded_traceback_pair(
+                        dirs[:, b, :], finals[b], s1, s2, res.k_lo,
+                        compat=self.config.compat, max_alignments=1,
+                    )
                 if not alns:
                     raise AlignmentError("banded traceback found no alignment")
                 out.append(

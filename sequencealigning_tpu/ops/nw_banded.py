@@ -225,11 +225,12 @@ def _device_row_streams(seq1, seq2, k_lo: int, K: int, l2: int, xp: int):
     L1 = q.shape[1]
     L2 = d.shape[1]
     pad_l = 1 - k_lo
-    # qin[x] = seq1_pad[x + K - 2] for x in [0, xp); s1w0 = seq1_pad[0:K].
-    pad_r = max(0, (K - 2 + xp) - (pad_l + L1), K - pad_l - L1)
+    # Row x's incoming top-lane char is seq1[x - 1 + k_lo + (K-1)], i.e.
+    # qin[x] = seq1_pad[x + K - 1]; s1w0 = seq1_pad[0:K] (row-0 window).
+    pad_r = max(0, (K - 1 + xp) - (pad_l + L1), K - pad_l - L1)
     s1p = jnp.pad(q, ((0, 0), (pad_l, pad_r)), constant_values=-1)
     s1w0 = jax.lax.slice_in_dim(s1p, 0, K, axis=1)
-    qin = jax.lax.slice_in_dim(s1p, K - 2, K - 2 + xp, axis=1)
+    qin = jax.lax.slice_in_dim(s1p, K - 1, K - 1 + xp, axis=1)
     n = min(l2, L2, xp - 1)
     dcs = jnp.pad(
         d[:, :n], ((0, 0), (1, xp - 1 - n)), constant_values=-1

@@ -52,11 +52,26 @@ NEG = -(2 ** 14)  # fits int16; parked far below any offset
 S_CHUNK = 256
 
 
-class WfaBatchResult(NamedTuple):
-    score: jax.Array          # (B,) int32 penalty (valid where converged)
-    converged: np.ndarray     # (B,) bool
-    hist: np.ndarray          # (S_total, 3, B, K) int16 offsets (M, I, D)
-    k_lo: int
+class WfaBatchResult:
+    """score: (B,) int32 penalty (valid where converged); converged: (B,)
+    bool; hist: (S_total, 3, B, K) int16 offsets (M, I, D) -- fetched from
+    device lazily on first access, so score-only consumers never pay the
+    history transfer."""
+
+    def __init__(self, score, converged, hist_chunks, k_lo: int):
+        self.score = score
+        self.converged = converged
+        self._chunks = hist_chunks
+        self.k_lo = k_lo
+
+    @property
+    def hist(self) -> np.ndarray:
+        if self._chunks is not None:
+            self._hist = np.concatenate(
+                [np.asarray(c) for c in self._chunks], axis=0
+            )
+            self._chunks = None
+        return self._hist
 
 
 def _build_runlen(seq1, seq2, n1v, n2v, k_lo: int, K: int):
@@ -275,10 +290,9 @@ def wfa_textbook_batch(
             )
             chunks.append(rows)
             s += S_CHUNK
-    hist = np.concatenate([np.asarray(c) for c in chunks], axis=0)
     return WfaBatchResult(
-        score=np.asarray(score), converged=np.asarray(done), hist=hist,
-        k_lo=k_lo,
+        score=np.asarray(score), converged=np.asarray(done),
+        hist_chunks=chunks, k_lo=k_lo,
     )
 
 

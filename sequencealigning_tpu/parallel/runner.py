@@ -115,8 +115,8 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
-    def _stream_fn(self, plan):
-        key = ("stream", plan, self.gather)
+    def _stream_fn(self, plan, dirs_mode=False):
+        key = ("stream", plan, self.gather, dirs_mode)
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
@@ -138,15 +138,16 @@ class DataParallelRunner:
             qstream = mk_stream(q_r)
             dstream = mk_stream(d_r)
             if backend == "pallas":
-                outs, _ = gotoh_fill_stream_pallas(
+                outs, dirs = gotoh_fill_stream_pallas(
                     qstream, dstream, dsy, n2y, dso, n2o,
-                    plan, scheme, compat, wildcard, dirs_mode=False, bt=bt,
+                    plan, scheme, compat, wildcard, dirs_mode=dirs_mode,
+                    bt=bt,
                 )
                 finals = stream_finals(outs, NP)
             else:
-                (fm, fi, fd), _ = gotoh_fill_stream_lax(
+                (fm, fi, fd), dirs = gotoh_fill_stream_lax(
                     qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
-                    plan, scheme, compat, wildcard, dirs_mode=False,
+                    plan, scheme, compat, wildcard, dirs_mode=dirs_mode,
                 )
                 finals = jnp.stack(
                     [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
@@ -154,23 +155,34 @@ class DataParallelRunner:
                 )
             if gather:
                 finals = jax.lax.all_gather(finals, "data", axis=0, tiled=True)
+            if dirs_mode:
+                # dirs stay row-sharded (huge); the host fetches them per
+                # drained batch for traceback.
+                return finals, dirs
             return finals
 
         row = P("data")
         slot = P(None, "data")
+        out_specs = (
+            ((P() if gather else P("data")), P(None, "data"))
+            if dirs_mode
+            else (P() if gather else P("data"))
+        )
         fn = jax.jit(
             jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
                 in_specs=(row, row, slot, slot, slot, slot),
-                out_specs=P() if gather else P("data"),
+                out_specs=out_specs,
                 check_vma=False,
             )
         )
         self._fn_cache[key] = fn
         return fn
 
-    def _scores_stream(self, batch: PairBatch):
+    def _stream_args(self, batch: PairBatch):
+        """(device args, plan, B) for the streamed fill, sharded over the
+        mesh's data axis."""
         nd = self.n_devices
         batch = trim_for_stream(batch)
         B = batch.query.shape[0]
@@ -195,7 +207,6 @@ class DataParallelRunner:
         d_r = d_all.reshape(R, NP, L2)
         dsy, n2y, dso, n2o = capture_params(qlen, dlen, plan)
 
-        fn = self._stream_fn(plan)
         row = NamedSharding(self.mesh, P("data"))
         slot = NamedSharding(self.mesh, P(None, "data"))
         args = [
@@ -205,8 +216,24 @@ class DataParallelRunner:
                 (row, row, slot, slot, slot, slot),
             )
         ]
-        finals = fn(*args)
+        return args, plan, B
+
+    def _scores_stream(self, batch: PairBatch):
+        args, plan, B = self._stream_args(batch)
+        finals = self._stream_fn(plan)(*args)
         return finals[:B]
+
+    def fill_with_dirs(self, batch: PairBatch, dirs_mode: str = "fast4"):
+        """Streamed fill WITH direction words, on the runner's mesh (the
+        round-1 cigars path silently ran single-device): returns
+        (finals[:B] -- gathered per self.gather, dirs -- row-sharded device
+        array in the stream layout, plan).  Host traceback:
+        ops.traceback.traceback_stream_batch(np.asarray(dirs), ...)."""
+        if self.kernel != "stream":
+            raise ValueError("fill_with_dirs requires kernel='stream'")
+        args, plan, B = self._stream_args(batch)
+        finals, dirs = self._stream_fn(plan, dirs_mode=dirs_mode)(*args)
+        return finals[:B], dirs, plan
 
     def scores(self, batch: PairBatch):
         """Returns (B, 3) int32 finals (M/I/D at each pair's corner).

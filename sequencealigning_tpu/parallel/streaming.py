@@ -19,7 +19,7 @@ from typing import Callable, Iterable, Iterator, List, Optional, Tuple
 
 import numpy as np
 
-from sequencealigning_tpu.io.encode import PairBatch, pack_batch, trim_for_stream
+from sequencealigning_tpu.io.encode import PairBatch, pack_batch
 from sequencealigning_tpu.parallel.runner import DataParallelRunner
 
 
@@ -44,12 +44,11 @@ def stream_align(
     With cigars=True each batch also runs the fast4 direction fill and a
     host first-path traceback; on_alignments(batch_index, results) receives
     per-pair (score, [(aligned_query, aligned_db)]) tuples or
-    AlignmentError instances.  Limitations: the cigar fill runs on the
-    default device via nw_affine_stream_batch (the runner's mesh / kernel
-    / gather knobs apply only to the scores path), and it fetches the
-    direction words to the host (~0.5 byte per DP cell) -- use it for
-    moderate batches / fat host links; at extreme scale stream scores
-    only, or use the banded engine.
+    AlignmentError instances.  The cigar fill runs through the runner's
+    mesh like the scores path (runner.fill_with_dirs: per-shard fills,
+    row-sharded dirs) and dispatch stays asynchronous -- the dirs fetch
+    (~0.5 byte per DP cell to the host) happens at drain time.  At extreme
+    scale stream scores only, or use the banded engine.
     """
     runner = runner or DataParallelRunner()
     start_batch = 0
@@ -87,28 +86,16 @@ def stream_align(
     for i, batch_pairs in enumerate(_chunks(pairs, batch_size)):
         if i < start_batch:
             continue
+        batch = pack_batch(batch_pairs, batch_size=batch_size)
+        n_valid = int(batch.valid.sum())
         if cigars:
-            from sequencealigning_tpu.ops.nw_affine_stream import (
-                nw_affine_stream_batch,
-            )
-
-            batch = trim_for_stream(
-                pack_batch(batch_pairs, batch_size=batch_size)
-            )
-            res = nw_affine_stream_batch(
-                batch.query, batch.db, batch.query_len, batch.db_len,
-                scheme=runner.scheme, compat=runner.compat,
-                with_dirs="fast4", np_slots=runner.np_slots,
-            )
-            n_valid = len(batch_pairs)
+            finals, dirs, plan = runner.fill_with_dirs(batch)  # async
             extra = (
-                res.dirs, res.plan,
+                dirs, plan,
                 [p[0] for p in batch_pairs], [p[1] for p in batch_pairs],
             )
-            in_flight.append((i, res.finals, n_valid, extra))
+            in_flight.append((i, finals, len(batch_pairs), extra))
         else:
-            batch = pack_batch(batch_pairs, batch_size=batch_size)
-            n_valid = int(batch.valid.sum())
             scores = runner.scores(batch)  # async dispatch
             in_flight.append((i, scores, n_valid, None))
         while len(in_flight) >= max_in_flight:

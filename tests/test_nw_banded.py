@@ -197,3 +197,44 @@ def test_fast4_pallas_matches_lax_and_oracle():
         assert got in (score, score - sch.gap_extend, score - 2 * sch.gap_extend), (
             b, got, score, a1, a2,
         )
+
+
+def test_banded_model_first_only_fast4():
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+
+    al = get_aligner(
+        AlignConfig(algo=Algo.BANDED, band=16, first_only=True)
+    )
+    for s1, s2 in _pairs(71, n=4, hi=24):
+        r = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+        assert r.ok, r.error
+        assert r.score == oracle_gotoh.gotoh_score(s1, s2)
+        assert r.aligned_query.replace("-", "").encode() == s1
+        assert r.aligned_db.replace("-", "").encode() == s2
+
+
+@pytest.mark.parametrize("backend", ["lax", "pallas"])
+def test_band_narrower_than_length_matches_oracle(backend):
+    """Regression: the top band lane's rolling-window char was off by one;
+    it only matters when the valid region reaches the padded top lanes
+    (n1 > k_hi + K-padding), i.e. bands much narrower than the length."""
+    rng = random.Random(97)
+    n = 220
+    pairs = []
+    for _ in range(4):
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(n))
+        s2l = bytearray(s1)
+        for _ in range(4):
+            p = rng.randrange(n)
+            s2l[p] = rng.choice([c for c in b"ACGT" if c != s2l[p]])
+        pairs.append((s1, bytes(s2l)))
+    batch = pack_batch(pairs, batch_size=8)
+    r = nw_banded_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=16, with_dirs=False, backend=backend,
+    )
+    f = np.asarray(r.finals)
+    for b, (s1, s2) in enumerate(pairs):
+        assert int(f[b].max()) == oracle_gotoh.gotoh_score(s1, s2), b

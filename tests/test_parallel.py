@@ -108,10 +108,16 @@ def test_runner_plain_kernel_still_available():
 
 
 def test_stream_align_with_cigars():
+    """The cigars path runs through the runner's explicit 8-device mesh
+    (per-shard fills + row-sharded dirs -- round 1 silently filled on the
+    default device)."""
     from sequencealigning_tpu.ops import oracle_gotoh
+    from sequencealigning_tpu.parallel.mesh import make_mesh
 
+    mesh = make_mesh()
+    assert int(np.prod(mesh.devices.shape)) == 8
     pairs = _pairs(83, 20)
-    runner = DataParallelRunner(backend="lax", np_slots=2)
+    runner = DataParallelRunner(mesh=mesh, backend="lax", np_slots=2)
     got = {}
 
     def on_alignments(idx, tbs):
@@ -124,14 +130,10 @@ def test_stream_align_with_cigars():
     assert n == 20
     flat = [t for idx in sorted(got) for t in got[idx]]
     assert len(flat) >= 20
-    checked = 0
     for b, r in enumerate(flat[:20]):
-        if isinstance(r, Exception):
-            continue
+        assert not isinstance(r, Exception), (b, r)
         score, alns = r
         assert score == oracle_gotoh.gotoh_score(*pairs[b])
         a1, a2 = alns[0]
         assert a1.replace("-", "").encode() == pairs[b][0]
         assert a2.replace("-", "").encode() == pairs[b][1]
-        checked += 1
-    assert checked >= 15
