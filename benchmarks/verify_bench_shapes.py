@@ -111,6 +111,93 @@ def main() -> int:
                 file=sys.stderr,
             )
 
+    # --- banded kernel at the config-4 bench shape -------------------------
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.traceback import (
+        banded_fast4_traceback_pair,
+        banded_traceback_pair,
+    )
+
+    n, blen, band = (1024, 5115, 128) if on_tpu else (16, 150, 16)
+    pairs = []
+    for _ in range(n):
+        m = int(rng.integers(max(2, blen // 2), blen))
+        ref = rng.choice(list(b"ACGT"), m).astype(np.uint8).tobytes()
+        mut = bytearray(ref)
+        for _ in range(max(1, m // 100)):
+            p_ = int(rng.integers(0, m))
+            mut[p_] = int(rng.choice([c for c in b"ACGT" if c != mut[p_]]))
+        pairs.append((bytes(mut), ref))
+    batch = pack_batch(pairs, batch_size=n)
+    for dm, walker in (("full", banded_traceback_pair),
+                       ("fast4", banded_fast4_traceback_pair)):
+        res = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=band, with_dirs=dm,
+        )
+        finals = np.asarray(res.finals)
+        sample = rng.choice(n, size=min(4, n), replace=False)
+        for b in sample:
+            exp = oracle_gotoh.gotoh_score(pairs[b][0], pairs[b][1])
+            got = int(finals[b].max())
+            if got != exp:
+                failures += 1
+            print(
+                f"[verify] banded dirs={dm} pair {b}: kernel={got} "
+                f"oracle={exp} {'OK' if got == exp else 'MISMATCH'}",
+                file=sys.stderr,
+            )
+        b = int(sample[0])
+        dirs_b = np.asarray(res.dirs[:, b, :])
+        score, alns = walker(
+            dirs_b, finals[b], pairs[b][0], pairs[b][1], res.k_lo,
+        ) if dm == "fast4" else walker(
+            dirs_b, finals[b], pairs[b][0], pairs[b][1], res.k_lo,
+            max_alignments=1,
+        )
+        a1, a2 = alns[0]
+        ok = (
+            a1.replace("-", "").encode() == pairs[b][0]
+            and a2.replace("-", "").encode() == pairs[b][1]
+        )
+        if not ok:
+            failures += 1
+        print(
+            f"[verify] banded {dm} CIGAR pair {b}: "
+            f"reconstructs={'OK' if ok else 'FAIL'}",
+            file=sys.stderr,
+        )
+
+    # --- tiled long-pair fill ---------------------------------------------
+    from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_batch
+
+    tl = 2046 if on_tpu else 120
+    pairs = []
+    for _ in range(8):
+        m = int(rng.integers(max(2, tl // 2), tl))
+        ref = rng.choice(list(b"ACGT"), m).astype(np.uint8).tobytes()
+        mut = bytearray(ref)
+        for _ in range(max(1, m // 50)):
+            p_ = int(rng.integers(0, m))
+            mut[p_] = int(rng.choice([c for c in b"ACGT" if c != mut[p_]]))
+        pairs.append((bytes(mut), ref))
+    batch = pack_batch(pairs, batch_size=8)
+    tiled = nw_affine_tiled_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        tile_lanes=256 if on_tpu else 128,
+        backend="pallas" if on_tpu else "lax",
+    )
+    for b in range(8):
+        exp = oracle_gotoh.gotoh_score(pairs[b][0], pairs[b][1])
+        got = int(tiled[b].max())
+        if got != exp:
+            failures += 1
+        print(
+            f"[verify] tiled pair {b}: kernel={got} oracle={exp} "
+            f"{'OK' if got == exp else 'MISMATCH'}",
+            file=sys.stderr,
+        )
+
     print(f"[verify] {'PASS' if failures == 0 else f'{failures} FAILURES'}",
           file=sys.stderr)
     return 1 if failures else 0

@@ -13,10 +13,7 @@ from sequencealigning_tpu.errors import AlignerError, AlignmentError
 from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.models.base import Aligner
 from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
-from sequencealigning_tpu.ops.traceback import (
-    banded_fast4_traceback_pair,
-    banded_traceback_pair,
-)
+from sequencealigning_tpu.ops.traceback import banded_traceback_pair
 
 
 class BandedAligner(Aligner):
@@ -40,19 +37,36 @@ class BandedAligner(Aligner):
         )
         dirs = np.asarray(res.dirs)
         finals = np.asarray(res.finals)
+        if fast4:
+            from sequencealigning_tpu.ops.traceback import (
+                banded_fast4_traceback_batch,
+            )
+
+            tbs = banded_fast4_traceback_batch(
+                dirs, finals, [p[0] for p in pairs], [p[1] for p in pairs],
+                res.k_lo, compat=self.config.compat,
+            )
+            out = []
+            for r in tbs:
+                if isinstance(r, AlignerError):
+                    out.append(r)
+                    continue
+                score, alns = r
+                out.append(
+                    dict(
+                        score=score,
+                        aligned_query=alns[0][0],
+                        aligned_db=alns[0][1],
+                    )
+                )
+            return out
         out = []
         for b, (s1, s2) in enumerate(pairs):
             try:
-                if fast4:
-                    score, alns = banded_fast4_traceback_pair(
-                        dirs[:, b, :], finals[b], s1, s2, res.k_lo,
-                        compat=self.config.compat,
-                    )
-                else:
-                    score, alns = banded_traceback_pair(
-                        dirs[:, b, :], finals[b], s1, s2, res.k_lo,
-                        compat=self.config.compat, max_alignments=1,
-                    )
+                score, alns = banded_traceback_pair(
+                    dirs[:, b, :], finals[b], s1, s2, res.k_lo,
+                    compat=self.config.compat, max_alignments=1,
+                )
                 if not alns:
                     raise AlignmentError("banded traceback found no alignment")
                 out.append(

@@ -140,16 +140,25 @@ class GotohAligner(Aligner):
         """
         from sequencealigning_tpu.ops.nw_affine_tiled import (
             nw_affine_tiled_batch,
+            nw_affine_tiled_single,
         )
         from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
         from sequencealigning_tpu.ops.traceback import (
             banded_fast4_traceback_pair,
         )
 
-        exact = nw_affine_tiled_batch(
-            batch.query, batch.db, batch.query_len, batch.db_len,
-            scheme=self.config.scoring, compat=self.config.compat,
-        )
+        if len(pairs) == 1:
+            # Single long pair: the sublane-folded fill uses all 8 sublanes
+            # (the batched tile sweep would idle 7 of them).
+            exact = nw_affine_tiled_single(
+                pairs[0][0], pairs[0][1],
+                scheme=self.config.scoring, compat=self.config.compat,
+            )[None]
+        else:
+            exact = nw_affine_tiled_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                scheme=self.config.scoring, compat=self.config.compat,
+            )
         n = len(pairs)
         scores = exact[:n].max(axis=1)
         out: List = [None] * n

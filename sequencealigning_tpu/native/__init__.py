@@ -88,6 +88,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.banded_fast4_first_path.restype = ctypes.c_long
+    lib.banded_fast4_first_path.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
     _lib = lib
     return _lib
 
@@ -270,3 +277,32 @@ def fast4_first_path_batch_native(
         else:
             results.append(raw[b * out_cap : b * out_cap + n].decode("ascii"))
     return results
+
+
+def banded_fast4_first_path_native(
+    dirs: np.ndarray,
+    b: int,
+    k_lo: int,
+    n1: int,
+    n2: int,
+    finals_b,
+):
+    """Native first-path walk over an (X8, B, K) banded fast4 dirs tensor.
+    Returns the forward op string ('M'/'I'/'D'), or None if unavailable /
+    the walker failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint32)
+    _, b_dim, k_dim = dirs.shape
+    cap = n1 + n2 + 8
+    out = ctypes.create_string_buffer(cap)
+    n = lib.banded_fast4_first_path(
+        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        b_dim, k_dim, b, k_lo, n1, n2,
+        int(finals_b[0]), int(finals_b[1]), int(finals_b[2]),
+        out, cap,
+    )
+    if n < 0:
+        return None
+    return out.raw[:n].decode("ascii")

@@ -725,6 +725,55 @@ long fast4_first_path(const uint32_t *dirs, long rows, long p, long row,
     return n_ops;
 }
 
+/* Banded fast4 walker: ops/nw_banded's row-packed band layout -- the
+ * 4-bit code of cell (x, y) lives at word dirs[x/8, b, (y-x)-k_lo], shift
+ * 4*(x%8).  Must mirror ops/traceback.py::banded_fast4_traceback_pair
+ * exactly (tests fuzz the two).  dirs is the full (X8, B, K) tensor. */
+static inline int bf4_nibble(const uint32_t *dirs, long bk, long b, long k_dim,
+                             long k_lo, long x, long y) {
+    long k = (y - x) - k_lo;
+    if (k < 0 || k >= k_dim) return 0; /* out of band: no parents */
+    return (int)((dirs[(x >> 3) * bk + b * k_dim + k] >> (4 * (x & 7))) & 0xF);
+}
+
+long banded_fast4_first_path(const uint32_t *dirs, long b_dim, long k_dim,
+                             long b, long k_lo, long n1, long n2,
+                             int sm, int si, int sd,
+                             char *out, long cap) {
+    long bk = b_dim * k_dim;
+    int score = sm > si ? (sm > sd ? sm : sd) : (si > sd ? si : sd);
+    int plane = (sm == score) ? PLANE_M : (si == score ? PLANE_I : PLANE_D);
+    long x = n2, y = n1;
+    long n_ops = 0;
+    long guard = n1 + n2 + 4;
+    if (cap < guard) return -2;
+    while (x > 0 || y > 0) {
+        if (--guard < 0) return -1;
+        if (x == 0) { out[n_ops++] = 'I'; y -= 1; continue; }
+        if (y == 0) { out[n_ops++] = 'D'; x -= 1; continue; }
+        int bb = bf4_nibble(dirs, bk, b, k_dim, k_lo, x, y);
+        if (plane == PLANE_M) {
+            out[n_ops++] = 'M';
+            x -= 1; y -= 1;
+            if (x == 0 && y == 0) break;
+            plane = bf4_nibble(dirs, bk, b, k_dim, k_lo, x, y) & 3;
+            if (plane > PLANE_D) plane = PLANE_D;
+        } else if (plane == PLANE_I) {
+            out[n_ops++] = 'I';
+            plane = (bb & 4) ? PLANE_I : PLANE_M;
+            y -= 1;
+        } else {
+            out[n_ops++] = 'D';
+            plane = (bb & 8) ? PLANE_D : PLANE_M;
+            x -= 1;
+        }
+    }
+    for (long i = 0; i < n_ops / 2; i++) {
+        char t = out[i]; out[i] = out[n_ops - 1 - i]; out[n_ops - 1 - i] = t;
+    }
+    return n_ops;
+}
+
 typedef struct {
     const uint32_t *dirs;
     long rows, p;

@@ -425,3 +425,368 @@ def nw_affine_tiled_batch(
             else:
                 finals[b] = (NEG_INF, o + n1 * e, NEG_INF)
     return finals
+
+
+# ---------------------------------------------------------------------------
+# Sublane-folded single-pair tile fill
+# ---------------------------------------------------------------------------
+#
+# One long pair leaves 7 of 8 sublanes idle in the batched tile sweep.  The
+# folded variant assigns 8 CONSECUTIVE W-lane x-tiles to the 8 sublanes, so
+# one kernel invocation sweeps a virtual 8*W-wide tile: cell (x, y) with
+# x = x0 + s*W + l lives at sublane s, lane l, and every (s, l) position of
+# an anti-diagonal step holds a distinct cell -- full VPU occupancy.  The
+# only new machinery is the x-1 neighbor exchange across the sublane seam:
+# lane 0 of sublane s reads lane W-1 of sublane s-1 (one sublane roll + one
+# static slice + select).  Boundary columns couple virtual tiles exactly as
+# before, with the edge at x = x0 + 8*W - 1 (sublane 7, lane W-1).
+
+
+def _shift_x(a, lane_0, roll_l, roll_s):
+    """Value of the x-1 neighbor for every (s, l): lane l-1 within the
+    sublane, lane W-1 of sublane s-1 across the seam.  (0, 0)'s wrapped
+    value is garbage -- callers override that cell with the carried
+    boundary column."""
+    up = roll_s(a)
+    return jnp.where(lane_0, up[:, -1:], roll_l(a))
+
+
+def _folded_step(
+    H2, H1, M1, I1, D1, qw,
+    qc, hb1, mb, db_, g,
+    s2v, lane_iota, sub_off, s0l0, lane_0, x0,
+    scheme: ScoringScheme, compat: bool, wildcard: bool,
+    roll_l, roll_s,
+):
+    """One anti-diagonal step of the folded tile (shapes (8, W)).  qc/hb1/
+    mb/db_ are (1, 1)-ish scalars for this step; sub_off = s*W per sublane
+    ((8, 1)); s0l0/lane_0 hoisted masks.  Returns (M, I, D, H, qw_new)."""
+    o = jnp.int32(scheme.gap_open)
+    e = jnp.int32(scheme.gap_extend)
+    neg = jnp.int32(NEG_INF)
+
+    sx = lambda a: _shift_x(a, lane_0, roll_l, roll_s)
+    qw_n = jnp.where(s0l0, qc, sx(qw))
+    if wildcard:
+        eq = (qw_n & s2v) != 0
+    else:
+        eq = qw_n == s2v
+    sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+
+    t0 = M1 + o
+    M = sx(H2) + sub
+    D = sx(jnp.maximum(t0, D1)) + e
+    I = jnp.maximum(t0, I1) + e
+
+    # Fold-origin cell (s=0, l=0) = x = x0: the carried boundary column.
+    M = jnp.where(s0l0, hb1 + sub, M)
+    D = jnp.where(s0l0, jnp.maximum(mb + o, db_) + e, D)
+
+    # y == 0 chain cell (x0 + g, 0): lane l = g - s*W of one sublane.
+    l0mask = lane_iota == (g - sub_off)
+    xg = x0 + g
+    if compat:
+        i_c = o + (xg + 1) * e
+        d_c = neg
+    else:
+        i_c = neg
+        d_c = o + xg * e
+    M = jnp.where(l0mask, neg, M)
+    I = jnp.where(l0mask, i_c, I)
+    D = jnp.where(l0mask, d_c, D)
+
+    H = jnp.maximum(M, jnp.maximum(I, D))
+    return M, I, D, H, qw_n
+
+
+def _tile_fill_folded_lax(
+    db_tile, qs, hb1s, mbs, dbs, n1, n2, x0, ngc: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool,
+):
+    """lax reference for the folded fill.  db_tile: (8, W); qs/hb1s/mbs/
+    dbs: (1, NGC) per-step scalars; n1/n2/x0 traced scalars.  Returns
+    (fm, fi, fd (8, W), br_m, br_d, br_h (1, NGC))."""
+    S, W = db_tile.shape
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    sub_off = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1] * W
+    lane_0 = lane_iota == 0
+    s0l0 = jnp.logical_and(lane_0, sub_off == 0)
+    xv = x0 + sub_off + lane_iota
+    roll_l = lambda a: jnp.roll(a, 1, axis=1)
+    roll_s = lambda a: jnp.roll(a, 1, axis=0)
+    neg = jnp.full((S, W), NEG_INF, jnp.int32)
+    zeros = jnp.zeros((S, W), jnp.int32)
+    gcap = n1 + n2 - x0
+    capl = xv == n2
+
+    def body(carry, g):
+        H2, H1, M1, I1, D1, qw, fm, fi, fd = carry
+        pick = lambda a: jax.lax.dynamic_slice_in_dim(a, g, 1, 1)
+        M, I, D, H, qw = _folded_step(
+            H2, H1, M1, I1, D1, qw,
+            pick(qs), pick(hb1s), pick(mbs), pick(dbs), g,
+            db_tile, lane_iota, sub_off, s0l0, lane_0, x0,
+            scheme, compat, wildcard, roll_l, roll_s,
+        )
+        cap = jnp.logical_and(g == gcap, capl)
+        fm = fm + jnp.where(cap, M, 0)
+        fi = fi + jnp.where(cap, I, 0)
+        fd = fd + jnp.where(cap, D, 0)
+        br = jnp.concatenate(
+            [M[-1:, -1:], D[-1:, -1:], H[-1:, -1:]], axis=1
+        )[0]
+        return (H1, H, M, I, D, qw, fm, fi, fd), br
+
+    carry0 = (neg, neg, neg, neg, neg, zeros, zeros, zeros, zeros)
+    carry, brs = jax.lax.scan(
+        body, carry0, jnp.arange(ngc, dtype=jnp.int32)
+    )
+    fm, fi, fd = carry[6:]
+    brs = brs.T  # (3, NGC)
+    return fm, fi, fd, brs[0:1], brs[1:2], brs[2:3]
+
+
+def _folded_kernel(
+    # inputs
+    x0_ref, n1_ref, n2_ref, s2v_ref, qs_ref, hb1_ref, mb_ref, db_ref,
+    # outputs
+    fm_ref, fi_ref, fd_ref, brm_ref, brd_ref, brh_ref,
+    # scratch
+    H2, H1, M1, I1, D1, qw,
+    *, chunk: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool,
+):
+    c = pl.program_id(0)
+    S, W = s2v_ref.shape
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
+    sub_off = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1] * W
+    lane_0 = lane_iota == 0
+    s0l0 = jnp.logical_and(lane_0, sub_off == 0)
+    roll_l = lambda a: pltpu.roll(a, 1, axis=1)
+    roll_s = lambda a: pltpu.roll(a, 1, axis=0)
+    x0 = x0_ref[0, 0]
+    n1 = n1_ref[0, 0]
+    n2 = n2_ref[0, 0]
+    s2v = s2v_ref[...]
+    xv = x0 + sub_off + lane_iota
+    gcap = n1 + n2 - x0
+    capl = xv == n2
+
+    @pl.when(c == 0)
+    def _init():
+        negf = jnp.full((S, W), NEG_INF, jnp.int32)
+        H2[...] = negf
+        H1[...] = negf
+        M1[...] = negf
+        I1[...] = negf
+        D1[...] = negf
+        qw[...] = jnp.zeros((S, W), jnp.int32)
+        zero = jnp.zeros((S, W), jnp.int32)
+        fm_ref[...] = zero
+        fi_ref[...] = zero
+        fd_ref[...] = zero
+
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (S, chunk), 1)
+
+    def col(ref, i):
+        return jnp.sum(
+            jnp.where(lanec == i, ref[...], 0), axis=1, keepdims=True
+        )[:1]
+
+    def step_body(i, carry):
+        vH2, vH1, vM1, vI1, vD1, vqw, bm, bd, bh = carry
+        g = c * chunk + i
+        M, I, D, H, vqw = _folded_step(
+            vH2, vH1, vM1, vI1, vD1, vqw,
+            col(qs_ref, i), col(hb1_ref, i), col(mb_ref, i), col(db_ref, i),
+            g, s2v, lane_iota, sub_off, s0l0, lane_0, x0,
+            scheme, compat, wildcard, roll_l, roll_s,
+        )
+
+        @pl.when(g == gcap)
+        def _capture(M=M, I=I, D=D):
+            fm_ref[...] += jnp.where(capl, M, 0)
+            fi_ref[...] += jnp.where(capl, I, 0)
+            fd_ref[...] += jnp.where(capl, D, 0)
+
+        # Last-lane column per sublane ((8,1) -- Mosaic cannot broadcast a
+        # (1,1) anchored off-origin); row 7 is the virtual tile edge and
+        # is selected by the wrapper.
+        sel = lanec == i
+        bm = jnp.where(sel, M[:, -1:], bm)
+        bd = jnp.where(sel, D[:, -1:], bd)
+        bh = jnp.where(sel, H[:, -1:], bh)
+        return (vH1, H, M, I, D, vqw, bm, bd, bh)
+
+    zeros_c = jnp.zeros((S, chunk), jnp.int32)
+    carry0 = (
+        H2[...], H1[...], M1[...], I1[...], D1[...], qw[...],
+        zeros_c, zeros_c, zeros_c,
+    )
+    carry = jax.lax.fori_loop(0, chunk, step_body, carry0)
+    H2[...], H1[...], M1[...], I1[...], D1[...], qw[...] = carry[:6]
+    brm_ref[...] = carry[6]
+    brd_ref[...] = carry[7]
+    brh_ref[...] = carry[8]
+
+
+def _tile_fill_folded_pallas(
+    db_tile, qs, hb1s, mbs, dbs, n1, n2, x0, ngc: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool,
+    chunk: int = 128, interpret: Optional[bool] = None,
+):
+    """Same contract as _tile_fill_folded_lax, as a Pallas kernel.  The
+    per-step boundary/char scalars arrive as (8, chunk) blocks (all rows
+    equal) so the in-kernel column extraction stays a masked reduce."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, W = db_tile.shape
+    NC = ngc // chunk
+
+    grid = (NC,)
+    kernel = functools.partial(
+        _folded_kernel, chunk=chunk, scheme=scheme,
+        compat=compat, wildcard=wildcard,
+    )
+    bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(
+        (1, 1), lambda c: (0, 0), memory_space=pltpu.SMEM
+    )
+    in_specs = [
+        smem(), smem(), smem(),
+        bspec((S, W), lambda c: (0, 0)),
+        bspec((S, chunk), lambda c: (0, c)),
+        bspec((S, chunk), lambda c: (0, c)),
+        bspec((S, chunk), lambda c: (0, c)),
+        bspec((S, chunk), lambda c: (0, c)),
+    ]
+    out_specs = [
+        bspec((S, W), lambda c: (0, 0)),
+        bspec((S, W), lambda c: (0, 0)),
+        bspec((S, W), lambda c: (0, 0)),
+        bspec((S, chunk), lambda c: (0, c)),
+        bspec((S, chunk), lambda c: (0, c)),
+        bspec((S, chunk), lambda c: (0, c)),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((S, W), jnp.int32)] * 3 + [
+        jax.ShapeDtypeStruct((S, ngc), jnp.int32)
+    ] * 3
+    scratch = [pltpu.VMEM((S, W), jnp.int32) for _ in range(6)]
+    to11 = lambda v: jnp.asarray(v, jnp.int32).reshape(1, 1)
+    bcast = lambda a: jnp.broadcast_to(a, (S, ngc))
+    fm, fi, fd, brm, brd, brh = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(
+        to11(x0), to11(n1), to11(n2), db_tile,
+        bcast(qs), bcast(hb1s), bcast(mbs), bcast(dbs),
+    )
+    return fm, fi, fd, brm[-1:], brd[-1:], brh[-1:]
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_tiled_folded(w, ngc, scheme, compat, wildcard, backend, chunk):
+    fill = (
+        _tile_fill_folded_pallas if backend == "pallas"
+        else _tile_fill_folded_lax
+    )
+    kw = {"chunk": chunk} if backend == "pallas" else {}
+    wv = 8 * w
+
+    def run(query, db_tiles, x0s, n1, n2):
+        # query: (1, L1) int8; db_tiles: (T, 8, W) int8; x0s: (T,) int32.
+        q = query.astype(jnp.int32)
+        qs = jnp.pad(q, ((0, 0), (1, max(0, ngc - 1 - q.shape[1]))))
+        qs = qs[:1, :ngc]
+        n1v = jnp.reshape(n1, (1, 1))
+        hb1, mb, db_b = _boundary0(n1v, ngc, scheme, compat)
+
+        def tile_body(carry, xs):
+            hb1, mb, db_b, fm, fi, fd = carry
+            db_tile, x0 = xs
+            fm_t, fi_t, fd_t, brm, brd, brh = fill(
+                db_tile.astype(jnp.int32), qs, hb1, mb, db_b, n1, n2,
+                x0, ngc, scheme, compat, wildcard, **kw
+            )
+            fm = fm + fm_t
+            fi = fi + fi_t
+            fd = fd + fd_t
+            # The virtual tile edge is x0 + 8W - 1: re-index by y.
+            pad = lambda a: jnp.pad(a, ((0, 0), (0, wv)))
+            mb_n = jax.lax.dynamic_slice_in_dim(pad(brm), wv - 1, ngc, 1)
+            db_n = jax.lax.dynamic_slice_in_dim(pad(brd), wv - 1, ngc, 1)
+            hb1_n = jax.lax.dynamic_slice_in_dim(pad(brh), wv - 2, ngc, 1)
+            return (hb1_n, mb_n, db_n, fm, fi, fd), None
+
+        zeros = jnp.zeros((8, w), jnp.int32)
+        carry0 = (hb1, mb, db_b, zeros, zeros, zeros)
+        carry, _ = jax.lax.scan(tile_body, carry0, (db_tiles, x0s))
+        fm, fi, fd = carry[3:]
+        finals = jnp.stack(
+            [fm.sum(), fi.sum(), fd.sum()], axis=0
+        )[None]
+        return finals
+
+    return jax.jit(run)
+
+
+def nw_affine_tiled_single(
+    query: bytes,
+    db: bytes,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    wildcard: bool = False,
+    tile_lanes: int = 8192,
+    backend: str = "auto",
+    chunk: int = 128,
+) -> np.ndarray:
+    """Exact Gotoh corner finals (3,) for ONE pair of any length, with the
+    db axis folded over all 8 sublanes (full VPU occupancy -- the batched
+    tiled fill leaves 7/8 sublanes idle at B=1)."""
+    from sequencealigning_tpu.io.encode import encode_seq
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+    n1, n2 = len(query), len(db)
+    if n2 == 0 or n1 == 0:
+        # Degenerate: closed-form corner (shared with the batched entry).
+        from sequencealigning_tpu.io.encode import pack_batch
+
+        return nw_affine_tiled_batch(
+            *_pack_one(query, db), scheme=scheme, compat=compat,
+            wildcard=wildcard, backend="lax",
+        )[0]
+    W = _round_up(min(tile_lanes, max(-(-n2 // 8), 128)), 128)
+    WV = 8 * W
+    T = max(1, -(-n2 // WV))
+    n1p = _round_up(n1 + 1, chunk)
+    ngc = _round_up(n1p + WV, chunk)
+
+    q = np.zeros((1, n1), np.int8)
+    q[0] = encode_seq(query)
+    d_all = np.zeros(T * WV, np.int8)
+    d_all[:n2] = encode_seq(db)
+    db_tiles = np.ascontiguousarray(d_all.reshape(T, 8, W))
+    x0s = (np.arange(T, dtype=np.int32) * WV + 1).astype(np.int32)
+
+    fn = _jitted_tiled_folded(W, ngc, scheme, compat, wildcard, backend, chunk)
+    finals = fn(
+        jnp.asarray(q), jnp.asarray(db_tiles), jnp.asarray(x0s),
+        jnp.int32(n1), jnp.int32(n2),
+    )
+    return np.asarray(finals)[0].astype(np.int32)
+
+
+def _pack_one(query: bytes, db: bytes):
+    from sequencealigning_tpu.io.encode import pack_batch
+
+    b = pack_batch([(query, db)], batch_size=1)
+    return b.query, b.db, b.query_len, b.db_len

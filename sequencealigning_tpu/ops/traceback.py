@@ -549,6 +549,53 @@ def banded_fast4_traceback_pair(
     return score, [_apply_ops("".join(ops), seq1, seq2)]
 
 
+def banded_fast4_traceback_batch(
+    dirs: np.ndarray,
+    finals: np.ndarray,
+    seqs1,
+    seqs2,
+    k_lo: int,
+    compat: bool = True,
+):
+    """Batch first-path walks over an (X8, B, K) banded fast4 dirs tensor.
+    Uses the native C walker when available (ops strings, applied with
+    _apply_ops); falls back to banded_fast4_traceback_pair.  Returns a list
+    of (score, [(a1, a2)]) or AlignmentError per pair."""
+    import os
+
+    native_mod = None
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native as native_mod
+
+            if not native_mod.available():
+                native_mod = None
+        except Exception:
+            native_mod = None
+
+    out = []
+    dirs = np.ascontiguousarray(dirs, np.uint32)
+    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
+        try:
+            score = int(finals[b].max())
+            ops = None
+            if native_mod is not None:
+                ops = native_mod.banded_fast4_first_path_native(
+                    dirs, b, k_lo, len(s1), len(s2), finals[b]
+                )
+            if ops is not None:
+                out.append((score, [_apply_ops(ops, s1, s2)]))
+            else:
+                out.append(
+                    banded_fast4_traceback_pair(
+                        dirs[:, b, :], finals[b], s1, s2, k_lo, compat=compat
+                    )
+                )
+        except AlignmentError as e:
+            out.append(e)
+    return out
+
+
 def traceback_stream_batch(
     dirs: np.ndarray,
     finals: np.ndarray,

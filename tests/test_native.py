@@ -263,3 +263,50 @@ def test_native_wfa_colliding_penalties_match_python():
         s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
         s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
         assert norm(nat, s1, s2) == norm(py, s1, s2), (s1, s2)
+
+
+def test_native_banded_fast4_walker_matches_python():
+    """The C banded fast4 walker must emit byte-identical alignments to the
+    Python walker on random banded fills."""
+    import random
+
+    import numpy as np
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.traceback import (
+        banded_fast4_traceback_batch,
+        banded_fast4_traceback_pair,
+    )
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(101)
+    pairs = []
+    for _ in range(8):
+        n1 = rng.randint(2, 60)
+        n2 = rng.randint(max(2, n1 - 8), n1 + 8)
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    batch = pack_batch(pairs, batch_size=8)
+    res = nw_banded_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=16, with_dirs="fast4",
+    )
+    dirs = np.asarray(res.dirs)
+    finals = np.asarray(res.finals)
+    got = banded_fast4_traceback_batch(
+        dirs, finals, [p[0] for p in pairs], [p[1] for p in pairs], res.k_lo
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        exp = banded_fast4_traceback_pair(
+            dirs[:, b, :], finals[b], s1, s2, res.k_lo
+        )
+        assert not isinstance(got[b], Exception)
+        assert got[b] == exp, b

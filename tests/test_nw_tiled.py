@@ -128,3 +128,36 @@ def test_long_pair_band_escape_returns_exact_score(monkeypatch):
     assert res.ok
     assert res.score == oracle_gotoh.gotoh_score(s1, s2)
     assert res.aligned_query is None
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_folded_single_matches_oracle(compat):
+    """The sublane-folded single-pair fill (8 consecutive x-tiles on the 8
+    sublanes, cross-seam x-1 exchange) must equal the full Gotoh oracle,
+    including multi-virtual-tile lengths."""
+    from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_single
+
+    rng = random.Random(13)
+    for n1, n2 in [(50, 300), (120, 1100), (7, 40), (260, 257), (1, 1)]:
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
+        f = nw_affine_tiled_single(
+            s1, s2, compat=compat, tile_lanes=128, backend="lax"
+        )
+        m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
+        exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+        assert tuple(int(v) for v in f) == exp, (n1, n2)
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="pallas folded fill in interpret mode is minutes-slow"
+)
+def test_folded_single_pallas_matches_lax():
+    from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_single
+
+    rng = random.Random(17)
+    s1 = bytes(rng.choice(b"ACGT") for _ in range(300))
+    s2 = bytes(rng.choice(b"ACGT") for _ in range(2100))
+    fl = nw_affine_tiled_single(s1, s2, tile_lanes=128, backend="lax")
+    fp = nw_affine_tiled_single(s1, s2, tile_lanes=128, backend="pallas")
+    assert np.array_equal(fl, fp)
