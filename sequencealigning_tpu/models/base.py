@@ -7,7 +7,7 @@ import time
 from typing import Iterator, List, Optional, Tuple
 
 from sequencealigning_tpu.config import AlignConfig, Algo
-from sequencealigning_tpu.errors import AlignerError, AlignmentError
+from sequencealigning_tpu.errors import AlignerError
 from sequencealigning_tpu.io.fasta import Record, Records
 from sequencealigning_tpu.utils.cigar import Cigar, cigar_from_pair
 

@@ -147,13 +147,20 @@ class GotohAligner(Aligner):
             banded_fast4_traceback_pair,
         )
 
-        if len(pairs) == 1:
-            # Single long pair: the sublane-folded fill uses all 8 sublanes
-            # (the batched tile sweep would idle 7 of them).
-            exact = nw_affine_tiled_single(
-                pairs[0][0], pairs[0][1],
-                scheme=self.config.scoring, compat=self.config.compat,
-            )[None]
+        if len(pairs) < 6:
+            # Few long pairs: the sublane-folded fill runs each pair at
+            # full 8-sublane occupancy; serial folded calls beat the
+            # batched sweep until ~6 pairs fill the sublanes anyway.
+            exact = np.stack(
+                [
+                    nw_affine_tiled_single(
+                        s1, s2,
+                        scheme=self.config.scoring,
+                        compat=self.config.compat,
+                    )
+                    for s1, s2 in pairs
+                ]
+            )
         else:
             exact = nw_affine_tiled_batch(
                 batch.query, batch.db, batch.query_len, batch.db_len,

@@ -12,7 +12,7 @@ import ctypes
 import os
 import subprocess
 import sys
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -23,7 +23,7 @@ y in 0..=len(seq1) (query, cols).  seq1 = query, seq2 = db.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

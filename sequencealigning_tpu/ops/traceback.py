@@ -16,7 +16,6 @@ from typing import List, Tuple
 
 import numpy as np
 
-from sequencealigning_tpu.config import ScoringScheme
 from sequencealigning_tpu.errors import AlignmentError
 from sequencealigning_tpu.ops import dirbits
 

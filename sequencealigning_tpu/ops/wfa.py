@@ -39,7 +39,7 @@ convergence/trim/score quirks) lives in ops.oracle_wfa.
 from __future__ import annotations
 
 import functools
-from typing import List, NamedTuple, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

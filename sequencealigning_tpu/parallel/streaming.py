@@ -15,11 +15,11 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Callable, Iterable, Iterator, List, Optional, Tuple
+from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from sequencealigning_tpu.io.encode import PairBatch, pack_batch
+from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.parallel.runner import DataParallelRunner
 
 

@@ -11,7 +11,7 @@ batch boundary instead of silently producing wrong CIGARs.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 from sequencealigning_tpu.config import NEG_INF, ScoringScheme
 from sequencealigning_tpu.errors import AlignmentError
