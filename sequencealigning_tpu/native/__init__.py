@@ -95,6 +95,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.wfa_textbook_traceback.restype = ctypes.c_long
+    lib.wfa_textbook_traceback.argtypes = [
+        ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+    ]
     _lib = lib
     return _lib
 
@@ -306,3 +315,44 @@ def banded_fast4_first_path_native(
     if n < 0:
         return None
     return out.raw[:n].decode("ascii")
+
+
+def wfa_textbook_traceback_native(
+    hist: np.ndarray,
+    b: int,
+    k_lo: int,
+    score: int,
+    seq1: bytes,
+    seq2: bytes,
+    penalties,
+):
+    """Native textbook-WFA alignment reconstruction from the (S, 3, B, K)
+    int16 offset log.  Returns (aligned_seq1, aligned_seq2) or None if
+    unavailable / the walker failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    hist = np.ascontiguousarray(hist, np.int16)
+    S, _, B, K = hist.shape
+    n1, n2 = len(seq1), len(seq2)
+    cap = n1 + n2 + 8
+    a1 = ctypes.create_string_buffer(cap)
+    a2 = ctypes.create_string_buffer(cap)
+    s1 = np.frombuffer(seq1, np.uint8)
+    s2 = np.frombuffer(seq2, np.uint8)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    n = lib.wfa_textbook_traceback(
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        S, B, K, b, k_lo, score,
+        u8p(s1) if n1 else ctypes.cast(ctypes.c_char_p(b""),
+                                       ctypes.POINTER(ctypes.c_uint8)),
+        n1,
+        u8p(s2) if n2 else ctypes.cast(ctypes.c_char_p(b""),
+                                       ctypes.POINTER(ctypes.c_uint8)),
+        n2,
+        penalties.mismatch, penalties.gap_open, penalties.gap_extend,
+        a1, a2, cap,
+    )
+    if n < 0:
+        return None
+    return a1.raw[:n].decode("latin-1"), a2.raw[:n].decode("latin-1")

@@ -725,6 +725,100 @@ long fast4_first_path(const uint32_t *dirs, long rows, long p, long row,
     return n_ops;
 }
 
+/* ------------------------------------------------ WFA traceback -------
+ * Textbook-WFA alignment reconstruction from the int16 offset-history log
+ * ((S, 3, B, K) M/I/D furthest-reaching offsets; NEG = absent).  Must
+ * mirror ops/wfa.py::wfa_traceback_host exactly (tests fuzz the two):
+ * tie priority mismatch > I > D.  Emits backward then reverses.  Returns
+ * the alignment length, or -1 (no terminate) / -2 (cap too small). */
+
+#define WFA_NEG (-(1 << 14))
+
+static inline int wh(const int16_t *hist, long S, long B, long K,
+                     long b, long k_lo, int plane, long s, long k) {
+    long lane = k - k_lo;
+    if (s < 0 || s >= S || lane < 0 || lane >= K) return WFA_NEG;
+    return (int)hist[((s * 3 + plane) * B + b) * K + lane];
+}
+
+long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
+                            long b, long k_lo, long score,
+                            const uint8_t *seq1, long n1,
+                            const uint8_t *seq2, long n2,
+                            int x_pen, int o_pen, int e_pen,
+                            char *a1, char *a2, long cap) {
+    long oe = o_pen + e_pen;
+    long s = score;
+    long k = n1 - n2;
+    long t = n2;
+    int state = 0; /* 0=M 1=I 2=D */
+    long n = 0;
+    long guard = 4 * (n1 + n2) + s + 16;
+    if (cap < n1 + n2 + 4) return -2;
+    for (;;) {
+        if (--guard < 0) return -1;
+        if (state == 0) {
+            if (s == 0) {
+                /* initial seed: t leading matches on diag 0 */
+                for (long tt = t - 1; tt >= 0; tt--) {
+                    if (n >= cap) return -2;
+                    a1[n] = (char)seq1[tt + k];
+                    a2[n] = (char)seq2[tt];
+                    n++;
+                }
+                break;
+            }
+            int mx = wh(hist, S, B, K, b, k_lo, 0, s - x_pen, k);
+            int iv = wh(hist, S, B, K, b, k_lo, 1, s, k);
+            int dv = wh(hist, S, B, K, b, k_lo, 2, s, k);
+            long mx1 = (mx > WFA_NEG) ? mx + 1 : WFA_NEG;
+            long t_pre = mx1 > iv ? mx1 : iv;
+            if (dv > t_pre) t_pre = dv;
+            for (long tt = t - 1; tt >= t_pre; tt--) {
+                if (n >= cap) return -2;
+                a1[n] = (char)seq1[tt + k];
+                a2[n] = (char)seq2[tt];
+                n++;
+            }
+            t = t_pre;
+            if (mx > WFA_NEG && t_pre == mx1) {
+                if (n >= cap) return -2;
+                a1[n] = (char)seq1[t - 1 + k];
+                a2[n] = (char)seq2[t - 1];
+                n++;
+                s -= x_pen;
+                t -= 1;
+            } else if (t_pre == iv) {
+                state = 1;
+            } else {
+                state = 2;
+            }
+        } else if (state == 1) {
+            if (n >= cap) return -2;
+            a1[n] = (char)seq1[t + k - 1];
+            a2[n] = '-';
+            n++;
+            int m_src = wh(hist, S, B, K, b, k_lo, 0, s - oe, k - 1);
+            if (m_src == t) { s -= oe; k -= 1; state = 0; }
+            else { s -= e_pen; k -= 1; }
+        } else {
+            if (n >= cap) return -2;
+            a1[n] = '-';
+            a2[n] = (char)seq2[t - 1];
+            n++;
+            int m_src = wh(hist, S, B, K, b, k_lo, 0, s - oe, k + 1);
+            if (m_src == t - 1) { s -= oe; k += 1; t -= 1; state = 0; }
+            else { s -= e_pen; k += 1; t -= 1; }
+        }
+    }
+    for (long i = 0; i < n / 2; i++) {
+        char c;
+        c = a1[i]; a1[i] = a1[n - 1 - i]; a1[n - 1 - i] = c;
+        c = a2[i]; a2[i] = a2[n - 1 - i]; a2[n - 1 - i] = c;
+    }
+    return n;
+}
+
 /* Banded fast4 walker: ops/nw_banded's row-packed band layout -- the
  * 4-bit code of cell (x, y) lives at word dirs[x/8, b, (y-x)-k_lo], shift
  * 4*(x%8).  Must mirror ops/traceback.py::banded_fast4_traceback_pair

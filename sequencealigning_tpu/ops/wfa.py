@@ -308,12 +308,26 @@ def wfa_traceback_host(
     Returns (penalty, aligned_seq1, aligned_seq2).  Tie priority:
     mismatch > I > D (deterministic, documented).
     """
+    import os
+
     if not bool(np.asarray(result.converged)[b]):
         raise AlignmentError("WFA did not converge within band/s_max")
+    s = int(np.asarray(result.score)[b])
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native
+
+            if native.available():
+                r = native.wfa_textbook_traceback_native(
+                    result.hist, b, result.k_lo, s, seq1, seq2, penalties
+                )
+                if r is not None:
+                    return s, r[0], r[1]
+        except Exception:
+            pass  # fall through to the Python walker
     hist_b = np.asarray(result.hist[:, :, b, :], np.int32)  # (S, 3, K)
     m_hist, i_hist, d_hist = hist_b[:, 0], hist_b[:, 1], hist_b[:, 2]
     k_lo = result.k_lo
-    s = int(np.asarray(result.score)[b])
     n1, n2 = len(seq1), len(seq2)
     x_pen, o_pen, e_pen = penalties.mismatch, penalties.gap_open, penalties.gap_extend
     oe = o_pen + e_pen

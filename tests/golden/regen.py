@@ -25,6 +25,15 @@ CASES = [
     ("nw-linear", ["-a", "nw-linear"]),
     ("banded", ["-a", "banded"]),
     ("wfa-textbook", ["-a", "wfa", "--textbook"]),
+    # Mode matrix: compat mirrors the reference's "not implemented"
+    # stubs; textbook implements semi-global/local.
+    ("nw-local-compat", ["-a", "needleman-wunsch", "-m", "local"]),
+    ("nw-local-textbook",
+     ["-a", "needleman-wunsch", "-m", "local", "--textbook"]),
+    ("nw-semiglobal-textbook",
+     ["-a", "needleman-wunsch", "-m", "semi-global", "--textbook"]),
+    ("nw-linear-local", ["-a", "nw-linear", "-m", "local"]),
+    ("nw-first-only", ["-a", "needleman-wunsch", "--first-only"]),
 ]
 
 

@@ -310,3 +310,45 @@ def test_native_banded_fast4_walker_matches_python():
         )
         assert not isinstance(got[b], Exception)
         assert got[b] == exp, b
+
+
+def test_native_wfa_textbook_traceback_matches_python():
+    """The C textbook-WFA walker must emit byte-identical alignments to
+    the Python walker over the same offset log."""
+    import os
+    import random
+
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = random.Random(113)
+    pairs = []
+    for _ in range(8):
+        n = rng.randint(20, 120)
+        s1l = [rng.choice("ACGT") for _ in range(n)]
+        s2l = list(s1l)
+        for _ in range(rng.randint(1, 6)):
+            p = rng.randrange(n)
+            s2l[p] = rng.choice("ACGT")
+        if rng.random() < 0.5:
+            del s2l[rng.randrange(len(s2l)) :][:3]
+        pairs.append(("".join(s1l).encode(), "".join(s2l).encode()))
+    batch = pack_batch(pairs, batch_size=8)
+    res = wfa_textbook_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, band=32
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        if not bool(res.converged[b]):
+            continue
+        got = wfa_traceback_host(res, b, s1, s2)
+        os.environ["SEQALIGN_NO_NATIVE"] = "1"
+        try:
+            exp = wfa_traceback_host(res, b, s1, s2)
+        finally:
+            del os.environ["SEQALIGN_NO_NATIVE"]
+        assert got == exp, b
