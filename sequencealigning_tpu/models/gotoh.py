@@ -134,9 +134,13 @@ class GotohAligner(Aligner):
            banded score MATCHES the exact score -- at that point the banded
            path is provably optimal (Ukkonen-style verification).
 
-        If the optimum still escapes the capped band the exact score is
-        returned with no alignment (aligned_query=None) -- explicit, not
-        silent: the CLI prints the score-only form.
+        3. if the optimum still escapes the capped band, the Myers-Miller
+           divide-and-conquer alignment (ops.mm_align: exact, O(n) memory,
+           any length) -- in compat mode its textbook-optimal alignment is
+           positionally rescored and kept only if it reaches the exact
+           compat score (the boundary quirk does not decompose over cuts);
+           the rare remainder returns the exact score with the alignment
+           explicitly absent.
         """
         from sequencealigning_tpu.ops.nw_affine_tiled import (
             nw_affine_tiled_batch,
@@ -200,10 +204,31 @@ class GotohAligner(Aligner):
             pending = still
             band *= 2
         for b in pending:
-            out[b] = dict(
-                score=int(scores[b]), aligned_query=None, aligned_db=None
-            )
+            out[b] = self._mm_fallback(pairs[b], int(scores[b]))
         return out
+
+    def _mm_fallback(self, pair, exact_score: int):
+        from sequencealigning_tpu.ops.mm_align import mm_align, mm_score_ops
+        from sequencealigning_tpu.ops.traceback import _apply_ops
+
+        s1, s2 = pair
+        try:
+            ops = mm_align(s1, s2, self.config.scoring)
+            got = mm_score_ops(ops, s1, s2, self.config.scoring)
+            if self.config.compat and ops and ops[0] in "ID":
+                # compat scores the leading gap chain o+(L+1)e: one extra
+                # extension (needleman_wunsch_affine.rs:195,207).
+                got += self.config.scoring.gap_extend
+            if got == exact_score:
+                a1, a2 = _apply_ops(ops, s1, s2)
+                return dict(
+                    score=exact_score, aligned_query=a1, aligned_db=a2
+                )
+        except AlignerError:
+            pass
+        # compat optimum genuinely differs from the textbook-optimal path
+        # (or mm failed): exact score, alignment explicitly absent.
+        return dict(score=exact_score, aligned_query=None, aligned_db=None)
 
     def _modes_batch(self, pairs: List[Tuple[bytes, bytes]]):
         local = self.config.mode is Mode.LOCAL

@@ -1,0 +1,66 @@
+"""Myers-Miller divide-and-conquer alignment: exact textbook score on
+random pairs/schemes, linear memory, valid reconstruction."""
+
+import random
+
+import pytest
+
+from sequencealigning_tpu.config import ScoringScheme
+from sequencealigning_tpu.ops import oracle_gotoh
+from sequencealigning_tpu.ops.mm_align import mm_align, mm_score_ops
+from sequencealigning_tpu.ops.traceback import _apply_ops
+
+
+@pytest.mark.parametrize("seed", [3, 5, 11])
+def test_mm_matches_oracle_random(seed):
+    rng = random.Random(seed)
+    for trial in range(12):
+        n1 = rng.randint(1, 45)
+        n2 = rng.randint(1, 45)
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
+        sch = ScoringScheme() if trial % 2 == 0 else ScoringScheme(
+            match_=rng.randint(1, 8), mismatch=-rng.randint(1, 9),
+            gap_open=-rng.randint(0, 12), gap_extend=-rng.randint(1, 7),
+        )
+        ops = mm_align(s1, s2, sch)
+        assert mm_score_ops(ops, s1, s2, sch) == oracle_gotoh.gotoh_score(
+            s1, s2, scheme=sch, compat=False
+        ), (seed, trial, s1, s2, sch)
+        a1, a2 = _apply_ops(ops, s1, s2)
+        assert a1.replace("-", "").encode() == s1
+        assert a2.replace("-", "").encode() == s2
+
+
+def test_mm_structured_gaps():
+    """Large indels (the band-escape shape class) reconstruct exactly."""
+    sch = ScoringScheme()
+    cases = [
+        (b"G" * 60 + b"A" * 40, b"A" * 40),
+        (b"A" * 40, b"G" * 60 + b"A" * 40),
+        (b"ACGT" * 30, b"ACGT" * 10 + b"TTTT" * 5 + b"ACGT" * 20),
+        (b"A", b"C" * 30),
+        (b"C" * 30, b"A"),
+    ]
+    for s1, s2 in cases:
+        ops = mm_align(s1, s2, sch)
+        assert mm_score_ops(ops, s1, s2, sch) == oracle_gotoh.gotoh_score(
+            s1, s2, scheme=sch, compat=False
+        ), (s1[:10], s2[:10])
+
+
+def test_mm_medium_vs_oracle():
+    """A few-hundred-bp pair exercises several recursion levels."""
+    rng = random.Random(29)
+    n = 400
+    s1 = bytes(rng.choice(b"ACGT") for _ in range(n))
+    s2l = bytearray(s1)
+    del s2l[100:160]
+    for i in range(0, len(s2l), 23):
+        s2l[i] = rng.choice(b"ACGT")
+    s2 = bytes(s2l)
+    sch = ScoringScheme()
+    ops = mm_align(s1, s2, sch)
+    assert mm_score_ops(ops, s1, s2, sch) == oracle_gotoh.gotoh_score(
+        s1, s2, scheme=sch, compat=False
+    )

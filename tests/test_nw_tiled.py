@@ -110,9 +110,9 @@ def test_long_pair_model_path(monkeypatch):
     assert res.aligned_db.replace("-", "") == s2.decode()
 
 
-def test_long_pair_band_escape_returns_exact_score(monkeypatch):
-    """If the optimum escapes even the max band, the exact score is still
-    returned (alignment explicitly absent)."""
+def test_long_pair_band_escape_falls_to_myers_miller(monkeypatch):
+    """If the optimum escapes even the max band, the Myers-Miller fallback
+    still produces the exact score AND an exact alignment."""
     from sequencealigning_tpu.config import AlignConfig, Algo
     from sequencealigning_tpu.io.fasta import Record
     from sequencealigning_tpu.models import get_aligner
@@ -121,13 +121,15 @@ def test_long_pair_band_escape_returns_exact_score(monkeypatch):
     monkeypatch.setattr(type(al), "long_pair_lanes", 64)
     monkeypatch.setattr(type(al), "long_pair_max_band", 2)
     # Optimal path needs a 60-long gap: escapes band 2 (and the doubling
-    # cap) but the tiled score is exact regardless.
+    # cap); the tiled score is exact and mm_align recovers the CIGAR.
     s1 = b"G" * 60 + b"A" * 40
     s2 = b"A" * 40
     res = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
     assert res.ok
     assert res.score == oracle_gotoh.gotoh_score(s1, s2)
-    assert res.aligned_query is None
+    assert res.aligned_query is not None
+    assert res.aligned_query.replace("-", "").encode() == s1
+    assert res.aligned_db.replace("-", "").encode() == s2
 
 
 @pytest.mark.parametrize("compat", [True, False])
