@@ -226,8 +226,11 @@ class GotohAligner(Aligner):
                 )
         except AlignerError:
             pass
-        # compat optimum genuinely differs from the textbook-optimal path
-        # (or mm failed): exact score, alignment explicitly absent.
+        # The engine-exact optimum genuinely differs from mm's (compat
+        # boundary quirk, or a scheme where the standard affine model's
+        # adjacent cross-direction runs beat the reference's M-only-opens
+        # model -- see ops.mm_align): exact score, alignment explicitly
+        # absent rather than a wrong one.
         return dict(score=exact_score, aligned_query=None, aligned_db=None)
 
     def _modes_batch(self, pairs: List[Tuple[bytes, bytes]]):

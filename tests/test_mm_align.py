@@ -19,9 +19,15 @@ def test_mm_matches_oracle_random(seed):
         n2 = rng.randint(1, 45)
         s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
         s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
+        # Random schemes restricted to where the standard affine model
+        # coincides with the reference's M-only-opens model (see
+        # ops.mm_align docstring): mismatch >= 2*(open+ext) and >= 2*ext.
+        ov = -rng.randint(0, 12)
+        ev = -rng.randint(1, 7)
+        bound = max(1, min(-2 * (ov + ev), -2 * ev))
         sch = ScoringScheme() if trial % 2 == 0 else ScoringScheme(
-            match_=rng.randint(1, 8), mismatch=-rng.randint(1, 9),
-            gap_open=-rng.randint(0, 12), gap_extend=-rng.randint(1, 7),
+            match_=rng.randint(1, 8), mismatch=-rng.randint(1, bound),
+            gap_open=ov, gap_extend=ev,
         )
         ops = mm_align(s1, s2, sch)
         assert mm_score_ops(ops, s1, s2, sch) == oracle_gotoh.gotoh_score(
@@ -64,3 +70,29 @@ def test_mm_medium_vs_oracle():
     assert mm_score_ops(ops, s1, s2, sch) == oracle_gotoh.gotoh_score(
         s1, s2, scheme=sch, compat=False
     )
+
+
+def test_mm_is_a_relaxation_and_the_model_gate_catches_divergence():
+    """Under schemes where adjacent cross-direction gap runs are
+    profitable, the standard-model mm score exceeds the reference-model
+    optimum; the model layer's rescoring gate must then degrade to
+    score-only rather than claim a wrong alignment."""
+    sch = ScoringScheme(match_=5, mismatch=-100, gap_open=-1, gap_extend=-1)
+    s1, s2 = b"AA", b"TT"
+    ops = mm_align(s1, s2, sch)
+    assert mm_score_ops(ops, s1, s2, sch) > oracle_gotoh.gotoh_score(
+        s1, s2, scheme=sch, compat=False
+    )
+
+    import dataclasses
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    al = GotohAligner(
+        AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, scoring=sch, compat=False)
+    )
+    exact = oracle_gotoh.gotoh_score(s1, s2, scheme=sch, compat=False)
+    r = al._mm_fallback((s1, s2), exact)
+    assert r["score"] == exact
+    assert r["aligned_query"] is None
