@@ -1,0 +1,158 @@
+"""Randomized cross-engine differential soak.
+
+Runs rounds of randomized (lengths, scheme, compat, engine) checks against
+the scalar oracles on the CURRENT backend -- run on TPU to soak the real
+kernels (the pytest suite runs the same logic on the CPU interpret path).
+
+    python benchmarks/soak.py --rounds 8 --seed 1
+
+Each round draws a fresh batch and checks:
+  * streamed Gotoh fill (+ fast4 walk) vs oracle_gotoh
+  * banded fill, band wide enough to cover the optimum, full + fast4 dirs
+  * tiled long-pair fill vs oracle
+  * textbook WFA penalty vs the penalty-converted Gotoh score
+Exit code 1 on any mismatch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import sys
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rounds", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--max-len", type=int, default=600)
+    args = ap.parse_args()
+
+    from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops import oracle_gotoh
+    from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
+    from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_batch
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+    from sequencealigning_tpu.ops.wfa import wfa_textbook_batch
+
+    rng = random.Random(args.seed)
+    fails = 0
+
+    def report(engine, rnd, b, got, exp, pair):
+        nonlocal fails
+        fails += 1
+        print(
+            f"[soak] MISMATCH {engine} round={rnd} pair={b}: got={got} "
+            f"exp={exp} n1={len(pair[0])} n2={len(pair[1])}",
+            file=sys.stderr,
+        )
+
+    for rnd in range(args.rounds):
+        compat = rng.random() < 0.5
+        sch = ScoringScheme() if rnd % 2 == 0 else ScoringScheme(
+            match_=rng.randint(1, 9),
+            mismatch=-rng.randint(1, 12),
+            gap_open=-rng.randint(0, 14),
+            gap_extend=-rng.randint(1, 8),
+        )
+        pairs = []
+        for _ in range(16):
+            n1 = rng.randint(1, args.max_len)
+            n2 = rng.randint(1, args.max_len)
+            pairs.append(
+                (
+                    bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                    bytes(rng.choice(b"ACGT") for _ in range(n2)),
+                )
+            )
+        batch = pack_batch(pairs, batch_size=16)
+        exp = [
+            oracle_gotoh.gotoh_score(s1, s2, scheme=sch, compat=compat)
+            for s1, s2 in pairs
+        ]
+
+        # Streamed fill + fast4 CIGARs.
+        res = nw_affine_stream_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=sch, compat=compat, with_dirs="fast4", np_slots=2,
+        )
+        for b in range(16):
+            got = int(np.asarray(res.finals)[b].max())
+            if got != exp[b]:
+                report("stream", rnd, b, got, exp[b], pairs[b])
+        tbs = traceback_stream_batch(
+            np.asarray(res.dirs), np.asarray(res.finals),
+            [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+            compat=compat, dirs_mode="fast4",
+        )
+        for b, r in enumerate(tbs):
+            if isinstance(r, Exception):
+                report("stream-walk", rnd, b, repr(r), exp[b], pairs[b])
+                continue
+            score, alns = r
+            a1, a2 = alns[0]
+            if (
+                a1.replace("-", "").encode() != pairs[b][0]
+                or a2.replace("-", "").encode() != pairs[b][1]
+            ):
+                report("stream-walk", rnd, b, "bad-recon", "-", pairs[b])
+
+        # Banded (wide band covers the optimum) in both dirs modes.
+        for dm in ("full", "fast4"):
+            bres = nw_banded_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                band=args.max_len, scheme=sch, compat=compat, with_dirs=dm,
+            )
+            for b in range(16):
+                got = int(np.asarray(bres.finals)[b].max())
+                if got != exp[b]:
+                    report(f"banded-{dm}", rnd, b, got, exp[b], pairs[b])
+
+        # Tiled long-pair engine (multi-tile at this tile width).
+        tf = nw_affine_tiled_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=sch, compat=compat, tile_lanes=128,
+        )
+        for b in range(16):
+            got = int(tf[b].max())
+            if got != exp[b]:
+                report("tiled", rnd, b, got, exp[b], pairs[b])
+
+        # Textbook WFA penalty == -(match-0 Gotoh score).
+        pen = WfaPenalties(
+            mismatch=rng.randint(1, 8),
+            gap_open=rng.randint(0, 6),
+            gap_extend=rng.randint(1, 6),
+        )
+        eq = ScoringScheme(
+            match_=0, mismatch=-pen.mismatch,
+            gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+        )
+        wres = wfa_textbook_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            penalties=pen, band=args.max_len,
+        )
+        for b in range(16):
+            if not bool(wres.converged[b]):
+                report("wfa-conv", rnd, b, "not converged", "-", pairs[b])
+                continue
+            got = int(np.asarray(wres.score)[b])
+            want = -oracle_gotoh.gotoh_score(
+                pairs[b][0], pairs[b][1], scheme=eq, compat=False
+            )
+            if got != want:
+                report("wfa", rnd, b, got, want, pairs[b])
+
+        print(f"[soak] round {rnd} done (compat={compat})", file=sys.stderr)
+
+    print(f"[soak] {'PASS' if fails == 0 else f'{fails} MISMATCHES'}",
+          file=sys.stderr)
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -96,3 +96,34 @@ def test_mm_is_a_relaxation_and_the_model_gate_catches_divergence():
     r = al._mm_fallback((s1, s2), exact)
     assert r["score"] == exact
     assert r["aligned_query"] is None
+
+
+def test_mm_forced_recursion_above_cutoff():
+    """3k x 2.1k with a 900-long deletion: the problem exceeds the
+    direct-solve cutoff, exercising joins + subsidized leaves together."""
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_affine import nw_affine_batch
+
+    rng = np.random.default_rng(9)
+    conv = np.frombuffer(b"ACGT", np.uint8)
+    n = 3000
+    a = rng.integers(0, 4, n)
+    s1 = bytes(conv[a])
+    b = np.concatenate([a[:1000], a[1900:]])
+    idx = rng.random(len(b)) < 0.03
+    b[idx] = rng.integers(0, 4, idx.sum())
+    s2 = bytes(conv[b])
+    sch = ScoringScheme()
+    ops = mm_align(s1, s2, sch)
+    batch = pack_batch([(s1, s2)], batch_size=8)
+    exact = int(
+        np.asarray(
+            nw_affine_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                compat=False, with_dirs=False, backend="lax",
+            ).finals
+        )[0].max()
+    )
+    assert mm_score_ops(ops, s1, s2, sch) == exact
