@@ -117,7 +117,8 @@ def _gotoh_step(
     M = H2r + sub
     restart = None
     if mode == "local":
-        restart = M < 0
+        # int32, not bool: Mosaic cannot broadcast/rotate i1 vectors.
+        restart = (M < 0).astype(jnp.int32)
         M = jnp.maximum(M, 0)
     dd = M1r + o
     D = jnp.maximum(dd, D1r) + e
@@ -142,7 +143,7 @@ def _gotoh_step(
         I = jnp.where(on_b, NEG_INF, I)
         D = jnp.where(on_b, NEG_INF, D)
         if mode == "local":
-            restart = jnp.where(on_b, True, restart)
+            restart = jnp.where(on_b, 1, restart)
 
     H = jnp.maximum(M, jnp.maximum(I, D))
 
@@ -158,7 +159,7 @@ def _gotoh_step(
         b |= (D1r >= dd).astype(jnp.int32) * dirbits.DEXT
         b |= (dd >= D1r).astype(jnp.int32) * dirbits.DOPEN
         if mode == "local":
-            b |= restart.astype(jnp.int32) * dirbits.LSTART
+            b |= restart * dirbits.LSTART
         byte = b
 
     return M, I, D, H, s1d_new, byte

@@ -168,3 +168,50 @@ def test_gotoh_aligner_mode_dispatch():
         AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, mode=Mode.LOCAL, compat=False)
     ).align_pair(q, d)
     assert r3.ok and r3.score == 40
+
+
+def test_modes_pallas_matches_lax():
+    """The Pallas modes kernel (interpret off-TPU) must reproduce the lax
+    fill exactly: running argmax bookkeeping and every dirs word."""
+    import random
+
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_affine_modes import nw_affine_modes_batch
+
+    rng = random.Random(77)
+    pairs = []
+    for _ in range(8):
+        n1 = rng.randint(1, 40)
+        n2 = rng.randint(1, 40)
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    batch = pack_batch(pairs, batch_size=8)
+    for local in (False, True):
+        rl = nw_affine_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            local=local, backend="lax",
+        )
+        rp = nw_affine_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            local=local, backend="pallas",
+        )
+        assert np.array_equal(np.asarray(rl.best_val), np.asarray(rp.best_val))
+        assert np.array_equal(np.asarray(rl.best_d), np.asarray(rp.best_d))
+
+        # The pallas sweep pads diagonals to the chunk boundary; compare
+        # per-byte up to the real diagonal count.
+        def diag_bytes(d, n):
+            w = d[:, None] >> np.array([0, 8, 16, 24], np.uint32)[None, :, None, None]
+            return (w & 0xFF).reshape(-1, *d.shape[1:])[:n]
+
+        d_total = batch.query.shape[1] + batch.db.shape[1] + 1
+        assert np.array_equal(
+            diag_bytes(np.asarray(rl.dirs), d_total),
+            diag_bytes(np.asarray(rp.dirs), d_total),
+        )

@@ -127,3 +127,25 @@ def test_mm_forced_recursion_above_cutoff():
         )[0].max()
     )
     assert mm_score_ops(ops, s1, s2, sch) == exact
+
+
+def test_mm_device_rows_path_equals_direct_path(monkeypatch):
+    """Force deep recursion (tiny direct-solve cutoff) and check the
+    device-rows path produces equally-scoring alignments as the
+    direct-DP path on the same inputs."""
+    import sequencealigning_tpu.ops.mm_align as mm
+
+    rng = random.Random(23)
+    for _ in range(6):
+        n1 = rng.randint(8, 60)
+        n2 = rng.randint(8, 60)
+        s1 = bytes(rng.choice(b"ACGT") for _ in range(n1))
+        s2 = bytes(rng.choice(b"ACGT") for _ in range(n2))
+        sch = ScoringScheme()
+        direct = mm_score_ops(mm_align(s1, s2, sch), s1, s2, sch)
+        monkeypatch.setattr(mm, "_DIRECT_CELLS", 32)
+        deep = mm_score_ops(mm_align(s1, s2, sch), s1, s2, sch)
+        monkeypatch.undo()
+        assert direct == deep == oracle_gotoh.gotoh_score(
+            s1, s2, scheme=sch, compat=False
+        ), (s1, s2)
