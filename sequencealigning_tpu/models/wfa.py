@@ -121,7 +121,13 @@ class WfaAligner(Aligner):
     def _gotoh_fallback(self, pairs, pending, out):
         """Exact escape path: gap-affine min-penalty == negated textbook
         Gotoh under (match=0, -x, -o, -e), so the Gotoh engine provides
-        both the exact penalty and an alignment for any pair."""
+        both the exact penalty and an alignment for any pair.
+
+        Model caveat (mirrors the reference's own internal inconsistency,
+        PARITY.md): WFA's combined M-wavefront is the standard affine
+        model, Gotoh opens gaps from M only; the two coincide whenever
+        mismatch <= 2*gap_extend (true for the reference's 4/2/6 defaults
+        and any realistic DNA penalties)."""
         import dataclasses
 
         from sequencealigning_tpu.config import ScoringScheme
