@@ -29,13 +29,7 @@ from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
 
 class WfaAligner(Aligner):
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
-        if self.config.mode is Mode.SEMI_GLOBAL and not self.config.compat:
-            # Textbook extension: free end gaps in the wavefront formalism
-            # (the reference stubs every non-global WFA, wfa.rs:24-27).
-            return self._textbook_batch(pairs, mode="semi")
         if self.config.mode is not Mode.GLOBAL:
-            # compat parity; and local WFA is not well-defined (the
-            # penalty formalism has no score clamp).
             return [AlignmentError("not implemented") for _ in pairs]
         if self.config.compat:
             return self._compat_batch(pairs)
@@ -86,7 +80,7 @@ class WfaAligner(Aligner):
     # exact and cheaper).
     wfa_max_band = 256
 
-    def _textbook_batch(self, pairs, mode: str = "global"):
+    def _textbook_batch(self, pairs):
         out = [None] * len(pairs)
         pending = list(range(len(pairs)))
         band = self.config.band
@@ -99,7 +93,6 @@ class WfaAligner(Aligner):
                 res = wfa_textbook_batch(
                     batch.query, batch.db, batch.query_len, batch.db_len,
                     penalties=self.config.wfa_penalties, band=band,
-                    mode=mode,
                 )
             except AlignmentError:
                 break  # beyond the int16 offset cap: exact fallback below
@@ -122,13 +115,7 @@ class WfaAligner(Aligner):
             pending = still
             band *= 2
         if pending:
-            if mode == "semi":
-                for i in pending:
-                    out[i] = AlignmentError(
-                        "semi-global WFA did not converge within the band"
-                    )
-            else:
-                self._gotoh_fallback(pairs, pending, out)
+            self._gotoh_fallback(pairs, pending, out)
         return out
 
     def _gotoh_fallback(self, pairs, pending, out):

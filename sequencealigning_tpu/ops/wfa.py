@@ -58,16 +58,11 @@ class WfaBatchResult:
     device lazily on first access, so score-only consumers never pay the
     history transfer."""
 
-    def __init__(self, score, converged, hist_chunks, k_lo: int,
-                 hit_k=None, mode: str = "global"):
+    def __init__(self, score, converged, hist_chunks, k_lo: int):
         self.score = score
         self.converged = converged
         self._chunks = hist_chunks
         self.k_lo = k_lo
-        # Diagonal of the converging cell (equals n1-n2 in global mode;
-        # any far-edge diagonal in semi-global mode).
-        self.hit_k = hit_k
-        self.mode = mode
 
     @property
     def hist(self) -> np.ndarray:
@@ -110,47 +105,13 @@ def _build_runlen(seq1, seq2, n1v, n2v, k_lo: int, K: int):
     return runs[::-1]  # (T, B, K) int16
 
 
-def _mk_extend(runlen, T: int):
-    BIG = 2 ** 14
-
-    def extend(t):
-        if T == 0:
-            return t
-        idx = jnp.clip(t, 0, T - 1)[None]
-        run = jnp.take_along_axis(runlen, idx, axis=0)[0].astype(jnp.int32)
-        return t + jnp.where(jnp.logical_and(t >= 0, t < T), run, 0)
-
-    return extend
-
-
-def _hit_info(m, kv, n1v, n2v, target_lane, k_lo, k_hi, mode: str):
-    """(hit (B,), hit_lane (B,)) for the current M wavefront.  Global:
-    the corner lane only; semi: any present lane on the far edges (free
-    trailing gaps)."""
-    if mode == "semi":
-        mask = jnp.logical_and(
-            m > NEG,
-            jnp.logical_or(m >= n2v, (m + kv) >= n1v),
-        )
-        return jnp.any(mask, axis=1), jnp.argmax(mask, axis=1).astype(
-            jnp.int32
-        )
-    k_target = n1v - n2v
-    hit = (jnp.take_along_axis(m, target_lane, 1) >= n2v)[:, 0]
-    hit = jnp.logical_and(hit, (k_target >= k_lo)[:, 0])
-    hit = jnp.logical_and(hit, (k_target <= k_hi)[:, 0])
-    return hit, target_lane[:, 0]
-
-
 @functools.partial(
-    jax.jit, static_argnames=("k_lo", "k_hi", "penalties", "mode")
+    jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
 )
 def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
-                  penalties: WfaPenalties, mode: str = "global"):
-    """Seed s=0.  Global: the leading match run on diagonal 0; semi: free
-    leading gaps seed EVERY boundary cell (t = max(0, -k)).  Returns
-    (runlen, ring buffers preloaded with s=0, done0, score0, hit_lane0,
-    seed history row)."""
+                  penalties: WfaPenalties):
+    """Seed s=0: leading match run on diagonal 0.  Returns (runlen, ring
+    buffers preloaded with s=0, done0, score0, seed history row)."""
     B = seq1.shape[0]
     K = k_hi - k_lo + 1
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
@@ -158,22 +119,14 @@ def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
     T = seq2.shape[1]
     k_target = n1v - n2v
     target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
-    extend = _mk_extend(runlen, T)
-    BIG = 2 ** 14
 
-    if mode == "semi":
-        t00 = jnp.maximum(0, -kv)
-        seeded = jnp.logical_and(t00 <= n2v, (t00 + kv) <= n1v)
-        seeded = jnp.logical_and(seeded, t00 + kv >= 0)
-    else:
-        t00 = jnp.zeros_like(kv)
-        seeded = kv == 0
-    m0 = extend(jnp.where(seeded, t00, BIG))
+    run0 = runlen[0].astype(jnp.int32) if T > 0 else jnp.zeros((B, K), jnp.int32)
+    m0 = jnp.where(kv == 0, run0, NEG)
     ok0 = jnp.logical_and(
         jnp.logical_and(m0 >= 0, m0 <= n2v),
         jnp.logical_and((m0 + kv) >= 0, (m0 + kv) <= n1v),
     )
-    m0 = jnp.where(jnp.logical_and(seeded, ok0), m0, NEG)
+    m0 = jnp.where(jnp.logical_and(kv == 0, ok0), m0, NEG)
 
     rl = max(penalties.gap_open + penalties.gap_extend,
              penalties.gap_extend, penalties.mismatch) + 1
@@ -182,25 +135,23 @@ def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
     ring_i = negs
     ring_d = negs
 
-    done0, hit_lane0 = _hit_info(
-        m0, kv, n1v, n2v, target_lane, k_lo, k_hi, mode
-    )
-    hit_lane0 = jnp.where(done0, hit_lane0, -1)
+    done0 = (jnp.take_along_axis(m0, target_lane, 1) >= n2v)[:, 0]
+    done0 = jnp.logical_and(done0, (k_target >= k_lo)[:, 0])
+    done0 = jnp.logical_and(done0, (k_target <= k_hi)[:, 0])
     score0 = jnp.where(done0, 0, -1).astype(jnp.int32)
     seed_row = jnp.stack(
         [m0, jnp.full((B, K), NEG, jnp.int32), jnp.full((B, K), NEG, jnp.int32)],
         axis=0,
     ).astype(jnp.int16)[None]  # (1, 3, B, K)
-    return runlen, ring_m, ring_i, ring_d, done0, score0, hit_lane0, seed_row
+    return runlen, ring_m, ring_i, ring_d, done0, score0, seed_row
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_lo", "k_hi", "penalties", "mode")
+    jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
 )
 def _wfa_chunk_jax(
-    runlen, ring_m, ring_i, ring_d, s0, done, score, hit_lane,
+    runlen, ring_m, ring_i, ring_d, s0, done, score,
     n1v, n2v, k_lo: int, k_hi: int, penalties: WfaPenalties,
-    mode: str = "global",
 ):
     """Advance S_CHUNK score steps (s = s0 .. s0+S_CHUNK-1).  Fill state is
     the rings; the chunk's per-step offsets are emitted as an
@@ -215,6 +166,7 @@ def _wfa_chunk_jax(
     negs = jnp.full((B, K), NEG, jnp.int32)
     k_target = n1v - n2v
     target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
+    in_band = jnp.logical_and(k_target >= k_lo, k_target <= k_hi)[:, 0]
     T = runlen.shape[0]
     BIG = 2 ** 14  # parks absent lanes out of bounds so extend() skips them
 
@@ -245,7 +197,7 @@ def _wfa_chunk_jax(
         return jnp.where(s_ >= 0, row, negs)
 
     def body(carry, i):
-        ring_m, ring_i, ring_d, done, score, hit_lane = carry
+        ring_m, ring_i, ring_d, done, score = carry
         s = s0 + i
         m_oe = ring_at(ring_m, s - oe)
         m_x = ring_at(ring_m, s - x_pen)
@@ -274,21 +226,19 @@ def _wfa_chunk_jax(
         ring_i = jax.lax.dynamic_update_slice(ring_i, i_new[None], (slot, 0, 0))
         ring_d = jax.lax.dynamic_update_slice(ring_d, d_new[None], (slot, 0, 0))
 
-        hit, lane = _hit_info(
-            m_new, kv, n1v, n2v, target_lane, k_lo, k_hi, mode
-        )
+        hit = (jnp.take_along_axis(m_new, target_lane, 1) >= n2v)[:, 0]
+        hit = jnp.logical_and(hit, in_band)
         newly = jnp.logical_and(hit, jnp.logical_not(done))
         score = jnp.where(newly, s, score)
-        hit_lane = jnp.where(newly, lane, hit_lane)
         done = jnp.logical_or(done, hit)
         row = jnp.stack([m_new, i_new, d_new], axis=0).astype(jnp.int16)
-        return (ring_m, ring_i, ring_d, done, score, hit_lane), row
+        return (ring_m, ring_i, ring_d, done, score), row
 
-    (ring_m, ring_i, ring_d, done, score, hit_lane), rows = jax.lax.scan(
-        body, (ring_m, ring_i, ring_d, done, score, hit_lane),
+    (ring_m, ring_i, ring_d, done, score), rows = jax.lax.scan(
+        body, (ring_m, ring_i, ring_d, done, score),
         jnp.arange(S_CHUNK, dtype=jnp.int32),
     )
-    return ring_m, ring_i, ring_d, done, score, hit_lane, rows
+    return ring_m, ring_i, ring_d, done, score, rows
 
 
 def wfa_textbook_batch(
@@ -299,15 +249,10 @@ def wfa_textbook_batch(
     penalties: WfaPenalties = WfaPenalties(),
     band: int = 64,
     s_max: int = 16_384,
-    mode: str = "global",
 ) -> WfaBatchResult:
     """Batched exact gap-affine WFA.  band = half-width of the static
     diagonal window beyond the batch's length-difference range; s_max is a
-    safety cap on the penalty score (fill memory is score-independent).
-
-    mode="semi": free end gaps in both sequences (a textbook extension --
-    the reference stubs every non-global WFA, wfa.rs:24-27): s=0 seeds the
-    whole boundary and convergence fires on reaching either far edge."""
+    safety cap on the penalty score (fill memory is score-independent)."""
     qlen = np.asarray(query_len)
     dlen = np.asarray(db_len)
     if int(dlen.max(initial=0)) >= 2 ** 14 or int(qlen.max(initial=0)) >= 2 ** 14:
@@ -327,8 +272,8 @@ def wfa_textbook_batch(
         jnp.asarray(qlen, jnp.int32)[:, None],
         jnp.asarray(dlen, jnp.int32)[:, None],
     )
-    runlen, ring_m, ring_i, ring_d, done, score, hit_lane, seed_row = (
-        _wfa_seed_jax(*args, k_lo, k_hi, penalties, mode)
+    runlen, ring_m, ring_i, ring_d, done, score, seed_row = _wfa_seed_jax(
+        *args, k_lo, k_hi, penalties
     )
     chunks = [seed_row]
     s = 1
@@ -339,19 +284,15 @@ def wfa_textbook_batch(
         for _ in range(4):
             if s >= s_max:
                 break
-            (ring_m, ring_i, ring_d, done, score, hit_lane, rows) = (
-                _wfa_chunk_jax(
-                    runlen, ring_m, ring_i, ring_d, jnp.int32(s), done,
-                    score, hit_lane, args[2], args[3], k_lo, k_hi,
-                    penalties, mode,
-                )
+            ring_m, ring_i, ring_d, done, score, rows = _wfa_chunk_jax(
+                runlen, ring_m, ring_i, ring_d, jnp.int32(s), done, score,
+                args[2], args[3], k_lo, k_hi, penalties,
             )
             chunks.append(rows)
             s += S_CHUNK
     return WfaBatchResult(
         score=np.asarray(score), converged=np.asarray(done),
         hist_chunks=chunks, k_lo=k_lo,
-        hit_k=np.asarray(hit_lane) + k_lo, mode=mode,
     )
 
 
@@ -372,7 +313,7 @@ def wfa_traceback_host(
     if not bool(np.asarray(result.converged)[b]):
         raise AlignmentError("WFA did not converge within band/s_max")
     s = int(np.asarray(result.score)[b])
-    if result.mode == "global" and not os.environ.get("SEQALIGN_NO_NATIVE"):
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
         try:
             from sequencealigning_tpu import native
 
@@ -400,18 +341,8 @@ def wfa_traceback_host(
     a1: List[str] = []
     a2: List[str] = []
     state = "M"
-    if result.mode == "semi":
-        k = int(np.asarray(result.hit_k)[b])
-        t = hist(m_hist, s, k)
-        # Free trailing gaps to the corner (at most one side is short).
-        y = t + k
-        a1.extend("-" * (n2 - t))
-        a2.extend(reversed(seq2[t:n2].decode("latin-1")))
-        a2.extend("-" * (n1 - y))
-        a1.extend(reversed(seq1[y:n1].decode("latin-1")))
-    else:
-        k = n1 - n2
-        t = n2
+    k = n1 - n2
+    t = n2
 
     def emit_matches(n: int, t_end: int) -> None:
         # Matches ending at offset t_end (exclusive) on diagonal k.  The
@@ -428,19 +359,9 @@ def wfa_traceback_host(
             raise AlignmentError("WFA traceback did not terminate")
         if state == "M":
             if s == 0:
-                # Initial seed: matches back to the seed offset, then the
-                # free leading gaps (semi mode seeds the whole boundary;
-                # global seeds diag 0 at offset 0).
-                seed_t = max(0, -k) if result.mode == "semi" else 0
-                if result.mode == "global":
-                    assert k == 0
-                emit_matches(t - seed_t, t)
-                if k < 0:
-                    a1.extend("-" * (-k))
-                    a2.extend(reversed(seq2[:-k].decode("latin-1")))
-                elif k > 0:
-                    a2.extend("-" * k)
-                    a1.extend(reversed(seq1[:k].decode("latin-1")))
+                # initial seed: t leading matches on diag 0
+                assert k == 0
+                emit_matches(t, t)
                 break
             mx = hist(m_hist, s - x_pen, k)
             iv = hist(i_hist, s, k)

@@ -34,8 +34,6 @@ CASES = [
      ["-a", "needleman-wunsch", "-m", "semi-global", "--textbook"]),
     ("nw-linear-local", ["-a", "nw-linear", "-m", "local"]),
     ("nw-first-only", ["-a", "needleman-wunsch", "--first-only"]),
-    ("wfa-semiglobal-textbook",
-     ["-a", "wfa", "--textbook", "-m", "semi-global"]),
 ]
 
 

@@ -196,76 +196,3 @@ def test_textbook_converges_beyond_old_s_max_ceiling():
     assert score == oracle_wfa.wfa_textbook_score(s1, s2)
     assert score > 512  # genuinely beyond the old ceiling
     assert a1.replace("-", "").encode() == s1
-
-
-def test_textbook_semi_global_matches_gotoh_modes():
-    """Textbook semi-global WFA penalty == negated semi-global Gotoh score
-    under the penalty-converted (match=0) scheme, and the traceback
-    reconstructs both sequences with free end gaps."""
-    import random
-
-    import numpy as np
-
-    from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
-    from sequencealigning_tpu.io.encode import pack_batch
-    from sequencealigning_tpu.ops.nw_affine_modes import (
-        modes_end_cell,
-        nw_affine_modes_batch,
-    )
-    from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
-
-    rng = random.Random(131)
-    pairs = []
-    for _ in range(8):
-        n1 = rng.randint(2, 50)
-        n2 = rng.randint(2, 50)
-        pairs.append(
-            (
-                bytes(rng.choice(b"ACGT") for _ in range(n1)),
-                bytes(rng.choice(b"ACGT") for _ in range(n2)),
-            )
-        )
-    batch = pack_batch(pairs, batch_size=8)
-    pen = WfaPenalties()  # 4/2/6: the coinciding-model regime
-    res = wfa_textbook_batch(
-        batch.query, batch.db, batch.query_len, batch.db_len,
-        penalties=pen, band=64, mode="semi",
-    )
-    assert bool(np.asarray(res.converged).all())
-    eq = ScoringScheme(
-        match_=0, mismatch=-pen.mismatch,
-        gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
-    )
-    gres = nw_affine_modes_batch(
-        batch.query, batch.db, batch.query_len, batch.db_len,
-        local=False, scheme=eq, with_dirs=False, backend="lax",
-    )
-    for b, (s1, s2) in enumerate(pairs):
-        gscore, _, _ = modes_end_cell(gres, b)
-        assert int(np.asarray(res.score)[b]) == -gscore, (b, s1, s2)
-        p, a1, a2 = wfa_traceback_host(res, b, s1, s2, pen)
-        assert a1.replace("-", "").encode() == s1, b
-        assert a2.replace("-", "").encode() == s2, b
-        assert len(a1) == len(a2)
-
-
-def test_semi_global_wfa_model_layer():
-    from sequencealigning_tpu.config import AlignConfig, Algo, Mode
-    from sequencealigning_tpu.io.fasta import Record
-    from sequencealigning_tpu.models import get_aligner
-
-    # A read contained in a longer reference: semi-global penalty 0.
-    ref = b"ACGTACGTTACGGATCGATCG"
-    read = b"TACGGATC"
-    al = get_aligner(
-        AlignConfig(algo=Algo.WFA, compat=False, mode=Mode.SEMI_GLOBAL)
-    )
-    r = al.align_pair(Record(seq=read, name=b">q"), Record(seq=ref, name=b">d"))
-    assert r.ok, r.error
-    assert r.score == 0
-    assert r.aligned_query.replace("-", "").encode() == read
-    assert r.aligned_db.replace("-", "").encode() == ref
-    # compat semi-global stays reference-faithful "not implemented".
-    al2 = get_aligner(AlignConfig(algo=Algo.WFA, mode=Mode.SEMI_GLOBAL))
-    r2 = al2.align_pair(Record(seq=read, name=b">q"), Record(seq=ref, name=b">d"))
-    assert r2.error == "not implemented"
