@@ -144,6 +144,7 @@ class GotohAligner(Aligner):
         """
         from sequencealigning_tpu.ops.nw_affine_tiled import (
             nw_affine_tiled_batch,
+            nw_affine_tiled_fold_batch,
             nw_affine_tiled_single,
         )
         from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
@@ -151,10 +152,23 @@ class GotohAligner(Aligner):
             banded_fast4_traceback_pair,
         )
 
-        if len(pairs) < 6:
-            # Few long pairs: the sublane-folded fill runs each pair at
-            # full 8-sublane occupancy; serial folded calls beat the
-            # batched sweep until ~6 pairs fill the sublanes anyway.
+        nb = len(pairs)
+        cells = [max(1, len(a) * len(b)) for a, b in pairs]
+        groups = {1: 1, 2: 2, 3: 4, 4: 4}.get(nb, 8)
+        if nb <= 4 and sum(cells) >= 0.7 * groups * max(cells):
+            # Few similar-length long pairs: ONE folded dispatch runs all
+            # of them at full sublane occupancy (fold = 8 // ceil_pow2(B));
+            # the fill pads every pair to the longest, so mixed sizes
+            # (sum(cells) << G * max) fall through to serial folds below.
+            exact = nw_affine_tiled_fold_batch(
+                batch.query[:nb], batch.db[:nb],
+                batch.query_len[:nb], batch.db_len[:nb],
+                scheme=self.config.scoring, compat=self.config.compat,
+            )
+        elif nb < 6:
+            # The sublane-folded fill runs each pair at full 8-sublane
+            # occupancy; serial folded calls beat the batched sweep until
+            # ~6 pairs fill the sublanes anyway.
             exact = np.stack(
                 [
                     nw_affine_tiled_single(

@@ -428,18 +428,28 @@ def nw_affine_tiled_batch(
 
 
 # ---------------------------------------------------------------------------
-# Sublane-folded single-pair tile fill
+# Sublane-folded small-batch tile fill
 # ---------------------------------------------------------------------------
 #
-# One long pair leaves 7 of 8 sublanes idle in the batched tile sweep.  The
-# folded variant assigns 8 CONSECUTIVE W-lane x-tiles to the 8 sublanes, so
-# one kernel invocation sweeps a virtual 8*W-wide tile: cell (x, y) with
-# x = x0 + s*W + l lives at sublane s, lane l, and every (s, l) position of
-# an anti-diagonal step holds a distinct cell -- full VPU occupancy.  The
-# only new machinery is the x-1 neighbor exchange across the sublane seam:
-# lane 0 of sublane s reads lane W-1 of sublane s-1 (one sublane roll + one
-# static slice + select).  Boundary columns couple virtual tiles exactly as
-# before, with the edge at x = x0 + 8*W - 1 (sublane 7, lane W-1).
+# A few long pairs leave most of the 8 sublanes idle in the batched tile
+# sweep.  The folded variant splits the sublane axis into G = 8 // fold
+# groups of `fold` consecutive sublanes; group p holds pair p, with `fold`
+# CONSECUTIVE W-lane x-tiles of that pair on the group's sublanes.  One
+# kernel invocation sweeps a virtual fold*W-wide tile per pair: cell (x, y)
+# with x = x0 + (s % fold)*W + l lives at sublane s, lane l, and every
+# (s, l) position of an anti-diagonal step holds a distinct cell -- full
+# VPU occupancy at any B in 1..4 (fold = 8 at B=1 recovers the original
+# single-pair fold).  The only cross-sublane machinery is the x-1 neighbor
+# exchange across the sublane seam: lane 0 of sublane s reads lane W-1 of
+# sublane s-1 (one sublane roll + one static slice + select); the roll
+# also crosses group boundaries, but those cells are the per-group fold
+# origins and are overridden by each pair's carried boundary column.
+# Boundary columns couple virtual tiles exactly as before, with each
+# group's edge at x = x0 + fold*W - 1 (the group's last sublane, lane
+# W-1).  Per-pair corner capture runs under a scalar step window
+# [glo, ghi] = [min, max] over pairs of the capture step n1+n2-x0, so the
+# equal-length (and B=1) case pays for the masked read-modify-write only
+# on the exact capture steps.
 
 
 def _shift_x(a, lane_0, roll_l, roll_s):
@@ -500,15 +510,21 @@ def _folded_step(
 
 
 def _tile_fill_folded_lax(
-    db_tile, qs, hb1s, mbs, dbs, n1, n2, x0, ngc: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool,
+    db_tile, qs, hb1s, mbs, dbs, n2c, n12c, x0, glo, ghi, ngc: int,
+    fold: int, scheme: ScoringScheme, compat: bool, wildcard: bool,
 ):
-    """lax reference for the folded fill.  db_tile: (8, W); qs/hb1s/mbs/
-    dbs: (1, NGC) per-step scalars; n1/n2/x0 traced scalars.  Returns
-    (fm, fi, fd (8, W), br_m, br_d, br_h (1, NGC))."""
+    """lax reference for the folded fill.  db_tile: (8, W), sublane group
+    p*fold..(p+1)*fold-1 holding pair p's fold*W db lanes; qs/hb1s/mbs/
+    dbs: (8, NGC) per-step columns (rows equal within a group); n2c/n12c:
+    (8, 128) per-sublane n2 / n1+n2 (lane 0 meaningful); glo/ghi: the
+    Pallas capture window (unused here -- the lax scan masks every step).
+    Returns (fm, fi, fd (8, W), br_m, br_d, br_h (8, NGC) per-sublane
+    last-lane emissions)."""
+    del glo, ghi
     S, W = db_tile.shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
-    sub_off = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1] * W
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1]
+    sub_off = (sub_iota & (fold - 1)) * W
     lane_0 = lane_iota == 0
     s0l0 = jnp.logical_and(lane_0, sub_off == 0)
     xv = x0 + sub_off + lane_iota
@@ -516,8 +532,8 @@ def _tile_fill_folded_lax(
     roll_s = lambda a: jnp.roll(a, 1, axis=0)
     neg = jnp.full((S, W), NEG_INF, jnp.int32)
     zeros = jnp.zeros((S, W), jnp.int32)
-    gcap = n1 + n2 - x0
-    capl = xv == n2
+    gcapc = n12c[:, :1] - x0
+    capl = xv == n2c[:, :1]
 
     def body(carry, g):
         H2, H1, M1, I1, D1, qw, fm, fi, fd = carry
@@ -528,13 +544,11 @@ def _tile_fill_folded_lax(
             db_tile, lane_iota, sub_off, s0l0, lane_0, x0,
             scheme, compat, wildcard, roll_l, roll_s,
         )
-        cap = jnp.logical_and(g == gcap, capl)
+        cap = jnp.logical_and(g == gcapc, capl)
         fm = fm + jnp.where(cap, M, 0)
         fi = fi + jnp.where(cap, I, 0)
         fd = fd + jnp.where(cap, D, 0)
-        br = jnp.concatenate(
-            [M[-1:, -1:], D[-1:, -1:], H[-1:, -1:]], axis=1
-        )[0]
+        br = jnp.stack([M[:, -1], D[:, -1], H[:, -1]], axis=0)  # (3, 8)
         return (H1, H, M, I, D, qw, fm, fi, fd), br
 
     carry0 = (neg, neg, neg, neg, neg, zeros, zeros, zeros, zeros)
@@ -542,35 +556,37 @@ def _tile_fill_folded_lax(
         body, carry0, jnp.arange(ngc, dtype=jnp.int32)
     )
     fm, fi, fd = carry[6:]
-    brs = brs.T  # (3, NGC)
-    return fm, fi, fd, brs[0:1], brs[1:2], brs[2:3]
+    brs = jnp.transpose(brs, (1, 2, 0))  # (3, 8, NGC)
+    return fm, fi, fd, brs[0], brs[1], brs[2]
 
 
 def _folded_kernel(
     # inputs
-    x0_ref, n1_ref, n2_ref, s2v_ref, qs_ref, hb1_ref, mb_ref, db_ref,
+    x0_ref, glo_ref, ghi_ref, n2c_ref, n12c_ref, s2v_ref,
+    qs_ref, hb1_ref, mb_ref, db_ref,
     # outputs
     fm_ref, fi_ref, fd_ref, brm_ref, brd_ref, brh_ref,
     # scratch
     H2, H1, M1, I1, D1, qw,
-    *, chunk: int,
+    *, chunk: int, fold: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool,
 ):
     c = pl.program_id(0)
     S, W = s2v_ref.shape
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 1)
-    sub_off = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1] * W
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (S, W), 0)[:, :1]
+    sub_off = (sub_iota & (fold - 1)) * W
     lane_0 = lane_iota == 0
     s0l0 = jnp.logical_and(lane_0, sub_off == 0)
     roll_l = lambda a: pltpu.roll(a, 1, axis=1)
     roll_s = lambda a: pltpu.roll(a, 1, axis=0)
     x0 = x0_ref[0, 0]
-    n1 = n1_ref[0, 0]
-    n2 = n2_ref[0, 0]
+    glo = glo_ref[0, 0]
+    ghi = ghi_ref[0, 0]
     s2v = s2v_ref[...]
     xv = x0 + sub_off + lane_iota
-    gcap = n1 + n2 - x0
-    capl = xv == n2
+    gcapc = n12c_ref[...][:, :1] - x0
+    capl = xv == n2c_ref[...][:, :1]
 
     @pl.when(c == 0)
     def _init():
@@ -591,7 +607,7 @@ def _folded_kernel(
     def col(ref, i):
         return jnp.sum(
             jnp.where(lanec == i, ref[...], 0), axis=1, keepdims=True
-        )[:1]
+        )
 
     def step_body(i, carry):
         vH2, vH1, vM1, vI1, vD1, vqw, bm, bd, bh = carry
@@ -603,11 +619,14 @@ def _folded_kernel(
             scheme, compat, wildcard, roll_l, roll_s,
         )
 
-        @pl.when(g == gcap)
-        def _capture(M=M, I=I, D=D):
-            fm_ref[...] += jnp.where(capl, M, 0)
-            fi_ref[...] += jnp.where(capl, I, 0)
-            fd_ref[...] += jnp.where(capl, D, 0)
+        # Scalar window over the pairs' capture steps: zero-cost outside
+        # it, per-pair masked RMW inside (equal-length pairs -> 1 step).
+        @pl.when(jnp.logical_and(g >= glo, g <= ghi))
+        def _capture(M=M, I=I, D=D, g=g):
+            cap = jnp.logical_and(g == gcapc, capl)
+            fm_ref[...] += jnp.where(cap, M, 0)
+            fi_ref[...] += jnp.where(cap, I, 0)
+            fd_ref[...] += jnp.where(cap, D, 0)
 
         # Last-lane column per sublane ((8,1) -- Mosaic cannot broadcast a
         # (1,1) anchored off-origin); row 7 is the virtual tile edge and
@@ -631,13 +650,15 @@ def _folded_kernel(
 
 
 def _tile_fill_folded_pallas(
-    db_tile, qs, hb1s, mbs, dbs, n1, n2, x0, ngc: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool,
+    db_tile, qs, hb1s, mbs, dbs, n2c, n12c, x0, glo, ghi, ngc: int,
+    fold: int, scheme: ScoringScheme, compat: bool, wildcard: bool,
     chunk: int = 128, interpret: Optional[bool] = None,
 ):
     """Same contract as _tile_fill_folded_lax, as a Pallas kernel.  The
-    per-step boundary/char scalars arrive as (8, chunk) blocks (all rows
-    equal) so the in-kernel column extraction stays a masked reduce."""
+    per-step boundary/char columns arrive as (8, chunk) blocks (rows equal
+    within a sublane group) so the in-kernel column extraction stays a
+    masked reduce; per-sublane n2 / n1+n2 ride (8, 128) VMEM blocks (lane
+    0 meaningful -- Mosaic tiles don't go narrower)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     S, W = db_tile.shape
@@ -645,7 +666,7 @@ def _tile_fill_folded_pallas(
 
     grid = (NC,)
     kernel = functools.partial(
-        _folded_kernel, chunk=chunk, scheme=scheme,
+        _folded_kernel, chunk=chunk, fold=fold, scheme=scheme,
         compat=compat, wildcard=wildcard,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
@@ -654,6 +675,8 @@ def _tile_fill_folded_pallas(
     )
     in_specs = [
         smem(), smem(), smem(),
+        bspec((S, 128), lambda c: (0, 0)),
+        bspec((S, 128), lambda c: (0, 0)),
         bspec((S, W), lambda c: (0, 0)),
         bspec((S, chunk), lambda c: (0, c)),
         bspec((S, chunk), lambda c: (0, c)),
@@ -673,7 +696,7 @@ def _tile_fill_folded_pallas(
     ] * 3
     scratch = [pltpu.VMEM((S, W), jnp.int32) for _ in range(6)]
     to11 = lambda v: jnp.asarray(v, jnp.int32).reshape(1, 1)
-    bcast = lambda a: jnp.broadcast_to(a, (S, ngc))
+    wide = lambda a: jnp.broadcast_to(a, (S, 128))
     fm, fi, fd, brm, brd, brh = pl.pallas_call(
         kernel,
         grid=grid,
@@ -686,41 +709,54 @@ def _tile_fill_folded_pallas(
             dimension_semantics=("arbitrary",),
         ),
     )(
-        to11(x0), to11(n1), to11(n2), db_tile,
-        bcast(qs), bcast(hb1s), bcast(mbs), bcast(dbs),
+        to11(x0), to11(glo), to11(ghi), wide(n2c[:, :1]), wide(n12c[:, :1]),
+        db_tile, qs, hb1s, mbs, dbs,
     )
-    return fm, fi, fd, brm[-1:], brd[-1:], brh[-1:]
+    return fm, fi, fd, brm, brd, brh
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_tiled_folded(w, ngc, scheme, compat, wildcard, backend, chunk):
+def _jitted_tiled_folded(w, ngc, fold, scheme, compat, wildcard, backend,
+                         chunk):
     fill = (
         _tile_fill_folded_pallas if backend == "pallas"
         else _tile_fill_folded_lax
     )
     kw = {"chunk": chunk} if backend == "pallas" else {}
-    wv = 8 * w
+    wv = fold * w
 
-    def run(query, db_tiles, x0s, n1, n2):
-        # query: (1, L1) int8; db_tiles: (T, 8, W) int8; x0s: (T,) int32.
+    def run(query, db_tiles, x0s, n1v, n2v):
+        # query: (G, L1) int8; db_tiles: (T, 8, W) int8; x0s: (T,) int32;
+        # n1v/n2v: (G, 1) int32 with G = 8 // fold pair groups.
+        G = n1v.shape[0]
+        rep = lambda a: jnp.repeat(a, fold, axis=0)
         q = query.astype(jnp.int32)
         qs = jnp.pad(q, ((0, 0), (1, max(0, ngc - 1 - q.shape[1]))))
-        qs = qs[:1, :ngc]
-        n1v = jnp.reshape(n1, (1, 1))
+        qs = rep(qs[:, :ngc])
         hb1, mb, db_b = _boundary0(n1v, ngc, scheme, compat)
+        hb1, mb, db_b = rep(hb1), rep(mb), rep(db_b)
+        n12 = n1v + n2v
+        n2c = rep(n2v)
+        n12c = rep(n12)
+        glo_all = jnp.min(n12)
+        ghi_all = jnp.max(n12)
 
         def tile_body(carry, xs):
             hb1, mb, db_b, fm, fi, fd = carry
             db_tile, x0 = xs
             fm_t, fi_t, fd_t, brm, brd, brh = fill(
-                db_tile.astype(jnp.int32), qs, hb1, mb, db_b, n1, n2,
-                x0, ngc, scheme, compat, wildcard, **kw
+                db_tile.astype(jnp.int32), qs, hb1, mb, db_b, n2c, n12c,
+                x0, glo_all - x0, ghi_all - x0, ngc, fold,
+                scheme, compat, wildcard, **kw
             )
             fm = fm + fm_t
             fi = fi + fi_t
             fd = fd + fd_t
-            # The virtual tile edge is x0 + 8W - 1: re-index by y.
-            pad = lambda a: jnp.pad(a, ((0, 0), (0, wv)))
+            # Each group's virtual tile edge is its LAST sublane (x =
+            # x0 + fold*W - 1): select edge rows, refan to the group's
+            # sublanes, re-index the per-step emissions by y.
+            edge = lambda a: rep(a[fold - 1::fold])
+            pad = lambda a: jnp.pad(edge(a), ((0, 0), (0, wv)))
             mb_n = jax.lax.dynamic_slice_in_dim(pad(brm), wv - 1, ngc, 1)
             db_n = jax.lax.dynamic_slice_in_dim(pad(brd), wv - 1, ngc, 1)
             hb1_n = jax.lax.dynamic_slice_in_dim(pad(brh), wv - 2, ngc, 1)
@@ -730,12 +766,87 @@ def _jitted_tiled_folded(w, ngc, scheme, compat, wildcard, backend, chunk):
         carry0 = (hb1, mb, db_b, zeros, zeros, zeros)
         carry, _ = jax.lax.scan(tile_body, carry0, (db_tiles, x0s))
         fm, fi, fd = carry[3:]
-        finals = jnp.stack(
-            [fm.sum(), fi.sum(), fd.sum()], axis=0
-        )[None]
-        return finals
+        red = lambda a: a.reshape(G, fold * w).sum(axis=1)
+        finals = jnp.stack([red(fm), red(fi), red(fd)], axis=1)
+        return finals  # (G, 3)
 
     return jax.jit(run)
+
+
+def nw_affine_tiled_fold_batch(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    wildcard: bool = False,
+    tile_lanes: int = 8192,
+    backend: str = "auto",
+    chunk: int = 128,
+) -> np.ndarray:
+    """Exact Gotoh corner finals (B, 3) for a SMALL batch (B <= 4) of long
+    pairs, each pair folded over 8 // ceil_pow2(B) consecutive sublanes --
+    full VPU occupancy in ONE dispatch where the plain batched sweep would
+    idle most sublane rows.  B > 4 falls through to the batched sweep.
+
+    Every pair is padded to the longest pair's virtual tile grid, so the
+    single dispatch computes G * max(cells) work: batch similar-length
+    pairs (the model layer checks sum(cells) against G * max(cells))."""
+    B, L1 = query.shape
+    _, L2 = db.shape
+    if B > 4:
+        return nw_affine_tiled_batch(
+            query, db, query_len, db_len, scheme=scheme, compat=compat,
+            wildcard=wildcard, backend=backend, chunk=chunk,
+        )
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+    G = 1 if B == 1 else (2 if B == 2 else 4)
+    fold = 8 // G
+    W = _round_up(min(tile_lanes, max(-(-max(L2, 1) // fold), 128)), 128)
+    WV = fold * W
+    T = max(1, -(-L2 // WV))
+    n1p = _round_up(L1 + 1, chunk)
+    ngc = _round_up(n1p + WV, chunk)
+
+    q = np.zeros((G, L1), np.int8)
+    q[:B] = query
+    d_all = np.zeros((G, T * WV), np.int8)
+    d_all[:B, :L2] = db
+    db_tiles = np.ascontiguousarray(
+        d_all.reshape(G, T, fold, W).transpose(1, 0, 2, 3).reshape(T, 8, W)
+    )
+    x0s = (np.arange(T, dtype=np.int32) * WV + 1).astype(np.int32)
+    # Pad rows reuse pair 0's lengths so they don't widen the capture
+    # window; their garbage finals are sliced off below.
+    qlen = np.full(G, int(np.asarray(query_len)[0]), np.int32)
+    dlen = np.full(G, int(np.asarray(db_len)[0]), np.int32)
+    qlen[:B] = np.asarray(query_len, np.int32)
+    dlen[:B] = np.asarray(db_len, np.int32)
+
+    fn = _jitted_tiled_folded(
+        W, ngc, fold, scheme, compat, wildcard, backend, chunk
+    )
+    finals = fn(
+        jnp.asarray(q), jnp.asarray(db_tiles), jnp.asarray(x0s),
+        jnp.asarray(qlen)[:, None], jnp.asarray(dlen)[:, None],
+    )
+    finals = np.asarray(finals)[:B].astype(np.int32)
+
+    # Pairs with n2 == 0 never hit a tile lane: closed-form corner
+    # (cell (0, n1) is the x=0 boundary column).
+    o, e = scheme.gap_open, scheme.gap_extend
+    for b in range(B):
+        if int(dlen[b]) == 0:
+            n1 = int(qlen[b])
+            if n1 == 0:
+                finals[b] = (0, NEG_INF, NEG_INF)
+            elif compat:
+                finals[b] = (NEG_INF, NEG_INF, o + (n1 + 1) * e)
+            else:
+                finals[b] = (NEG_INF, o + n1 * e, NEG_INF)
+    return finals
 
 
 def nw_affine_tiled_single(
@@ -750,39 +861,22 @@ def nw_affine_tiled_single(
 ) -> np.ndarray:
     """Exact Gotoh corner finals (3,) for ONE pair of any length, with the
     db axis folded over all 8 sublanes (full VPU occupancy -- the batched
-    tiled fill leaves 7/8 sublanes idle at B=1)."""
+    tiled fill leaves 7/8 sublanes idle at B=1).  The B=1 case of
+    nw_affine_tiled_fold_batch."""
     from sequencealigning_tpu.io.encode import encode_seq
 
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
     n1, n2 = len(query), len(db)
-    if n2 == 0 or n1 == 0:
-        # Degenerate: closed-form corner (shared with the batched entry).
-        from sequencealigning_tpu.io.encode import pack_batch
-
-        return nw_affine_tiled_batch(
-            *_pack_one(query, db), scheme=scheme, compat=compat,
-            wildcard=wildcard, backend="lax",
-        )[0]
-    W = _round_up(min(tile_lanes, max(-(-n2 // 8), 128)), 128)
-    WV = 8 * W
-    T = max(1, -(-n2 // WV))
-    n1p = _round_up(n1 + 1, chunk)
-    ngc = _round_up(n1p + WV, chunk)
-
-    q = np.zeros((1, n1), np.int8)
-    q[0] = encode_seq(query)
-    d_all = np.zeros(T * WV, np.int8)
-    d_all[:n2] = encode_seq(db)
-    db_tiles = np.ascontiguousarray(d_all.reshape(T, 8, W))
-    x0s = (np.arange(T, dtype=np.int32) * WV + 1).astype(np.int32)
-
-    fn = _jitted_tiled_folded(W, ngc, scheme, compat, wildcard, backend, chunk)
-    finals = fn(
-        jnp.asarray(q), jnp.asarray(db_tiles), jnp.asarray(x0s),
-        jnp.int32(n1), jnp.int32(n2),
-    )
-    return np.asarray(finals)[0].astype(np.int32)
+    q = np.zeros((1, max(n1, 1)), np.int8)
+    d = np.zeros((1, max(n2, 1)), np.int8)
+    if n1:
+        q[0] = encode_seq(query)
+    if n2:
+        d[0] = encode_seq(db)
+    return nw_affine_tiled_fold_batch(
+        q, d, np.array([n1]), np.array([n2]), scheme=scheme, compat=compat,
+        wildcard=wildcard, tile_lanes=tile_lanes, backend=backend,
+        chunk=chunk,
+    )[0]
 
 
 def _pack_one(query: bytes, db: bytes):

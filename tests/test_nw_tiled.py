@@ -163,3 +163,75 @@ def test_folded_single_pallas_matches_lax():
     fl = nw_affine_tiled_single(s1, s2, tile_lanes=128, backend="lax")
     fp = nw_affine_tiled_single(s1, s2, tile_lanes=128, backend="pallas")
     assert np.array_equal(fl, fp)
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_fold_batch_matches_oracle(compat):
+    """Small-batch folded fill: B pairs share the 8 sublanes (fold =
+    8 // ceil_pow2(B)).  Every pair's corner finals must equal the full
+    Gotoh oracle for every B in 1..4, at mixed lengths spanning several
+    virtual-tile seams (tile_lanes=128 -> fold*128-wide virtual tiles)."""
+    from sequencealigning_tpu.ops.nw_affine_tiled import (
+        nw_affine_tiled_fold_batch,
+    )
+
+    rng = random.Random(23)
+    cases = {
+        1: [(50, 300)],
+        2: [(120, 900), (40, 37)],
+        3: [(9, 260), (130, 130), (1, 520)],
+        4: [(300, 120), (64, 64), (2, 3), (111, 430)],
+    }
+    for B, lens in cases.items():
+        pairs = [
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+            for n1, n2 in lens
+        ]
+        batch = pack_batch(pairs)
+        f = nw_affine_tiled_fold_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            compat=compat, tile_lanes=128, backend="lax",
+        )
+        assert f.shape == (B, 3)
+        for b, (s1, s2) in enumerate(pairs):
+            m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
+            exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+            assert tuple(int(v) for v in f[b]) == exp, (B, b, lens[b])
+
+
+def test_fold_batch_degenerate_lengths():
+    """Empty query / empty db rows inside a fold batch take the
+    closed-form boundary corners (and must not disturb other rows)."""
+    from sequencealigning_tpu.ops.nw_affine_tiled import (
+        nw_affine_tiled_fold_batch,
+    )
+
+    pairs = [(b"ACGT" * 10, b""), (b"", b"ACGTT" * 8), (b"ACCA", b"ACCA")]
+    batch = pack_batch(pairs)
+    f = nw_affine_tiled_fold_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        tile_lanes=128, backend="lax",
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        m, i_, d = oracle_gotoh.gotoh_fill(s1, s2)
+        exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
+        assert tuple(int(v) for v in f[b]) == exp, b
+
+
+@pytest.mark.skipif(
+    not ON_TPU, reason="pallas folded fill in interpret mode is minutes-slow"
+)
+def test_fold_batch_pallas_matches_lax():
+    from sequencealigning_tpu.ops.nw_affine_tiled import (
+        nw_affine_tiled_fold_batch,
+    )
+
+    pairs = _pairs(41, n=3, lo=150, hi=2100)
+    batch = pack_batch(pairs)
+    args = (batch.query, batch.db, batch.query_len, batch.db_len)
+    fl = nw_affine_tiled_fold_batch(*args, tile_lanes=128, backend="lax")
+    fp = nw_affine_tiled_fold_batch(*args, tile_lanes=128, backend="pallas")
+    assert np.array_equal(fl, fp)
