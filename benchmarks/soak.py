@@ -10,6 +10,7 @@ Each round draws a fresh batch and checks:
   * streamed Gotoh fill (+ fast4 walk) vs oracle_gotoh
   * banded fill, band wide enough to cover the optimum, full + fast4 dirs
   * tiled long-pair fill vs oracle
+  * sublane-folded small-batch fill (fold factor cycling 8/4/2) vs oracle
   * textbook WFA penalty vs the penalty-converted Gotoh score
 Exit code 1 on any mismatch.
 """
@@ -34,7 +35,10 @@ def main() -> int:
     from sequencealigning_tpu.io.encode import pack_batch
     from sequencealigning_tpu.ops import oracle_gotoh
     from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
-    from sequencealigning_tpu.ops.nw_affine_tiled import nw_affine_tiled_batch
+    from sequencealigning_tpu.ops.nw_affine_tiled import (
+        nw_affine_tiled_batch,
+        nw_affine_tiled_fold_batch,
+    )
     from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
     from sequencealigning_tpu.ops.traceback import traceback_stream_batch
     from sequencealigning_tpu.ops.wfa import wfa_textbook_batch
@@ -121,6 +125,19 @@ def main() -> int:
             got = int(tf[b].max())
             if got != exp[b]:
                 report("tiled", rnd, b, got, exp[b], pairs[b])
+
+        # Sublane-folded small-batch engine (first nf pairs; nf cycles
+        # 1..4 so every fold factor 8 // ceil_pow2(nf) gets soaked).
+        nf = 1 + rnd % 4
+        ff = nw_affine_tiled_fold_batch(
+            batch.query[:nf], batch.db[:nf],
+            batch.query_len[:nf], batch.db_len[:nf],
+            scheme=sch, compat=compat, tile_lanes=128,
+        )
+        for b in range(nf):
+            got = int(ff[b].max())
+            if got != exp[b]:
+                report(f"fold{nf}", rnd, b, got, exp[b], pairs[b])
 
         # Textbook WFA penalty == -(match-0 Gotoh score).  WFA's combined
         # M-wavefront implements the STANDARD affine model while Gotoh's

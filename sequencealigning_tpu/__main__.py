@@ -1,4 +1,4 @@
-from sequencealigning_tpu.cli import main
+from sequencealigning_tpu.cli import console_main
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(console_main())

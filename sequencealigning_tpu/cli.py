@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -213,5 +214,20 @@ def main(argv=None) -> int:
     return 0
 
 
+def console_main() -> int:
+    """Entry point for the ``seqalign`` script: exit quietly on SIGPIPE
+    (e.g. ``seqalign ... | head``) like a well-behaved Unix filter, while
+    main() itself keeps raising for in-process callers (the golden tests
+    compare its exact stdout/stderr)."""
+    try:
+        return main()
+    except BrokenPipeError:
+        # Point stdout at devnull so the interpreter's shutdown flush
+        # doesn't raise a second time; 141 = 128 + SIGPIPE.
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, sys.stdout.fileno())
+        return 141
+
+
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(console_main())
