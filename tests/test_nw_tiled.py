@@ -235,3 +235,53 @@ def test_fold_batch_pallas_matches_lax():
     fl = nw_affine_tiled_fold_batch(*args, tile_lanes=128, backend="lax")
     fp = nw_affine_tiled_fold_batch(*args, tile_lanes=128, backend="pallas")
     assert np.array_equal(fl, fp)
+
+
+@pytest.mark.parametrize(
+    "lens,want_fold",
+    [
+        ([(90, 95), (100, 92), (88, 99)], True),  # similar sizes: 1 dispatch
+        ([(100, 100), (4, 3)], False),  # mixed: padding would dominate
+    ],
+)
+def test_long_batch_fold_routing(monkeypatch, lens, want_fold):
+    """The long-pair model path routes B <= 4 batches through the folded
+    small-batch fill only when the pairs are similar-sized
+    (sum(cells) >= 0.7 * G * max(cells)); wildly mixed sizes stay on
+    serial folded singles.  Either way results are exact."""
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import nw_affine_tiled
+
+    calls = []
+    real = nw_affine_tiled.nw_affine_tiled_fold_batch
+
+    def spy(*args, **kwargs):
+        calls.append(args[0].shape[0])
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(nw_affine_tiled, "nw_affine_tiled_fold_batch", spy)
+    rng = random.Random(51)
+    pairs = [
+        (
+            bytes(rng.choice(b"ACGT") for _ in range(n1)),
+            bytes(rng.choice(b"ACGT") for _ in range(n2)),
+        )
+        for n1, n2 in lens
+    ]
+    al = get_aligner(AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, first_only=True))
+    monkeypatch.setattr(type(al), "long_pair_lanes", 64)
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    res = al.align_batch(recs)
+    # Serial folded singles route through the same entry at B=1 each
+    # (nw_affine_tiled_single is its B=1 case).
+    assert calls == ([len(pairs)] if want_fold else [1] * len(pairs))
+    for r, (s1, s2) in zip(res, pairs):
+        assert r.ok, r.error
+        assert r.score == oracle_gotoh.gotoh_score(s1, s2)
+        assert r.aligned_query.replace("-", "").encode() == s1
+        assert r.aligned_db.replace("-", "").encode() == s2
