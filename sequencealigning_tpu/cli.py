@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wfa-mismatch", type=int, default=4)
     p.add_argument("--wfa-gap-open", type=int, default=2)
     p.add_argument("--wfa-gap-extend", type=int, default=6)
+    p.add_argument(
+        "--wfa-engine", default="auto",
+        choices=["auto", "banded", "wavefront"],
+        help="Textbook-WFA engine: banded Gotoh kernel (fast, in-regime "
+        "schemes) or the score-indexed wavefront engine",
+    )
     return p
 
 
@@ -175,6 +181,7 @@ def main(argv=None) -> int:
         compat=not args.textbook,
         verbose=args.verbose,
         band=args.band,
+        wfa_engine=args.wfa_engine,
         batch_size=args.batch_size,
         bucket=args.bucket,
         first_only=args.first_only,

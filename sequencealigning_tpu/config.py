@@ -105,6 +105,13 @@ class AlignConfig:
     # wfa.rs:127-139 vs :189); instead of hanging like the Rust binary, a
     # pair exceeding this raises AlignmentError and is isolated.
     wfa_max_steps: int = 20_000
+    # Textbook-WFA engine choice.  "auto" picks the fastest exact engine:
+    # the banded Gotoh Pallas kernel under the penalty-converted scheme
+    # whenever the scheme is in the standard-affine coincidence regime
+    # (mismatch <= 2*gap_extend, see PARITY.md; measured ~7x the wavefront
+    # engine at 128 x 10 kb), else the score-indexed wavefront engine.
+    # "banded" / "wavefront" force a specific engine.
+    wfa_engine: str = "auto"
     # Batch runner knobs.
     batch_size: int = 64
     # Length-bucket pairs within a 4-batch window before batching (reduces

@@ -79,8 +79,130 @@ class WfaAligner(Aligner):
     # run-length table's memory; beyond this the Gotoh fallback is both
     # exact and cheaper).
     wfa_max_band = 256
+    # Band cap and per-round fast4-dirs device budget for the banded route.
+    wfa_banded_max_band = 1024
+    wfa_dirs_budget = 1 << 30
 
     def _textbook_batch(self, pairs):
+        """Engine dispatch (config.wfa_engine):
+
+        * "banded" (or "auto" in-regime): min-penalty gap-affine WFA equals
+          the negated banded Gotoh fill under the penalty-converted scheme
+          (match=0, -x, -o, -e) whenever mismatch <= 2*gap_extend -- in that
+          regime adjacent cross-direction gap runs are never optimal, so
+          WFA's merged-M affine model and the Gotoh engines' M-only-opens
+          model coincide (PARITY.md quirk table).  The banded Pallas kernel
+          sweeps band cells ~80x faster than the wavefront engine's
+          gather-bound extension step (XLA per-lane gathers cost ~14 ns per
+          element; PERF.md), measured 7x end-to-end at 128 x 10 kb.
+        * "wavefront" (or "auto" out-of-regime): the score-indexed
+          wavefront engine (ops.wfa) -- the faithful WFA formalism, exact
+          for every scheme.
+        """
+        engine = getattr(self.config, "wfa_engine", "auto")
+        pen = self.config.wfa_penalties
+        in_regime = pen.mismatch <= 2 * pen.gap_extend
+        if engine == "banded" or (engine == "auto" and in_regime):
+            return self._banded_route(pairs)
+        return self._wavefront_batch(pairs)
+
+    def _banded_route(self, pairs):
+        """Banded-Gotoh textbook engine with a band certificate: a pair is
+        accepted only when two band widths (b and 2b) agree on its score --
+        strictly stronger than the wavefront engine's converged-in-band
+        acceptance.  Disagreeing pairs double the band; past the cap the
+        exact full-width Gotoh fallback takes over (always an alignment)."""
+        from sequencealigning_tpu.config import ScoringScheme
+        from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+        from sequencealigning_tpu.ops.traceback import (
+            banded_fast4_traceback_pair,
+        )
+
+        pen = self.config.wfa_penalties
+        eq = ScoringScheme(
+            match_=0, mismatch=-pen.mismatch,
+            gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+        )
+        n = len(pairs)
+        out = [None] * n
+        pending = []
+        for i, (s1, s2) in enumerate(pairs):
+            if len(s1) == 0 or len(s2) == 0:
+                # Closed form, matching the wavefront engine's I/D chains.
+                if len(s1) == 0 and len(s2) == 0:
+                    out[i] = dict(score=0, aligned_query="", aligned_db="")
+                elif len(s2) == 0:
+                    out[i] = dict(
+                        score=pen.gap_open + len(s1) * pen.gap_extend,
+                        aligned_query=s1.decode("latin-1"),
+                        aligned_db="-" * len(s1),
+                    )
+                else:
+                    out[i] = dict(
+                        score=pen.gap_open + len(s2) * pen.gap_extend,
+                        aligned_query="-" * len(s2),
+                        aligned_db=s2.decode("latin-1"),
+                    )
+            else:
+                pending.append(i)
+        band = max(8, self.config.band)
+        while pending and band <= self.wfa_banded_max_band:
+            still = []
+            for chunk in self._dirs_chunked(pairs, pending, band):
+                sub = [pairs[i] for i in chunk]
+                batch = pack_batch(
+                    sub, batch_size=max(8, -(-len(sub) // 8) * 8)
+                )
+                res = nw_banded_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len,
+                    band=band, scheme=eq, compat=False, with_dirs="fast4",
+                )
+                chk = nw_banded_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len,
+                    band=2 * band, scheme=eq, compat=False, with_dirs=False,
+                )
+                f1 = np.asarray(res.finals)
+                f2 = np.asarray(chk.finals)
+                dirs = None
+                for j, i in enumerate(chunk):
+                    if int(f1[j].max()) != int(f2[j].max()):
+                        still.append(i)
+                        continue
+                    if dirs is None:
+                        dirs = np.asarray(res.dirs)  # one fetch per chunk
+                    try:
+                        score, alns = banded_fast4_traceback_pair(
+                            dirs[:, j, :], f1[j], pairs[i][0], pairs[i][1],
+                            res.k_lo, compat=False,
+                        )
+                        out[i] = dict(
+                            score=-score,
+                            aligned_query=alns[0][0],
+                            aligned_db=alns[0][1],
+                        )
+                    except AlignerError as e:
+                        out[i] = e
+            pending = still
+            band *= 2
+        if pending:
+            self._gotoh_fallback(pairs, pending, out)
+        return out
+
+    def _dirs_chunked(self, pairs, pending, band):
+        """Split `pending` so each chunk's fast4 dirs tensor (~L2/2 * B * K
+        bytes) stays under the device budget."""
+        l2 = max(len(pairs[i][1]) for i in pending)
+        diffs = [len(pairs[i][0]) - len(pairs[i][1]) for i in pending]
+        k_est = -(-(max(0, max(diffs)) - min(0, min(diffs)) + 2 * band + 1)
+                  // 128) * 128
+        per_pair = max(1, (l2 // 8 + 1) * 4 * k_est)
+        max_pairs = max(8, int(self.wfa_dirs_budget // per_pair) // 8 * 8)
+        return [
+            pending[lo : lo + max_pairs]
+            for lo in range(0, len(pending), max_pairs)
+        ]
+
+    def _wavefront_batch(self, pairs):
         out = [None] * len(pairs)
         pending = list(range(len(pairs)))
         band = self.config.band

@@ -159,6 +159,7 @@ def test_textbook_gotoh_fallback_beyond_max_band(monkeypatch):
     from sequencealigning_tpu.ops import oracle_wfa
 
     monkeypatch.setattr(WfaAligner, "wfa_max_band", 4)
+    monkeypatch.setattr(WfaAligner, "wfa_banded_max_band", 4)
     s1 = b"TTTT" * 20
     s2 = b"ACGTACGTACGT" * 5 + b"TTTT" * 20   # needs a 60-long gap
     al = get_aligner(AlignConfig(algo=Algo.WFA, compat=False, band=2))
@@ -196,3 +197,54 @@ def test_textbook_converges_beyond_old_s_max_ceiling():
     assert score == oracle_wfa.wfa_textbook_score(s1, s2)
     assert score > 512  # genuinely beyond the old ceiling
     assert a1.replace("-", "").encode() == s1
+
+
+def test_banded_route_matches_wavefront_engine():
+    """The in-regime banded-Gotoh route (wfa_engine default 'auto') returns
+    the same exact penalties as the wavefront engine, with valid
+    alignments (ties may legitimately pick a different optimal path)."""
+    import dataclasses
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.models.wfa import WfaAligner
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    cfg_b = AlignConfig(algo=Algo.WFA, compat=False, band=16)
+    cfg_w = dataclasses.replace(cfg_b, wfa_engine="wavefront")
+    al_b = get_aligner(cfg_b)
+    al_w = get_aligner(cfg_w)
+    assert isinstance(al_b, WfaAligner)
+    pairs = _random_pairs(91, n=6, lo=5, hi=60, maxdiff=8)
+    pairs += [(b"", b"ACGT"), (b"ACGTA", b""), (b"", b"")]
+    for s1, s2 in pairs:
+        rb = al_b.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+        rw = al_w.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+        assert rb.ok and rw.ok, (rb, rw)
+        want = oracle_wfa.wfa_textbook_score(s1, s2)
+        assert rb.score == want
+        assert rw.score == want
+        for r in (rb, rw):
+            assert r.aligned_query.replace("-", "").encode() == s1
+            assert r.aligned_db.replace("-", "").encode() == s2
+            assert _penalty_of(r.aligned_query, r.aligned_db) == want
+
+
+def test_out_of_regime_scheme_routes_to_wavefront():
+    """mismatch > 2*gap_extend breaks the merged-M / M-only-opens model
+    coincidence (PARITY.md); auto must use the wavefront engine and still
+    match the WFA-model oracle."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, WfaPenalties
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    pen = WfaPenalties(mismatch=9, gap_open=1, gap_extend=2)
+    cfg = AlignConfig(algo=Algo.WFA, compat=False, band=16, wfa_penalties=pen)
+    al = get_aligner(cfg)
+    for s1, s2 in _random_pairs(17, n=5, lo=4, hi=40, maxdiff=6):
+        r = al.align_pair(Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d"))
+        assert r.ok, r.error
+        assert r.score == oracle_wfa.wfa_textbook_score(s1, s2, pen)
+        assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
