@@ -174,6 +174,49 @@ def config3_wfa(on_tpu):
     conv = np.asarray(res.converged)
     dt = time.perf_counter() - t0
 
+    # Production route (models/wfa banded engine, in-regime schemes): banded
+    # Gotoh fast4 fill + two-band score certificate.  Timed to the finals
+    # fetch; the dirs tensor stays on device (the traceback below fetches
+    # it once, outside the timing -- this rig's device->host tunnel runs at
+    # ~8 MB/s and would otherwise dominate, PERF.md).
+    eq_scheme_r = ScoringScheme(
+        match_=0, mismatch=-pen.mismatch,
+        gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
+    )
+
+    def banded_route():
+        r = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=64, scheme=eq_scheme_r, compat=False, with_dirs="fast4",
+        )
+        c = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=128, scheme=eq_scheme_r, compat=False, with_dirs=False,
+        )
+        return np.asarray(r.finals), np.asarray(c.finals)
+
+    banded_route()  # warmup
+    t0 = time.perf_counter()
+    bf1, bf2 = banded_route()
+    dt_banded = time.perf_counter() - t0
+    certified = int((bf1.max(1) == bf2.max(1)).sum())
+    banded_agree = int((-bf1.max(1) == scores).sum())
+
+    # Full auto route through the model layer (native capped leg + banded
+    # escapes), alignments included -- the production contract.
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.models.wfa import WfaAligner
+
+    al = WfaAligner(AlignConfig(algo=Algo.WFA, compat=False))
+    al._align_batch_impl(pairs[:8])  # warm compile paths
+    t0 = time.perf_counter()
+    routed = al._align_batch_impl(pairs)
+    dt_auto = time.perf_counter() - t0
+    auto_ok = sum(
+        1 for r, s in zip(routed, scores)
+        if isinstance(r, dict) and r["score"] == int(s)
+    )
+
     # Cross-algorithm identity: WFA penalty == -(affine NW score) under the
     # equivalent maximizing scheme (match=0, mismatch=-x, open=-o, ext=-e).
     eq_scheme = ScoringScheme(
@@ -199,10 +242,17 @@ def config3_wfa(on_tpu):
     )
     return {
         "config": "3-wfa-128x10kb",
-        "pairs_per_s": round(n / dt, 2),
+        "pairs_per_s": round(n / dt_auto, 2),
+        "pairs_per_s_banded_cert": round(n / dt_banded, 2),
+        "pairs_per_s_wavefront": round(n / dt, 2),
+        "auto_route_exact": auto_ok,
+        "banded_certified": certified,
+        "banded_score_agree": banded_agree,
         "converged": int(conv.sum()),
-        "elapsed_s": round(dt, 4),
-        "correct_vs_oracle": bool(ok),
+        "elapsed_s": round(dt_auto, 4),
+        "correct_vs_oracle": bool(
+            ok and banded_agree == n and auto_ok == n
+        ),
     }
 
 

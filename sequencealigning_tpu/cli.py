@@ -90,9 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wfa-gap-extend", type=int, default=6)
     p.add_argument(
         "--wfa-engine", default="auto",
-        choices=["auto", "banded", "wavefront"],
-        help="Textbook-WFA engine: banded Gotoh kernel (fast, in-regime "
-        "schemes) or the score-indexed wavefront engine",
+        choices=["auto", "banded", "native", "wavefront"],
+        help="Textbook-WFA engine: banded Gotoh kernel (in-regime "
+        "schemes), exact threaded native host engine, or the "
+        "score-indexed TPU wavefront engine",
     )
     return p
 

@@ -109,8 +109,10 @@ class AlignConfig:
     # the banded Gotoh Pallas kernel under the penalty-converted scheme
     # whenever the scheme is in the standard-affine coincidence regime
     # (mismatch <= 2*gap_extend, see PARITY.md; measured ~7x the wavefront
-    # engine at 128 x 10 kb), else the score-indexed wavefront engine.
-    # "banded" / "wavefront" force a specific engine.
+    # engine at 128 x 10 kb), else the exact threaded native host engine
+    # (WFA's per-diagonal random access gathers on TPU but is L1-resident
+    # scalar code on the host), else the score-indexed TPU wavefront
+    # engine.  "banded" / "native" / "wavefront" force a specific engine.
     wfa_engine: str = "auto"
     # Batch runner knobs.
     batch_size: int = 64

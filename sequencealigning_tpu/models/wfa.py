@@ -102,9 +102,74 @@ class WfaAligner(Aligner):
         engine = getattr(self.config, "wfa_engine", "auto")
         pen = self.config.wfa_penalties
         in_regime = pen.mismatch <= 2 * pen.gap_extend
-        if engine == "banded" or (engine == "auto" and in_regime):
+        if engine == "banded":
             return self._banded_route(pairs)
-        return self._wavefront_batch(pairs)
+        if engine == "wavefront":
+            return self._wavefront_batch(pairs)
+        if engine == "native":
+            out = self._native_raw(pairs)
+            if out is None:
+                return self._wavefront_batch(pairs)
+            return self._fill_rest(pairs, out, self._wavefront_batch)
+        # auto: WFA is output-sensitive (work ~ penalty * span), so low-
+        # divergence pairs are fastest on the scalar host engine (one
+        # L1-resident compare per live diagonal, vs a ~14 ns/element XLA
+        # gather on TPU; PERF.md) -- measured 6400 vs 730 pairs/s at
+        # 128 x 10 kb, 0.5% divergence.  High-divergence pairs hit WFA's
+        # O(penalty^2) wall and are fastest on the banded Gotoh kernel,
+        # whose cost is divergence-independent (112 vs 730 pairs/s at 5%).
+        # Route: native capped at wfa_native_s_cap penalty units (~10% of a
+        # divergent pair's full work), escapees to the banded route.
+        if in_regime:
+            out = self._native_raw(pairs, s_max=self.wfa_native_s_cap)
+            if out is None:
+                return self._banded_route(pairs)
+            return self._fill_rest(pairs, out, self._banded_route)
+        out = self._native_raw(pairs)
+        if out is None:
+            return self._wavefront_batch(pairs)
+        return self._fill_rest(pairs, out, self._wavefront_batch)
+
+    # Penalty cap for the native leg of the auto route (divergence gate:
+    # pairs needing more than this go to the divergence-independent banded
+    # kernel instead of paying WFA's O(penalty^2) on the host).
+    wfa_native_s_cap = 512
+
+    @staticmethod
+    def _fill_rest(pairs, out, engine_fn):
+        rest = [i for i, r in enumerate(out) if r is None]
+        if rest:
+            for i, r in zip(rest, engine_fn([pairs[i] for i in rest])):
+                out[i] = r
+        return out
+
+    def _native_raw(self, pairs, s_max=None):
+        """Exact threaded host engine (native.wfa_textbook_align_batch):
+        full-precision WFA for ANY scheme, no band.  Returns None if the
+        library is unavailable; per-pair None where the engine declined
+        (penalty cap / memory budget) -- callers route those onward."""
+        import os
+
+        if os.environ.get("SEQALIGN_NO_NATIVE"):
+            return None
+        try:
+            from sequencealigning_tpu import native
+
+            if not native.available():
+                return None
+            kw = {} if s_max is None else dict(s_max=s_max)
+            res = native.wfa_textbook_align_batch_native(
+                pairs, self.config.wfa_penalties, **kw
+            )
+        except Exception:
+            return None
+        if res is None:
+            return None
+        return [
+            None if r is None
+            else dict(score=r[0], aligned_query=r[1], aligned_db=r[2])
+            for r in res
+        ]
 
     def _banded_route(self, pairs):
         """Banded-Gotoh textbook engine with a band certificate: a pair is

@@ -104,6 +104,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.wfa_textbook_align_batch.restype = None
+    lib.wfa_textbook_align_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_long, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -315,6 +326,68 @@ def banded_fast4_first_path_native(
     if n < 0:
         return None
     return out.raw[:n].decode("ascii")
+
+
+def wfa_textbook_align_batch_native(
+    pairs,
+    penalties,
+    s_max: int = 1 << 40,
+    budget: int = 1 << 30,
+    n_threads: Optional[int] = None,
+):
+    """Threaded exact textbook-WFA fill + traceback on the host (no band).
+
+    Returns a list with one entry per pair: (penalty, aligned_seq1,
+    aligned_seq2), or None for a pair the engine declined (memory budget /
+    s_max) -- the caller falls back per pair.  Returns None overall if the
+    native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(pairs)
+    buf1 = b"".join(p[0] for p in pairs)
+    buf2 = b"".join(p[1] for p in pairs)
+    off1 = np.zeros(B + 1, np.int64)
+    off2 = np.zeros(B + 1, np.int64)
+    np.cumsum([len(p[0]) for p in pairs], out=off1[1:])
+    np.cumsum([len(p[1]) for p in pairs], out=off2[1:])
+    cap = int(
+        max((len(p[0]) + len(p[1]) for p in pairs), default=0) + 8
+    )
+    a1s = ctypes.create_string_buffer(max(1, B * cap))
+    a2s = ctypes.create_string_buffer(max(1, B * cap))
+    pens = np.zeros(B, np.int64)
+    lens = np.zeros(B, np.int64)
+    if n_threads is None:
+        n_threads = min(32, os.cpu_count() or 8)
+    u8 = lambda b: ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8))
+    lib.wfa_textbook_align_batch(
+        u8(buf1), off1.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        u8(buf2), off2.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        B,
+        penalties.mismatch, penalties.gap_open, penalties.gap_extend,
+        s_max, budget,
+        a1s, a2s, cap,
+        pens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n_threads,
+    )
+    r1 = a1s.raw
+    r2 = a2s.raw
+    out = []
+    for b in range(B):
+        if pens[b] < 0:
+            out.append(None)
+        else:
+            n = int(lens[b])
+            out.append(
+                (
+                    int(pens[b]),
+                    r1[b * cap : b * cap + n].decode("latin-1"),
+                    r2[b * cap : b * cap + n].decode("latin-1"),
+                )
+            )
+    return out
 
 
 def wfa_textbook_traceback_native(

@@ -734,19 +734,30 @@ long fast4_first_path(const uint32_t *dirs, long rows, long p, long row,
 
 #define WFA_NEG (-(1 << 14))
 
-static inline int wh(const int16_t *hist, long S, long B, long K,
-                     long b, long k_lo, int plane, long s, long k) {
-    long lane = k - k_lo;
-    if (s < 0 || s >= S || lane < 0 || lane >= K) return WFA_NEG;
-    return (int)hist[((s * 3 + plane) * B + b) * K + lane];
+/* Accessor abstraction over "furthest-reaching offset of plane p at
+ * penalty s, diagonal k": the walk below is shared by the banded int16
+ * offset-log layout (TPU engine) and the exact level-array layout (native
+ * engine) so the tie order (mismatch > I > D) has exactly one
+ * implementation. */
+typedef int32_t (*TWfAt)(const void *ctx, int plane, long s, long k);
+
+typedef struct {
+    const int16_t *hist;
+    long S, B, K, b, k_lo;
+} WfaHistCtx;
+
+static int32_t wfa_hist_at(const void *vctx, int plane, long s, long k) {
+    const WfaHistCtx *c = (const WfaHistCtx *)vctx;
+    long lane = k - c->k_lo;
+    if (s < 0 || s >= c->S || lane < 0 || lane >= c->K) return WFA_NEG;
+    return (int32_t)c->hist[((s * 3 + plane) * c->B + c->b) * c->K + lane];
 }
 
-long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
-                            long b, long k_lo, long score,
-                            const uint8_t *seq1, long n1,
-                            const uint8_t *seq2, long n2,
-                            int x_pen, int o_pen, int e_pen,
-                            char *a1, char *a2, long cap) {
+static long wfa_tb_walk(TWfAt at, const void *ctx, long score,
+                        const uint8_t *seq1, long n1,
+                        const uint8_t *seq2, long n2,
+                        int x_pen, int o_pen, int e_pen,
+                        char *a1, char *a2, long cap) {
     long oe = o_pen + e_pen;
     long s = score;
     long k = n1 - n2;
@@ -768,9 +779,9 @@ long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
                 }
                 break;
             }
-            int mx = wh(hist, S, B, K, b, k_lo, 0, s - x_pen, k);
-            int iv = wh(hist, S, B, K, b, k_lo, 1, s, k);
-            int dv = wh(hist, S, B, K, b, k_lo, 2, s, k);
+            int mx = at(ctx, 0, s - x_pen, k);
+            int iv = at(ctx, 1, s, k);
+            int dv = at(ctx, 2, s, k);
             long mx1 = (mx > WFA_NEG) ? mx + 1 : WFA_NEG;
             long t_pre = mx1 > iv ? mx1 : iv;
             if (dv > t_pre) t_pre = dv;
@@ -798,7 +809,7 @@ long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
             a1[n] = (char)seq1[t + k - 1];
             a2[n] = '-';
             n++;
-            int m_src = wh(hist, S, B, K, b, k_lo, 0, s - oe, k - 1);
+            int m_src = at(ctx, 0, s - oe, k - 1);
             if (m_src == t) { s -= oe; k -= 1; state = 0; }
             else { s -= e_pen; k -= 1; }
         } else {
@@ -806,7 +817,7 @@ long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
             a1[n] = '-';
             a2[n] = (char)seq2[t - 1];
             n++;
-            int m_src = wh(hist, S, B, K, b, k_lo, 0, s - oe, k + 1);
+            int m_src = at(ctx, 0, s - oe, k + 1);
             if (m_src == t - 1) { s -= oe; k += 1; t -= 1; state = 0; }
             else { s -= e_pen; k += 1; t -= 1; }
         }
@@ -817,6 +828,17 @@ long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
         c = a2[i]; a2[i] = a2[n - 1 - i]; a2[n - 1 - i] = c;
     }
     return n;
+}
+
+long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
+                            long b, long k_lo, long score,
+                            const uint8_t *seq1, long n1,
+                            const uint8_t *seq2, long n2,
+                            int x_pen, int o_pen, int e_pen,
+                            char *a1, char *a2, long cap) {
+    WfaHistCtx ctx = {hist, S, B, K, b, k_lo};
+    return wfa_tb_walk(wfa_hist_at, &ctx, score, seq1, n1, seq2, n2,
+                       x_pen, o_pen, e_pen, a1, a2, cap);
 }
 
 /* Banded fast4 walker: ops/nw_banded's row-packed band layout -- the
@@ -918,6 +940,295 @@ void fast4_first_path_batch(const uint32_t *dirs, long rows, long p,
         if (pthread_create(&tids[k], NULL, f4_worker, &tasks[k]) != 0) {
             /* fall back to inline execution for this span */
             f4_worker(&tasks[k]);
+            started = k + 1;
+            continue;
+        }
+        running[k] = 1;
+        started = k + 1;
+    }
+    for (int k = 0; k < started; k++)
+        if (running[k]) pthread_join(tids[k], NULL);
+}
+
+/* ------------------------------------------- exact textbook WFA (host) ----
+ * Full-precision gap-affine WFA (Marco-Sola et al. 2021, public
+ * algorithm), the native analog of ops/wfa.py's wavefront engine but with
+ * dynamic per-level spans instead of a static band -- exact for every
+ * scheme, no band certificate needed.  Same clean convention as ops/wfa
+ * (diag k = y - x, offset t = x = db chars consumed) and the same
+ * recurrence/masking, so stored offsets -- and therefore the shared
+ * wfa_tb_walk tie order -- agree with the TPU engine wherever its band
+ * covers the span (tests fuzz byte-equality at saturating bands).
+ *
+ * Rationale (PERF.md): the per-step extension needs one random access per
+ * live diagonal; XLA lowers that to a ~14 ns/element gather, which is
+ * ~90% of the TPU engine's step time, while here it is an L1-resident
+ * u64-chunked compare.  WFA is output-sensitive (work ~ penalty *
+ * span), so the scalar engine wins exactly where WFA itself wins.
+ */
+
+typedef struct { long lo, hi; int32_t *off; } TWf; /* absent: off == NULL */
+typedef struct { TWf m, i, d; } TLev;
+
+static int32_t twf_at(const TWf *w, long k) {
+    if (!w->off || k < w->lo || k > w->hi) return WFA_NEG;
+    return w->off[k - w->lo];
+}
+
+typedef struct { const TLev *lev; long n_lev; } TLevCtx;
+
+static int32_t wfa_lev_at(const void *vctx, int plane, long s, long k) {
+    const TLevCtx *c = (const TLevCtx *)vctx;
+    if (s < 0 || s >= c->n_lev) return WFA_NEG;
+    const TLev *l = &c->lev[s];
+    const TWf *w = plane == 0 ? &l->m : (plane == 1 ? &l->i : &l->d);
+    return twf_at(w, k);
+}
+
+/* Greedy match extension from offset t on diagonal k, 8 chars per probe
+ * (little-endian ctz picks the first differing byte). */
+static long twfa_extend(const uint8_t *s1, long n1, const uint8_t *s2,
+                        long n2, long k, long t) {
+    long y = t + k;
+    while (n2 - t >= 8 && n1 - y >= 8) {
+        uint64_t a, b;
+        memcpy(&a, s1 + y, 8);
+        memcpy(&b, s2 + t, 8);
+        uint64_t d = a ^ b;
+        if (d) return t + (__builtin_ctzll(d) >> 3);
+        t += 8;
+        y += 8;
+    }
+    while (t < n2 && y < n1 && s1[y] == s2[t]) { t++; y++; }
+    return t;
+}
+
+static inline int twfa_ok(long t, long k, long n1, long n2) {
+    long y = t + k;
+    return t >= 0 && t <= n2 && y >= 0 && y <= n1;
+}
+
+static void twfa_free_levels(TLev *lev, long n) {
+    for (long i = 0; i < n; i++) {
+        free(lev[i].m.off);
+        free(lev[i].i.off);
+        free(lev[i].d.off);
+    }
+    free(lev);
+}
+
+/* Exact fill + traceback for one pair.  Returns the penalty (>= 0) or:
+ *   -1 no convergence within s_max,  -4 allocation / memory budget. */
+long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
+                        long n2, int x_pen, int o_pen, int e_pen,
+                        long s_max, long mem_budget,
+                        char *a1_out, char *a2_out, long *out_lens) {
+    if (n1 == 0 || n2 == 0) {
+        /* closed-form pure-gap chains (match the engine's I/D recurrence) */
+        long pen = (n1 == 0 && n2 == 0) ? 0
+                   : o_pen + e_pen * (n1 > n2 ? n1 : n2);
+        for (long q = 0; q < n1; q++) { a1_out[q] = (char)s1[q]; a2_out[q] = '-'; }
+        for (long q = 0; q < n2; q++) { a1_out[q] = '-'; a2_out[q] = (char)s2[q]; }
+        out_lens[0] = out_lens[1] = n1 > n2 ? n1 : n2;
+        return pen;
+    }
+    long oe = o_pen + e_pen;
+    long k_target = n1 - n2;
+    long k_min = -n2, k_max = n1;
+    long provable = (n1 + n2) * (x_pen + oe) + 4;
+    long cap_s = s_max < provable ? s_max : provable;
+
+    long lev_cap = 256;
+    TLev *lev = calloc(lev_cap, sizeof(TLev));
+    if (!lev) return -4;
+    long used = lev_cap * (long)sizeof(TLev);
+
+    /* seed */
+    lev[0].m.lo = lev[0].m.hi = 0;
+    lev[0].m.off = malloc(sizeof(int32_t));
+    if (!lev[0].m.off) { free(lev); return -4; }
+    lev[0].m.off[0] = (int32_t)twfa_extend(s1, n1, s2, n2, 0, 0);
+    long n_lev = 1;
+    long final_s = -1;
+    if (k_target == 0 && lev[0].m.off[0] >= n2) final_s = 0;
+
+    while (final_s < 0) {
+        long s = n_lev;
+        if (s > cap_s) { twfa_free_levels(lev, n_lev); return -1; }
+        if (s >= lev_cap) {
+            long nc = lev_cap * 2;
+            TLev *nl = realloc(lev, nc * sizeof(TLev));
+            if (!nl) { twfa_free_levels(lev, n_lev); return -4; }
+            memset(nl + lev_cap, 0, (nc - lev_cap) * sizeof(TLev));
+            used += (nc - lev_cap) * (long)sizeof(TLev);
+            lev = nl;
+            lev_cap = nc;
+        }
+        const TWf *m_oe = (s - oe >= 0) ? &lev[s - oe].m : NULL;
+        const TWf *m_x = (s - x_pen >= 0) ? &lev[s - x_pen].m : NULL;
+        const TWf *i_e = (s - e_pen >= 0) ? &lev[s - e_pen].i : NULL;
+        const TWf *d_e = (s - e_pen >= 0) ? &lev[s - e_pen].d : NULL;
+        TLev *L = &lev[s];
+
+        /* I[k] <- max(M[s-oe][k-1], I[s-e][k-1]) */
+        long lo = k_max + 1, hi = k_min - 1;
+        if (m_oe && m_oe->off) {
+            if (m_oe->lo + 1 < lo) lo = m_oe->lo + 1;
+            if (m_oe->hi + 1 > hi) hi = m_oe->hi + 1;
+        }
+        if (i_e && i_e->off) {
+            if (i_e->lo + 1 < lo) lo = i_e->lo + 1;
+            if (i_e->hi + 1 > hi) hi = i_e->hi + 1;
+        }
+        if (lo < k_min) lo = k_min;
+        if (hi > k_max) hi = k_max;
+        if (lo <= hi) {
+            long w = hi - lo + 1;
+            L->i.off = malloc(w * sizeof(int32_t));
+            if (!L->i.off) { twfa_free_levels(lev, n_lev); return -4; }
+            used += w * 4;
+            L->i.lo = lo; L->i.hi = hi;
+            for (long k = lo; k <= hi; k++) {
+                int32_t a = m_oe ? twf_at(m_oe, k - 1) : WFA_NEG;
+                int32_t b = i_e ? twf_at(i_e, k - 1) : WFA_NEG;
+                int32_t v = a > b ? a : b;
+                if (v <= WFA_NEG || !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
+                L->i.off[k - lo] = v;
+            }
+        }
+        /* D[k] <- max(M[s-oe][k+1], D[s-e][k+1]) + 1 */
+        lo = k_max + 1; hi = k_min - 1;
+        if (m_oe && m_oe->off) {
+            if (m_oe->lo - 1 < lo) lo = m_oe->lo - 1;
+            if (m_oe->hi - 1 > hi) hi = m_oe->hi - 1;
+        }
+        if (d_e && d_e->off) {
+            if (d_e->lo - 1 < lo) lo = d_e->lo - 1;
+            if (d_e->hi - 1 > hi) hi = d_e->hi - 1;
+        }
+        if (lo < k_min) lo = k_min;
+        if (hi > k_max) hi = k_max;
+        if (lo <= hi) {
+            long w = hi - lo + 1;
+            L->d.off = malloc(w * sizeof(int32_t));
+            if (!L->d.off) { twfa_free_levels(lev, n_lev); return -4; }
+            used += w * 4;
+            L->d.lo = lo; L->d.hi = hi;
+            for (long k = lo; k <= hi; k++) {
+                int32_t a = m_oe ? twf_at(m_oe, k + 1) : WFA_NEG;
+                int32_t b = d_e ? twf_at(d_e, k + 1) : WFA_NEG;
+                int32_t v = a > b ? a : b;
+                if (v > WFA_NEG) v += 1; else v = WFA_NEG;
+                if (v > WFA_NEG && !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
+                L->d.off[k - lo] = v;
+            }
+        }
+        /* M[k] <- extend(max(M[s-x][k]+1, I[s][k], D[s][k])) */
+        lo = k_max + 1; hi = k_min - 1;
+        if (m_x && m_x->off) {
+            if (m_x->lo < lo) lo = m_x->lo;
+            if (m_x->hi > hi) hi = m_x->hi;
+        }
+        if (L->i.off) {
+            if (L->i.lo < lo) lo = L->i.lo;
+            if (L->i.hi > hi) hi = L->i.hi;
+        }
+        if (L->d.off) {
+            if (L->d.lo < lo) lo = L->d.lo;
+            if (L->d.hi > hi) hi = L->d.hi;
+        }
+        if (lo < k_min) lo = k_min;
+        if (hi > k_max) hi = k_max;
+        if (lo <= hi) {
+            long w = hi - lo + 1;
+            L->m.off = malloc(w * sizeof(int32_t));
+            if (!L->m.off) { twfa_free_levels(lev, n_lev); return -4; }
+            used += w * 4;
+            L->m.lo = lo; L->m.hi = hi;
+            for (long k = lo; k <= hi; k++) {
+                int32_t a = m_x ? twf_at(m_x, k) : WFA_NEG;
+                if (a > WFA_NEG) a += 1;
+                int32_t b = twf_at(&L->i, k);
+                int32_t c = twf_at(&L->d, k);
+                int32_t v = a > b ? a : b;
+                if (c > v) v = c;
+                if (v > WFA_NEG && !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
+                if (v > WFA_NEG)
+                    v = (int32_t)twfa_extend(s1, n1, s2, n2, k, v);
+                L->m.off[k - lo] = v;
+            }
+            if (k_target >= lo && k_target <= hi &&
+                L->m.off[k_target - lo] >= n2 &&
+                L->m.off[k_target - lo] > WFA_NEG)
+                final_s = s;
+        }
+        n_lev += 1;
+        if (used > mem_budget) { twfa_free_levels(lev, n_lev); return -4; }
+    }
+
+    TLevCtx ctx = {lev, n_lev};
+    long n = wfa_tb_walk(wfa_lev_at, &ctx, final_s, s1, n1, s2, n2,
+                         x_pen, o_pen, e_pen, a1_out, a2_out,
+                         n1 + n2 + 8);
+    twfa_free_levels(lev, n_lev);
+    if (n < 0) return -7;
+    out_lens[0] = out_lens[1] = n;
+    return final_s;
+}
+
+typedef struct {
+    const uint8_t *buf1;
+    const long *off1; /* prefix offsets, length B+1 */
+    const uint8_t *buf2;
+    const long *off2;
+    int x_pen, o_pen, e_pen;
+    long s_max, budget;
+    char *a1s, *a2s;
+    long cap;
+    long *pens, *lens;
+    long b_lo, b_hi;
+} TWTask;
+
+static void *twfa_worker(void *arg) {
+    TWTask *t = (TWTask *)arg;
+    for (long b = t->b_lo; b < t->b_hi; b++) {
+        long out_lens[2] = {0, 0};
+        t->pens[b] = wfa_textbook_align(
+            t->buf1 + t->off1[b], t->off1[b + 1] - t->off1[b],
+            t->buf2 + t->off2[b], t->off2[b + 1] - t->off2[b],
+            t->x_pen, t->o_pen, t->e_pen, t->s_max, t->budget,
+            t->a1s + b * t->cap, t->a2s + b * t->cap, out_lens);
+        t->lens[b] = out_lens[0];
+    }
+    return NULL;
+}
+
+/* Threaded batch: pair b's sequences are buf1[off1[b]:off1[b+1]] /
+ * buf2[off2[b]:off2[b+1]]; alignments land in a1s/a2s[b*cap : ...] with
+ * lens[b] columns; pens[b] = penalty or negative error. */
+void wfa_textbook_align_batch(const uint8_t *buf1, const long *off1,
+                              const uint8_t *buf2, const long *off2,
+                              long b_total,
+                              int x_pen, int o_pen, int e_pen,
+                              long s_max, long budget,
+                              char *a1s, char *a2s, long cap,
+                              long *pens, long *lens, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > b_total) n_threads = (int)(b_total > 0 ? b_total : 1);
+    pthread_t tids[64];
+    int running[64] = {0};
+    TWTask tasks[64];
+    long per = (b_total + n_threads - 1) / n_threads;
+    int started = 0;
+    for (int k = 0; k < n_threads; k++) {
+        long lo = k * per, hi = lo + per;
+        if (lo >= b_total) break;
+        if (hi > b_total) hi = b_total;
+        tasks[k] = (TWTask){buf1, off1, buf2, off2, x_pen, o_pen, e_pen,
+                            s_max, budget, a1s, a2s, cap, pens, lens, lo, hi};
+        if (pthread_create(&tids[k], NULL, twfa_worker, &tasks[k]) != 0) {
+            twfa_worker(&tasks[k]);
             started = k + 1;
             continue;
         }

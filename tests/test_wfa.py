@@ -248,3 +248,66 @@ def test_out_of_regime_scheme_routes_to_wavefront():
         assert r.ok, r.error
         assert r.score == oracle_wfa.wfa_textbook_score(s1, s2, pen)
         assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
+
+
+def test_native_engine_matches_wavefront_engine_bytes():
+    """The native exact engine shares the traceback walker's tie logic with
+    the TPU wavefront engine; at a band wide enough to never clip, the two
+    must produce byte-identical alignments and equal penalties."""
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    pairs = _random_pairs(23, n=10, lo=4, hi=48, maxdiff=10)
+    pairs += [(b"", b"ACGT"), (b"ACGTA", b""), (b"", b""), (b"ACGT", b"ACGT")]
+    for pen in (
+        WfaPenalties(),
+        WfaPenalties(mismatch=9, gap_open=1, gap_extend=2),  # out-of-regime
+        WfaPenalties(mismatch=1, gap_open=5, gap_extend=1),
+    ):
+        res = native.wfa_textbook_align_batch_native(pairs, pen)
+        assert res is not None
+        for (s1, s2), r in zip(pairs, res):
+            assert r is not None
+            p, a1, a2 = r
+            assert p == oracle_wfa.wfa_textbook_score(s1, s2, pen)
+            assert a1.replace("-", "").encode() == s1
+            assert a2.replace("-", "").encode() == s2
+            assert _penalty_of(a1, a2, pen) == p
+            if not s1 or not s2:
+                continue
+            batch = pack_batch([(s1, s2)], batch_size=8)
+            tr = wfa_textbook_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                penalties=pen, band=80, s_max=2048,
+            )
+            assert bool(np.asarray(tr.converged)[0])
+            pt, t1, t2 = wfa_traceback_host(tr, 0, s1, s2, pen)
+            assert (pt, t1, t2) == (p, a1, a2)
+
+
+def test_native_engine_model_routing():
+    """wfa_engine='native' forces the host engine; 'auto' out-of-regime
+    prefers it over the wavefront engine."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, WfaPenalties
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    pen = WfaPenalties(mismatch=9, gap_open=1, gap_extend=2)
+    for engine in ("native", "auto"):
+        cfg = AlignConfig(
+            algo=Algo.WFA, compat=False, wfa_penalties=pen,
+            wfa_engine=engine,
+        )
+        al = get_aligner(cfg)
+        for s1, s2 in _random_pairs(5, n=4, lo=4, hi=30, maxdiff=5):
+            r = al.align_pair(
+                Record(seq=s1, name=b">q"), Record(seq=s2, name=b">d")
+            )
+            assert r.ok, r.error
+            assert r.score == oracle_wfa.wfa_textbook_score(s1, s2, pen)
+            assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
