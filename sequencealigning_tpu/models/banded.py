@@ -26,25 +26,30 @@ class BandedAligner(Aligner):
         # co-optimal enumeration tests.
         fast4 = getattr(self.config, "first_only", False)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
-        res = nw_banded_batch(
-            batch.query, batch.db, batch.query_len, batch.db_len,
-            band=self.config.band,
-            scheme=self.config.scoring,
-            compat=self.config.compat,
-            # A*-style scoring: N matches anything (align.rs:298-304)
-            wildcard=True,
-            with_dirs="fast4" if fast4 else True,
-        )
-        dirs = np.asarray(res.dirs)
-        finals = np.asarray(res.finals)
         if fast4:
+            # First-path contract: the anti-diagonal kernel (no in-row
+            # prefix-max scan, parity-packed lanes) is ~1.6x the row sweep
+            # at config-4 shape (PERF.md round 2 cont.).
+            from sequencealigning_tpu.ops.nw_banded_diag import (
+                nw_banded_diag_batch,
+            )
             from sequencealigning_tpu.ops.traceback import (
-                banded_fast4_traceback_batch,
+                banded_diag_fast4_traceback_batch,
             )
 
-            tbs = banded_fast4_traceback_batch(
+            res = nw_banded_diag_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                band=self.config.band,
+                scheme=self.config.scoring,
+                compat=self.config.compat,
+                wildcard=True,  # N matches anything (align.rs:298-304)
+                with_dirs="fast4",
+            )
+            dirs = np.asarray(res.dirs)
+            finals = np.asarray(res.finals)
+            tbs = banded_diag_fast4_traceback_batch(
                 dirs, finals, [p[0] for p in pairs], [p[1] for p in pairs],
-                res.k_lo, compat=self.config.compat,
+                res.k_lo_even, compat=self.config.compat,
             )
             out = []
             for r in tbs:
@@ -60,6 +65,18 @@ class BandedAligner(Aligner):
                     )
                 )
             return out
+        # Full 7-bit co-optimal layout: row kernel (the diag layout is
+        # fast4-only).
+        res = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=self.config.band,
+            scheme=self.config.scoring,
+            compat=self.config.compat,
+            wildcard=True,
+            with_dirs=True,
+        )
+        dirs = np.asarray(res.dirs)
+        finals = np.asarray(res.finals)
         out = []
         for b, (s1, s2) in enumerate(pairs):
             try:

@@ -147,9 +147,11 @@ class GotohAligner(Aligner):
             nw_affine_tiled_fold_batch,
             nw_affine_tiled_single,
         )
-        from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+        from sequencealigning_tpu.ops.nw_banded_diag import (
+            nw_banded_diag_batch,
+        )
         from sequencealigning_tpu.ops.traceback import (
-            banded_fast4_traceback_pair,
+            banded_diag_fast4_traceback_pair,
         )
 
         nb = len(pairs)
@@ -190,7 +192,7 @@ class GotohAligner(Aligner):
         pending = list(range(n))
         band = max(self.config.band, 128)
         while pending and band <= self.long_pair_max_band:
-            res = nw_banded_batch(
+            res = nw_banded_diag_batch(
                 batch.query, batch.db, batch.query_len, batch.db_len,
                 band=band, scheme=self.config.scoring,
                 compat=self.config.compat, with_dirs="fast4",
@@ -205,9 +207,9 @@ class GotohAligner(Aligner):
                 if dirs is None:
                     dirs = np.asarray(res.dirs)  # one device fetch per round
                 try:
-                    score, alns = banded_fast4_traceback_pair(
+                    score, alns = banded_diag_fast4_traceback_pair(
                         dirs[:, b, :], bf[b], pairs[b][0], pairs[b][1],
-                        res.k_lo, compat=self.config.compat,
+                        res.k_lo_even, compat=self.config.compat,
                     )
                     out[b] = dict(
                         score=score, aligned_query=alns[0][0],

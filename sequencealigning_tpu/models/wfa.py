@@ -173,14 +173,20 @@ class WfaAligner(Aligner):
 
     def _banded_route(self, pairs):
         """Banded-Gotoh textbook engine with a band certificate: a pair is
-        accepted only when two band widths (b and 2b) agree on its score --
-        strictly stronger than the wavefront engine's converged-in-band
-        acceptance.  Disagreeing pairs double the band; past the cap the
-        exact full-width Gotoh fallback takes over (always an alignment)."""
+        accepted only when two band widths agree on its score -- strictly
+        stronger than the wavefront engine's converged-in-band acceptance.
+        Fills run on the anti-diagonal kernel (ops.nw_banded_diag, ~1.6x
+        the row sweep); because its lane count rounds up to 128-lane
+        blocks, the certificate fill requests band+256 (always >= one more
+        lane block, so the two fills genuinely differ).  Disagreeing pairs
+        escalate past both widths; past the cap the exact full-width Gotoh
+        fallback takes over (always an alignment)."""
         from sequencealigning_tpu.config import ScoringScheme
-        from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+        from sequencealigning_tpu.ops.nw_banded_diag import (
+            nw_banded_diag_batch,
+        )
         from sequencealigning_tpu.ops.traceback import (
-            banded_fast4_traceback_pair,
+            banded_diag_fast4_traceback_pair,
         )
 
         pen = self.config.wfa_penalties
@@ -218,13 +224,14 @@ class WfaAligner(Aligner):
                 batch = pack_batch(
                     sub, batch_size=max(8, -(-len(sub) // 8) * 8)
                 )
-                res = nw_banded_batch(
+                res = nw_banded_diag_batch(
                     batch.query, batch.db, batch.query_len, batch.db_len,
                     band=band, scheme=eq, compat=False, with_dirs="fast4",
                 )
-                chk = nw_banded_batch(
+                chk = nw_banded_diag_batch(
                     batch.query, batch.db, batch.query_len, batch.db_len,
-                    band=2 * band, scheme=eq, compat=False, with_dirs=False,
+                    band=band + 256, scheme=eq, compat=False,
+                    with_dirs=False,
                 )
                 f1 = np.asarray(res.finals)
                 f2 = np.asarray(chk.finals)
@@ -236,9 +243,9 @@ class WfaAligner(Aligner):
                     if dirs is None:
                         dirs = np.asarray(res.dirs)  # one fetch per chunk
                     try:
-                        score, alns = banded_fast4_traceback_pair(
+                        score, alns = banded_diag_fast4_traceback_pair(
                             dirs[:, j, :], f1[j], pairs[i][0], pairs[i][1],
-                            res.k_lo, compat=False,
+                            res.k_lo_even, compat=False,
                         )
                         out[i] = dict(
                             score=-score,
@@ -248,7 +255,9 @@ class WfaAligner(Aligner):
                     except AlignerError as e:
                         out[i] = e
             pending = still
-            band *= 2
+            # Escalate past both this round's fill AND its certificate
+            # width (the +256 keeps the next lane count strictly larger).
+            band = 2 * band + 256
         if pending:
             self._gotoh_fallback(pairs, pending, out)
         return out

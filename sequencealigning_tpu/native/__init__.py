@@ -95,6 +95,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.banded_diag_fast4_first_path.restype = ctypes.c_long
+    lib.banded_diag_fast4_first_path.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_long,
+    ]
     lib.wfa_textbook_traceback.restype = ctypes.c_long
     lib.wfa_textbook_traceback.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
@@ -320,6 +328,35 @@ def banded_fast4_first_path_native(
     n = lib.banded_fast4_first_path(
         dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
         b_dim, k_dim, b, k_lo, n1, n2,
+        int(finals_b[0]), int(finals_b[1]), int(finals_b[2]),
+        out, cap,
+    )
+    if n < 0:
+        return None
+    return out.raw[:n].decode("ascii")
+
+
+def banded_diag_fast4_first_path_native(
+    dirs: np.ndarray,
+    b: int,
+    k_lo_even: int,
+    n1: int,
+    n2: int,
+    finals_b,
+):
+    """Native first-path walk over an (Aw, B, L) wavefront-packed fast4
+    dirs tensor (ops.nw_banded_diag layout).  Returns the forward op
+    string, or None if unavailable / the walker failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    dirs = np.ascontiguousarray(dirs, dtype=np.uint32)
+    w_dim, b_dim, k_dim = dirs.shape
+    cap = n1 + n2 + 8
+    out = ctypes.create_string_buffer(cap)
+    n = lib.banded_diag_fast4_first_path(
+        dirs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        w_dim, b_dim, k_dim, b, k_lo_even, n1, n2,
         int(finals_b[0]), int(finals_b[1]), int(finals_b[2]),
         out, cap,
     )

@@ -841,22 +841,41 @@ long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
                        x_pen, o_pen, e_pen, a1, a2, cap);
 }
 
-/* Banded fast4 walker: ops/nw_banded's row-packed band layout -- the
- * 4-bit code of cell (x, y) lives at word dirs[x/8, b, (y-x)-k_lo], shift
- * 4*(x%8).  Must mirror ops/traceback.py::banded_fast4_traceback_pair
- * exactly (tests fuzz the two).  dirs is the full (X8, B, K) tensor. */
-static inline int bf4_nibble(const uint32_t *dirs, long bk, long b, long k_dim,
-                             long k_lo, long x, long y) {
-    long k = (y - x) - k_lo;
-    if (k < 0 || k >= k_dim) return 0; /* out of band: no parents */
-    return (int)((dirs[(x >> 3) * bk + b * k_dim + k] >> (4 * (x & 7))) & 0xF);
+/* Banded fast4 walkers.  Two dirs layouts share ONE walk (same 4-bit code
+ * semantics; must mirror ops/traceback.py::_banded_fast4_walk exactly --
+ * tests fuzz C vs Python):
+ *   layout 0 (ops/nw_banded, row-packed):  word dirs[x/8, b, (y-x)-k_lo],
+ *     shift 4*(x%8); k_dim = K lanes.
+ *   layout 1 (ops/nw_banded_diag, wavefront-packed):  word
+ *     dirs[(x+y-1)/8, b, ((y-x)-k_lo_even)/2], shift 4*((x+y-1)%8);
+ *     k_dim = L lanes, k_lo = k_lo_even. */
+typedef struct {
+    const uint32_t *dirs;
+    long w_dim, b_dim, k_dim; /* tensor dims (words, batch, lanes) */
+    long b, k_lo;
+    int layout;
+} BF4Ctx;
+
+static inline int bf4_nibble(const BF4Ctx *c, long x, long y) {
+    long w, lane, slot;
+    if (c->layout == 0) {
+        lane = (y - x) - c->k_lo;
+        w = x >> 3;
+        slot = x & 7;
+    } else {
+        lane = ((y - x) - c->k_lo) >> 1;
+        long aidx = x + y - 1;
+        if (aidx < 0) return 0;
+        w = aidx >> 3;
+        slot = aidx & 7;
+    }
+    if (lane < 0 || lane >= c->k_dim || w >= c->w_dim) return 0;
+    return (int)((c->dirs[(w * c->b_dim + c->b) * c->k_dim + lane]
+                  >> (4 * slot)) & 0xF);
 }
 
-long banded_fast4_first_path(const uint32_t *dirs, long b_dim, long k_dim,
-                             long b, long k_lo, long n1, long n2,
-                             int sm, int si, int sd,
-                             char *out, long cap) {
-    long bk = b_dim * k_dim;
+static long bf4_walk(const BF4Ctx *ctx, long n1, long n2,
+                     int sm, int si, int sd, char *out, long cap) {
     int score = sm > si ? (sm > sd ? sm : sd) : (si > sd ? si : sd);
     int plane = (sm == score) ? PLANE_M : (si == score ? PLANE_I : PLANE_D);
     long x = n2, y = n1;
@@ -867,12 +886,12 @@ long banded_fast4_first_path(const uint32_t *dirs, long b_dim, long k_dim,
         if (--guard < 0) return -1;
         if (x == 0) { out[n_ops++] = 'I'; y -= 1; continue; }
         if (y == 0) { out[n_ops++] = 'D'; x -= 1; continue; }
-        int bb = bf4_nibble(dirs, bk, b, k_dim, k_lo, x, y);
+        int bb = bf4_nibble(ctx, x, y);
         if (plane == PLANE_M) {
             out[n_ops++] = 'M';
             x -= 1; y -= 1;
             if (x == 0 && y == 0) break;
-            plane = bf4_nibble(dirs, bk, b, k_dim, k_lo, x, y) & 3;
+            plane = bf4_nibble(ctx, x, y) & 3;
             if (plane > PLANE_D) plane = PLANE_D;
         } else if (plane == PLANE_I) {
             out[n_ops++] = 'I';
@@ -888,6 +907,24 @@ long banded_fast4_first_path(const uint32_t *dirs, long b_dim, long k_dim,
         char t = out[i]; out[i] = out[n_ops - 1 - i]; out[n_ops - 1 - i] = t;
     }
     return n_ops;
+}
+
+long banded_fast4_first_path(const uint32_t *dirs, long b_dim, long k_dim,
+                             long b, long k_lo, long n1, long n2,
+                             int sm, int si, int sd,
+                             char *out, long cap) {
+    /* layout 0 callers guarantee x/8 < the word dim; no bound needed */
+    BF4Ctx ctx = {dirs, LONG_MAX, b_dim, k_dim, b, k_lo, 0};
+    return bf4_walk(&ctx, n1, n2, sm, si, sd, out, cap);
+}
+
+long banded_diag_fast4_first_path(const uint32_t *dirs, long w_dim,
+                                  long b_dim, long k_dim,
+                                  long b, long k_lo_even, long n1, long n2,
+                                  int sm, int si, int sd,
+                                  char *out, long cap) {
+    BF4Ctx ctx = {dirs, w_dim, b_dim, k_dim, b, k_lo_even, 1};
+    return bf4_walk(&ctx, n1, n2, sm, si, sd, out, cap);
 }
 
 typedef struct {

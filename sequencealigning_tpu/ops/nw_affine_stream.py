@@ -493,6 +493,51 @@ def _jitted_stream_pallas(plan, scheme, compat, wildcard, dirs_mode):
     )
 
 
+def _device_stream_inputs(q_all, d_all, qlen, dlen, plan: StreamPlan):
+    """JAX-side equivalent of build_stream_inputs, fused into the jitted
+    fill so each call ships only the raw 1-byte/char padded sequences --
+    the (R, t_total) int32 streams are ~5x fatter, and host->device
+    transfer per call dominates small-batch fills (PERF.md)."""
+    NP, R, S = plan.np_slots, plan.n_rows, plan.s
+    L1 = q_all.shape[1]
+    L2 = d_all.shape[1]
+    q_r = q_all.astype(jnp.int32).reshape(R, NP, L1)
+    d_r = d_all.astype(jnp.int32).reshape(R, NP, L2)
+    qstream = jnp.zeros((R, plan.t_total), jnp.int32)
+    dstream = jnp.zeros((R, plan.t_total), jnp.int32)
+    for k in range(NP):
+        qstream = jax.lax.dynamic_update_slice(
+            qstream, q_r[:, k], (0, k * S + 1)
+        )
+        dstream = jax.lax.dynamic_update_slice(
+            dstream, d_r[:, k], (0, k * S + 1)
+        )
+    G = plan.n_slots_g
+    dsum_k = (qlen + dlen).astype(jnp.int32).reshape(R, NP).T  # (NP, R)
+    n2_k = dlen.astype(jnp.int32).reshape(R, NP).T
+    fill = jnp.full((G, R), -1, jnp.int32)
+    dsy = fill.at[:NP].set(dsum_k)[:, :, None]
+    n2y = fill.at[:NP].set(n2_k)[:, :, None]
+    hi = min(NP + 1, G)
+    dso = fill.at[1:hi].set(dsum_k[: hi - 1])[:, :, None]
+    n2o = fill.at[1:hi].set(n2_k[: hi - 1])[:, :, None]
+    return qstream, dstream, dsy, n2y, dso, n2o
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_stream_prep_pallas(plan, scheme, compat, wildcard, dirs_mode):
+    """Device-side stream prep + fill as ONE jitted dispatch."""
+
+    def run(q_all, d_all, qlen, dlen):
+        ins = _device_stream_inputs(q_all, d_all, qlen, dlen, plan)
+        return gotoh_fill_stream_pallas(
+            *ins, plan=plan, scheme=scheme, compat=compat,
+            wildcard=wildcard, dirs_mode=dirs_mode,
+        )
+
+    return jax.jit(run)
+
+
 # ---------------------------------------------------------------------------
 # Host-side input prep and device-side finals assembly
 # ---------------------------------------------------------------------------
@@ -590,8 +635,8 @@ def nw_affine_stream_batch(
     NP, R = plan.np_slots, plan.n_rows
     n_padded = NP * R
 
-    q_all = np.zeros((n_padded, L1), np.int32)
-    d_all = np.zeros((n_padded, L2), np.int32)
+    q_all = np.zeros((n_padded, L1), np.int8)
+    d_all = np.zeros((n_padded, L2), np.int8)
     q_all[:B] = query
     d_all[:B] = db
     qlen = np.ones(n_padded, np.int32)
@@ -599,23 +644,23 @@ def nw_affine_stream_batch(
     qlen[:B] = np.asarray(query_len, np.int32)
     dlen[:B] = np.asarray(db_len, np.int32)
 
-    qstream, dstream, dsy, n2y, dso, n2o = build_stream_inputs(
-        q_all, d_all, qlen, dlen, plan
-    )
-
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "lax"
 
     dirs_mode = "full" if with_dirs is True else with_dirs
     if backend == "pallas":
-        fn = _jitted_stream_pallas(plan, scheme, compat, wildcard, dirs_mode)
+        fn = _jitted_stream_prep_pallas(
+            plan, scheme, compat, wildcard, dirs_mode
+        )
         outs, dirs = fn(
-            jnp.asarray(qstream), jnp.asarray(dstream),
-            jnp.asarray(dsy), jnp.asarray(n2y),
-            jnp.asarray(dso), jnp.asarray(n2o),
+            jnp.asarray(q_all), jnp.asarray(d_all),
+            jnp.asarray(qlen), jnp.asarray(dlen),
         )
         finals = np.asarray(stream_finals(outs, NP))
     elif backend == "lax":
+        qstream, dstream, dsy, n2y, dso, n2o = build_stream_inputs(
+            q_all.astype(np.int32), d_all.astype(np.int32), qlen, dlen, plan
+        )
         (fm, fi, fd), dirs = gotoh_fill_stream_lax(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),

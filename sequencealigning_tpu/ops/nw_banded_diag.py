@@ -1,0 +1,540 @@
+"""Banded affine-gap NW fill, anti-diagonal (wavefront) formulation.
+
+The row-sweep banded kernel (ops.nw_banded) pays a log2(K)-step prefix-max
+per row for the in-row I-chain.  Sweeping ANTI-diagonals a = x + y instead
+makes every Gotoh dependency local:
+
+    M(x,y) <- H(x-1,y-1) + sub      -- wavefront a-2, same diagonal k
+    I(x,y) <- M/I(x,y-1) + gap      -- wavefront a-1, diagonal k-1
+    D(x,y) <- M/D(x-1,y) + gap      -- wavefront a-1, diagonal k+1
+
+so there is no scan at all -- at the cost of 2x the steps (one wavefront
+holds only the cells of one diagonal-parity).  Parity packing recovers the
+density: lane l holds diagonal k = k_lo_even + 2l + parity(a), so every
+lane is a live cell on every step, and the k+-1 neighbours sit at lane
+offsets {0, 1} that alternate with the parity (each step rolls exactly one
+source pair and one character window).
+
+Coordinates (band diagonals k = y - x in [k_lo, k_hi], k_lo_even = k_lo
+rounded down to even, he = k_lo_even / 2 <= 0):
+
+    q  = (a - par) / 2 - he         -- scalar per wavefront
+    x(l) = q - l                    -- db chars consumed at lane l
+    y(l) = a - x(l)
+
+Character windows are contiguous: s1w[l] = seq1[y(l)-1] advances one lane
+on odd wavefronts, s2w[l] = seq2[x(l)-1] (lane-reversed) on even ones,
+each fed by one precomputed entering char per step (no gathers).
+
+Score semantics (incl. the compat boundary-chain quirks and the swapped
+row0/col0 planes, needleman_wunsch_affine.rs:172-216) are identical to
+ops.nw_banded -- tests assert equal finals on shared shapes.  dirs support
+is fast4-only (4-bit first-path codes; wavefront a packs into word
+dirs[(a-1)//8, b, l] at shift 4*((a-1)%8) -- the a-1 index keeps words
+aligned to whole chunks).  Co-optimal "full" mode stays on the row kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.io.encode import round_up as _round_up
+
+NEGBIG = -(2 ** 24)  # band-mask -inf (same convention as ops.nw_banded)
+
+
+class BandedDiagResult(NamedTuple):
+    finals: jax.Array  # (B, 3) M/I/D at (n2, n1)
+    dirs: Optional[jax.Array]  # (Aw, B, L) uint32, 8 wavefronts per word
+    k_lo_even: int
+    k_lo: int
+
+
+def _diag_step(
+    par: int, a, M1, I1, D1, H2, s1w, s2w, c1, c2,
+    lane, n1v, n2v, he: int, L: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    roll,
+):
+    """One wavefront (static parity `par`, traced scalar wavefront `a`).
+
+    M1/I1/D1 = wavefront a-1 (opposite parity), H2 = H at a-2 (same
+    parity); state shapes (B, L); c1/c2 (B, 1) entering chars (c1 consumed
+    when par==1, c2 when par==0).  Returns (M, I, D, H, s1w', s2w', code).
+    """
+    o = jnp.int32(scheme.gap_open)
+    e = jnp.int32(scheme.gap_extend)
+    neg = jnp.int32(NEG_INF)
+    lane_0 = lane == 0
+    lane_last = lane == L - 1
+
+    if par == 1:
+        s1w = jnp.where(lane_last, c1, roll(s1w, -1))
+    else:
+        s2w = jnp.where(lane_0, c2, roll(s2w, 1))
+
+    q = (a - par) // 2 - he
+    xv = q - lane
+    yv = a - xv
+
+    if wildcard:
+        eq = (s1w & s2w) != 0  # N-matches-anything (align.rs:298-304)
+    else:
+        eq = s1w == s2w
+    sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+
+    M = H2 + sub
+
+    M1o = M1 + o
+    if par == 0:
+        # I reads lane l-1 of a-1; D reads lane l.
+        I_src_i = jnp.where(lane_0, NEGBIG, roll(I1, 1))
+        I = jnp.maximum(jnp.where(lane_0, NEGBIG, roll(M1o, 1)), I_src_i) + e
+        D_src_d = D1
+        D = jnp.maximum(M1o, D_src_d) + e
+    else:
+        # I reads lane l; D reads lane l+1.
+        I_src_i = I1
+        I = jnp.maximum(M1o, I_src_i) + e
+        D_src_d = jnp.where(lane_last, NEGBIG, roll(D1, -1))
+        D = jnp.maximum(jnp.where(lane_last, NEGBIG, roll(M1o, -1)),
+                        D_src_d) + e
+
+    valid = jnp.logical_and(
+        jnp.logical_and(xv >= 1, xv <= n2v),
+        jnp.logical_and(yv >= 1, yv <= n1v),
+    )
+    M = jnp.where(valid, M, NEGBIG)
+    I = jnp.where(valid, I, NEGBIG)
+    D = jnp.where(valid, D, NEGBIG)
+
+    # Boundary cells (same value conventions as ops.nw_banded: compat
+    # stores the x=0 chain in D and the y=0 chain in I with one extra
+    # extension, the reference's quirk; textbook uses I / D respectively).
+    row0 = jnp.logical_and(xv == 0, jnp.logical_and(yv >= 0, yv <= n1v))
+    col0 = jnp.logical_and(yv == 0, jnp.logical_and(xv >= 1, xv <= n2v))
+    if compat:
+        row0_i, row0_d = neg, o + (yv + 1) * e
+        col0_i, col0_d = o + (xv + 1) * e, neg
+    else:
+        row0_i, row0_d = o + yv * e, neg
+        col0_i, col0_d = neg, o + xv * e
+    origin = jnp.logical_and(row0, yv == 0)
+    M = jnp.where(row0, jnp.where(origin, 0, neg), M)
+    I = jnp.where(row0, jnp.where(origin, neg, row0_i), I)
+    D = jnp.where(row0, jnp.where(origin, neg, row0_d), D)
+    M = jnp.where(col0, neg, M)
+    I = jnp.where(col0, col0_i, I)
+    D = jnp.where(col0, col0_d, D)
+
+    H = jnp.maximum(M, jnp.maximum(I, D))
+
+    code = None
+    if want_dirs:
+        # fast4: bits[0:2] H-argmax plane (M > I > D), bit2 I-extend,
+        # bit3 D-extend -- extend flags against the a-1 sources.
+        code = jnp.where(M == H, 0, jnp.where(I == H, 1, 2))
+        code |= (I == I_src_i + e).astype(jnp.int32) * 4
+        code |= (D == D_src_d + e).astype(jnp.int32) * 8
+    return M, I, D, H, s1w, s2w, code
+
+
+def _init_state(seq1, seq2, he: int, L: int):
+    """Wavefront-0 state: windows positioned for a=0 and the origin cell
+    (0,0) at lane -he.  Sequences (B, Ln) int32; -1 padding chars."""
+    B = seq1.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+    # s1w0[l] = seq1[l + he - 1]
+    pad1l = max(0, 1 - he)
+    pad1r = max(0, (L - 1 + he - 1) - (seq1.shape[1] - 1))
+    s1p = jnp.pad(seq1, ((0, 0), (pad1l, pad1r)), constant_values=-1)
+    s1w0 = jax.lax.slice_in_dim(
+        s1p, pad1l + he - 1, pad1l + he - 1 + L, axis=1
+    )
+    # s2w0[l] = seq2[-he - l - 1] (lane-reversed window)
+    pad2l = max(0, L + he)          # lowest index: -he - L
+    pad2r = max(0, -he)             # highest index: -he - 1
+    s2p = jnp.pad(seq2, ((0, 0), (pad2l, pad2r)), constant_values=-1)
+    lo = pad2l + (-he - L)          # index of l = L-1
+    s2w0 = jax.lax.slice_in_dim(s2p, lo, lo + L, axis=1)[:, ::-1]
+    m0 = jnp.where(lane == -he, 0, NEGBIG)
+    negs = jnp.full((B, L), NEGBIG, jnp.int32)
+    return lane, s1w0, s2w0, m0, negs
+
+
+def _entering_streams(seq1, seq2, he: int, L: int, n_iters: int):
+    """c1s[:, i] = seq1[i + he + L - 1] (enters s1w at a = 2i+1);
+    c2s[:, i] = seq2[i - he] (enters s2w at a = 2i+2).  -1 padding."""
+    start1 = he + L - 1
+    pad1l = max(0, -start1)
+    pad1r = max(0, start1 + n_iters - seq1.shape[1])
+    s1p = jnp.pad(seq1, ((0, 0), (pad1l, pad1r)), constant_values=-1)
+    c1s = jax.lax.slice_in_dim(
+        s1p, pad1l + start1, pad1l + start1 + n_iters, axis=1
+    )
+    start2 = -he
+    pad2r = max(0, start2 + n_iters - seq2.shape[1])
+    s2p = jnp.pad(seq2, ((0, 0), (0, pad2r)), constant_values=-1)
+    c2s = jax.lax.slice_in_dim(s2p, start2, start2 + n_iters, axis=1)
+    return c1s, c2s
+
+
+def _banded_diag_lax(
+    seq1, seq2, n1v, n2v, k_lo_even: int, L: int, n_iters: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+):
+    """lax.scan reference: one iteration = wavefronts (2i+1, 2i+2)."""
+    B = seq1.shape[0]
+    he = k_lo_even // 2
+    q32 = seq1.astype(jnp.int32)
+    d32 = seq2.astype(jnp.int32)
+    lane, s1w0, s2w0, m0, negs = _init_state(q32, d32, he, L)
+    c1s, c2s = _entering_streams(q32, d32, he, L, n_iters)
+    roll = lambda v, s: jnp.roll(v, s, axis=1)
+
+    def capture(cap, a, M, I, D):
+        q0 = (a - (a % 2)) // 2 - he
+        xv = q0 - lane
+        yv = a - xv
+        hit = jnp.logical_and(xv == n2v, yv == n1v)
+        capM, capI, capD = cap
+        return (
+            capM + jnp.where(hit, M, 0).sum(1, keepdims=True),
+            capI + jnp.where(hit, I, 0).sum(1, keepdims=True),
+            capD + jnp.where(hit, D, 0).sum(1, keepdims=True),
+        )
+
+    def body(carry, ins):
+        (M1, I1, D1, H1, H2, s1w, s2w, cap) = carry
+        i, c1, c2 = ins
+        a1 = 2 * i + 1
+        M, I, D, H, s1w, s2w, code1 = _diag_step(
+            1, a1, M1, I1, D1, H2, s1w, s2w, c1[:, None], None,
+            lane, n1v, n2v, he, L, scheme, compat, wildcard, want_dirs, roll,
+        )
+        cap = capture(cap, a1, M, I, D)
+        a2 = 2 * i + 2
+        M2, I2, D2, Hb, s1w, s2w, code2 = _diag_step(
+            0, a2, M, I, D, H1, s1w, s2w, None, c2[:, None],
+            lane, n1v, n2v, he, L, scheme, compat, wildcard, want_dirs, roll,
+        )
+        cap = capture(cap, a2, M2, I2, D2)
+        out = (code1, code2) if want_dirs else 0
+        return (M2, I2, D2, Hb, H, s1w, s2w, cap), out
+
+    zero = jnp.zeros((B, 1), jnp.int32)
+    init = (m0, negs, negs, m0, negs, s1w0, s2w0, (zero, zero, zero))
+    (_, _, _, _, _, _, _, cap), codes = jax.lax.scan(
+        body, init,
+        (jnp.arange(n_iters, dtype=jnp.int32),
+         jnp.swapaxes(c1s, 0, 1), jnp.swapaxes(c2s, 0, 1)),
+    )
+    finals = jnp.concatenate(cap, axis=1)
+    dirs = None
+    if want_dirs:
+        # aidx = a-1: iteration i emits aidx 2i (code1) and 2i+1 (code2).
+        c1, c2 = codes
+        A2 = jnp.stack([c1, c2], axis=1).reshape(2 * n_iters, B, L)
+        Ap = _round_up(A2.shape[0], 8)
+        A2 = jnp.pad(A2, ((0, Ap - A2.shape[0]), (0, 0), (0, 0)))
+        w = A2.reshape(Ap // 8, 8, B, L).astype(jnp.uint32)
+        shifts = (4 * jnp.arange(8, dtype=jnp.uint32))[None, :, None, None]
+        dirs = (w << shifts).sum(axis=1, dtype=jnp.uint32)
+    return finals, dirs
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _diag_kernel(
+    n1v_ref, n2v_ref, s1w0_ref, s2w0_ref, c1s_ref, c2s_ref,
+    fm_ref, fi_ref, fd_ref, dirs_ref,
+    M1, I1, D1, H1, H2, s1w, s2w,
+    *, k_lo_even: int, L: int, chunk: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+):
+    """Grid (NB, NC): batch tiles x iteration chunks (1 iteration = 2
+    wavefronts).  The fori body unrolls 4 iterations (= 8 wavefronts =
+    exactly one packed dirs word, with static shift patterns)."""
+    c = pl.program_id(1)
+    he = k_lo_even // 2
+    BT = M1.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (BT, L), 1)
+    n1v = n1v_ref[...]
+    n2v = n2v_ref[...]
+    neg = jnp.full((BT, L), NEGBIG, jnp.int32)
+
+    @pl.when(c == 0)
+    def _init():
+        m0 = jnp.where(lane == -he, 0, NEGBIG)
+        M1[...] = m0
+        I1[...] = neg
+        D1[...] = neg
+        H1[...] = m0
+        H2[...] = neg
+        s1w[...] = s1w0_ref[...]
+        s2w[...] = s2w0_ref[...]
+        fm_ref[...] = jnp.zeros_like(fm_ref)
+        fi_ref[...] = jnp.zeros_like(fi_ref)
+        fd_ref[...] = jnp.zeros_like(fd_ref)
+
+    corner_a = n1v + n2v
+    a_lo = jnp.min(corner_a)
+    a_hi = jnp.max(corner_a)
+    roll = lambda v, s: pltpu.roll(v, s % L, axis=1)
+    cchunk = c1s_ref.shape[1]  # input block width (>= chunk, 128-aligned)
+    lanec = jax.lax.broadcasted_iota(jnp.int32, (BT, cchunk), 1)
+    off0 = c * chunk - (c * chunk // cchunk) * cchunk
+
+    def col(ref, i):
+        # Mosaic has no unaligned lane-dim dynamic_slice: masked reduce.
+        return jnp.sum(
+            jnp.where(lanec == off0 + i, ref[...], 0), axis=1, keepdims=True
+        )
+
+    def capture_fn(a, M, I, D):
+        q0 = (a - (a & 1)) // 2 - he
+        xv = q0 - lane
+        yv = a - xv
+        hit = jnp.logical_and(xv == n2v, yv == n1v)
+        fm_ref[...] += jnp.where(hit, M, 0)
+        fi_ref[...] += jnp.where(hit, I, 0)
+        fd_ref[...] += jnp.where(hit, D, 0)
+
+    def quad(j, _):
+        # 4 iterations = wavefronts a in [8j'+1, 8j'+8], one dirs word.
+        wreg = jnp.zeros((BT, L), jnp.uint32)
+        st = (M1[...], I1[...], D1[...], H1[...], H2[...],
+              s1w[...], s2w[...])
+        for r in range(4):
+            Mp, Ip, Dp, Hp, Hpp, s1c, s2c = st
+            i = j * 4 + r
+            g = c * chunk + i
+            c1 = col(c1s_ref, i)
+            c2 = col(c2s_ref, i)
+            a1 = 2 * g + 1
+            M, I, D, H, s1c, s2c, code1 = _diag_step(
+                1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
+                lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                want_dirs, roll,
+            )
+
+            @pl.when(jnp.logical_and(a1 >= a_lo, a1 <= a_hi))
+            def _():
+                capture_fn(a1, M, I, D)
+
+            a2 = 2 * g + 2
+            M2_, I2_, D2_, H2_, s1c, s2c, code2 = _diag_step(
+                0, a2, M, I, D, Hp, s1c, s2c, None, c2,
+                lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                want_dirs, roll,
+            )
+
+            @pl.when(jnp.logical_and(a2 >= a_lo, a2 <= a_hi))
+            def _():
+                capture_fn(a2, M2_, I2_, D2_)
+
+            if want_dirs:
+                # aidx = a-1: a1 -> 8j'+2r, a2 -> 8j'+2r+1 (static shifts).
+                wreg |= code1.astype(jnp.uint32) << jnp.uint32(4 * (2 * r))
+                wreg |= code2.astype(jnp.uint32) << jnp.uint32(4 * (2 * r + 1))
+            st = (M2_, I2_, D2_, H2_, H, s1c, s2c)
+        M1[...], I1[...], D1[...], H1[...], H2[...], s1w[...], s2w[...] = st
+        if want_dirs:
+            dirs_ref[pl.ds(j, 1), :, :] = wreg[None]
+        return 0
+
+    jax.lax.fori_loop(0, chunk // 4, quad, 0)
+
+
+def banded_diag_fill_pallas(
+    s1w0, s2w0, c1s, c2s, n1v, n2v,
+    k_lo_even: int, L: int,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    chunk: int = 128, bt: int = 8, interpret: Optional[bool] = None,
+):
+    """Invoke the anti-diagonal kernel.  B multiple of 8; c1s/c2s (B, Np)
+    with Np a multiple of `chunk` (which is a multiple of 4)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B = s1w0.shape[0]
+    BT = bt if B % bt == 0 else (8 if B % 8 == 0 else B)
+    NB = B // BT
+    n_iters = c1s.shape[1]
+    NC = n_iters // chunk
+
+    grid = (NB, NC)
+    kernel = functools.partial(
+        _diag_kernel, k_lo_even=k_lo_even, L=L, chunk=chunk,
+        scheme=scheme, compat=compat, wildcard=wildcard, want_dirs=want_dirs,
+    )
+    bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
+    cchunk = max(chunk, 128)
+    in_specs = [
+        bspec((BT, 1), lambda b, c: (b, 0)),
+        bspec((BT, 1), lambda b, c: (b, 0)),
+        bspec((BT, L), lambda b, c: (b, 0)),
+        bspec((BT, L), lambda b, c: (b, 0)),
+        bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
+        bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
+    ]
+    out_specs = [
+        bspec((BT, L), lambda b, c: (b, 0)),
+        bspec((BT, L), lambda b, c: (b, 0)),
+        bspec((BT, L), lambda b, c: (b, 0)),
+        bspec(
+            (chunk // 4 if want_dirs else 1, BT, L),
+            (lambda b, c: (c, b, 0)) if want_dirs else (lambda b, c: (0, b, 0)),
+        ),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct((B, L), jnp.int32),
+        jax.ShapeDtypeStruct(
+            ((NC * chunk) // 4 if want_dirs else 1, B, L), jnp.uint32
+        ),
+    ]
+    scratch = [pltpu.VMEM((BT, L), jnp.int32) for _ in range(7)]
+    fm, fi, fd, dirs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(n1v, n2v, s1w0, s2w0, c1s, c2s)
+    finals = jnp.stack([fm.sum(1), fi.sum(1), fd.sum(1)], axis=1)
+    return finals, (dirs if want_dirs else None)
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_diag(backend, k_lo_even, L, n_iters, scheme, compat,
+                 wildcard, want_dirs, bt, chunk):
+    """One jitted dispatch per configuration (stream prep fused with the
+    fill; see nw_banded._jitted_banded for why)."""
+
+    def run(query, db, n1v, n2v):
+        he = k_lo_even // 2
+        q32 = query.astype(jnp.int32)
+        d32 = db.astype(jnp.int32)
+        if backend == "pallas":
+            _, s1w0, s2w0, _, _ = _init_state(q32, d32, he, L)
+            c1s, c2s = _entering_streams(q32, d32, he, L, n_iters)
+            return banded_diag_fill_pallas(
+                s1w0, s2w0, c1s, c2s, n1v, n2v, k_lo_even, L,
+                scheme, compat, wildcard, want_dirs, chunk=chunk, bt=bt,
+            )
+        return _banded_diag_lax(
+            query, db, n1v, n2v, k_lo_even, L, n_iters,
+            scheme, compat, wildcard, want_dirs,
+        )
+
+    return jax.jit(run)
+
+
+def _pick_tile(B: int, L: int, want_dirs: bool):
+    """(bt, chunk): widest batch tile within the VMEM budget (the model
+    that matched every observed compile success/failure in round 2:
+    state + double-buffered dirs + in/out blocks <= ~11 MB)."""
+    budget = 11 * 2 ** 20
+    best = (8 if B % 8 == 0 else B, 128)
+    bts = (256, 128, 64, 32, 16, 8) if not want_dirs else (128, 64, 32, 16, 8)
+    for bt in bts:
+        if B % bt:
+            continue
+        for chunk in (128, 64):
+            dirs_blk = (chunk // 4) * bt * L * 4 if want_dirs else 0
+            state = 7 * bt * L * 4
+            outs = 3 * bt * L * 4
+            ins = 2 * bt * max(chunk, 128) * 4 + 2 * bt * L * 4
+            if 2 * dirs_blk + state + 2 * outs + ins <= budget:
+                return bt, chunk
+    return best
+
+
+def nw_banded_diag_batch(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    band: int = 128,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    wildcard: bool = False,
+    with_dirs=False,
+    backend: str = "auto",
+    bt: Optional[int] = None,
+) -> BandedDiagResult:
+    """Anti-diagonal banded Gotoh fill.  Same band semantics and score
+    contract as ops.nw_banded.nw_banded_batch; with_dirs in (False,
+    "fast4")."""
+    if with_dirs not in (False, None, "fast4"):
+        raise ValueError("diag layout supports fast4 dirs only")
+    qlen = np.asarray(query_len)
+    dlen = np.asarray(db_len)
+    diff = qlen.astype(np.int64) - dlen.astype(np.int64)
+    k_lo = int(min(0, diff.min()) - band)
+    k_hi = int(max(0, diff.max()) + band)
+    k_lo_even = k_lo - (k_lo & 1)
+    L = _round_up((k_hi - k_lo_even + 2) // 2, 128)
+    B, L1 = query.shape
+    _, L2 = db.shape
+    want_dirs = with_dirs == "fast4"
+
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "lax"
+
+    n1v = jnp.asarray(qlen, jnp.int32)[:, None]
+    n2v = jnp.asarray(dlen, jnp.int32)[:, None]
+
+    n_need = (L1 + L2 + 1) // 2 + 1
+    if backend == "pallas":
+        bt_auto, chunk = _pick_tile(
+            B if B % 8 == 0 else _round_up(B, 8), L, want_dirs
+        )
+        if bt is None:
+            bt = bt_auto
+        Bp = _round_up(max(B, 8), 8)
+        if Bp != B:
+            pad = ((0, Bp - B), (0, 0))
+            query = np.pad(np.asarray(query), pad)
+            db = np.pad(np.asarray(db), pad)
+            n1v = jnp.pad(n1v, ((0, Bp - B), (0, 0)), constant_values=1)
+            n2v = jnp.pad(n2v, ((0, Bp - B), (0, 0)), constant_values=1)
+        n_iters = _round_up(n_need, chunk)
+    elif backend == "lax":
+        bt, chunk = 8, 128
+        n_iters = n_need
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    fn = _jitted_diag(
+        backend, k_lo_even, L, n_iters, scheme, compat, wildcard,
+        want_dirs, bt, chunk,
+    )
+    finals, dirs = fn(
+        jnp.asarray(np.asarray(query, np.int8)),
+        jnp.asarray(np.asarray(db, np.int8)),
+        n1v, n2v,
+    )
+    finals = finals[:B]
+    if dirs is not None and dirs.shape[1] != B:
+        dirs = dirs[:, :B]
+    return BandedDiagResult(
+        finals=finals, dirs=dirs, k_lo_even=k_lo_even, k_lo=k_lo
+    )

@@ -487,26 +487,10 @@ def fast4_traceback_pair(
     return score, [_apply_ops("".join(ops), seq1, seq2)]
 
 
-def banded_fast4_traceback_pair(
-    dirs_b: np.ndarray,
-    finals_b: np.ndarray,
-    seq1: bytes,
-    seq2: bytes,
-    k_lo: int,
-    compat: bool = True,
-) -> Tuple[int, List[Tuple[str, str]]]:
-    """First-path traceback for ops.nw_banded's fast4 layout: the 4-bit
-    code of cell (x, y) lives at word dirs[x//8, (y-x)-k_lo], shift
-    4*(x%8).  Same code semantics as fast4_traceback_pair."""
-    n1, n2 = len(seq1), len(seq2)
+def _banded_fast4_walk(nib, finals_b, n1: int, n2: int) -> str:
+    """Shared first-path walk over any 4-bit banded dirs layout (`nib`
+    resolves cell (x, y) to its code).  Returns the forward op string."""
     score = int(finals_b.max())
-
-    def nib(x: int, y: int) -> int:
-        k = (y - x) - k_lo
-        if k < 0 or k >= dirs_b.shape[1]:
-            return 0
-        return int(dirs_b[x >> 3, k] >> (4 * (x & 7))) & 0xF
-
     if int(finals_b[M]) == score:
         plane = M
     elif int(finals_b[I]) == score:
@@ -545,7 +529,56 @@ def banded_fast4_traceback_pair(
             plane = D if b & 8 else M
             x -= 1
     ops.reverse()
-    return score, [_apply_ops("".join(ops), seq1, seq2)]
+    return "".join(ops)
+
+
+def banded_fast4_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    k_lo: int,
+    compat: bool = True,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """First-path traceback for ops.nw_banded's fast4 layout: the 4-bit
+    code of cell (x, y) lives at word dirs[x//8, (y-x)-k_lo], shift
+    4*(x%8).  Same code semantics as fast4_traceback_pair."""
+    n1, n2 = len(seq1), len(seq2)
+
+    def nib(x: int, y: int) -> int:
+        k = (y - x) - k_lo
+        if k < 0 or k >= dirs_b.shape[1]:
+            return 0
+        return int(dirs_b[x >> 3, k] >> (4 * (x & 7))) & 0xF
+
+    ops = _banded_fast4_walk(nib, finals_b, n1, n2)
+    return int(finals_b.max()), [_apply_ops(ops, seq1, seq2)]
+
+
+def banded_diag_fast4_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    k_lo_even: int,
+    compat: bool = True,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """First-path traceback for ops.nw_banded_diag's wavefront fast4
+    layout: cell (x, y) lives at word dirs[(x+y-1)//8, (y-x-k_lo_even)//2],
+    shift 4*((x+y-1)%8)."""
+    n1, n2 = len(seq1), len(seq2)
+
+    def nib(x: int, y: int) -> int:
+        l = ((y - x) - k_lo_even) >> 1
+        if l < 0 or l >= dirs_b.shape[1]:
+            return 0
+        aidx = x + y - 1
+        if aidx < 0 or (aidx >> 3) >= dirs_b.shape[0]:
+            return 0
+        return int(dirs_b[aidx >> 3, l] >> (4 * (aidx & 7))) & 0xF
+
+    ops = _banded_fast4_walk(nib, finals_b, n1, n2)
+    return int(finals_b.max()), [_apply_ops(ops, seq1, seq2)]
 
 
 def banded_fast4_traceback_batch(
@@ -588,6 +621,54 @@ def banded_fast4_traceback_batch(
                 out.append(
                     banded_fast4_traceback_pair(
                         dirs[:, b, :], finals[b], s1, s2, k_lo, compat=compat
+                    )
+                )
+        except AlignmentError as e:
+            out.append(e)
+    return out
+
+
+def banded_diag_fast4_traceback_batch(
+    dirs: np.ndarray,
+    finals: np.ndarray,
+    seqs1,
+    seqs2,
+    k_lo_even: int,
+    compat: bool = True,
+):
+    """Batch first-path walks over an (Aw, B, L) wavefront-packed fast4
+    dirs tensor (ops.nw_banded_diag layout).  Native C walker when
+    available; Python fallback.  Returns (score, [(a1, a2)]) or
+    AlignmentError per pair."""
+    import os
+
+    native_mod = None
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native as native_mod
+
+            if not native_mod.available():
+                native_mod = None
+        except Exception:
+            native_mod = None
+
+    out = []
+    dirs = np.ascontiguousarray(dirs, np.uint32)
+    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
+        try:
+            score = int(finals[b].max())
+            ops = None
+            if native_mod is not None:
+                ops = native_mod.banded_diag_fast4_first_path_native(
+                    dirs, b, k_lo_even, len(s1), len(s2), finals[b]
+                )
+            if ops is not None:
+                out.append((score, [_apply_ops(ops, s1, s2)]))
+            else:
+                out.append(
+                    banded_diag_fast4_traceback_pair(
+                        dirs[:, b, :], finals[b], s1, s2, k_lo_even,
+                        compat=compat,
                     )
                 )
         except AlignmentError as e:
