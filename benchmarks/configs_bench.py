@@ -11,10 +11,18 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Persistent XLA compilation cache (works through the remote compile
+# helper; compile-time only, never affects kernel timings).
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.expanduser("~/.cache/seqalign_jax"),
+)
 
 
 def _mkpairs(rng, n, length, divergence=0.01):

@@ -62,13 +62,20 @@ def _diag_step(
     par: int, a, M1, I1, D1, H2, s1w, s2w, c1, c2,
     lane, n1v, n2v, he: int, L: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
-    roll,
+    roll, boundary: bool = True,
 ):
     """One wavefront (static parity `par`, traced scalar wavefront `a`).
 
     M1/I1/D1 = wavefront a-1 (opposite parity), H2 = H at a-2 (same
     parity); state shapes (B, L); c1/c2 (B, 1) entering chars (c1 consumed
     when par==1, c2 when par==0).  Returns (M, I, D, H, s1w', s2w', code).
+
+    boundary=False is the steady-state variant for wavefronts past every
+    x=0 / y=0 cell (a > max(2L + k_lo_even - 1, 2 - k_lo_even)): the
+    row0/col0 chain selects and the x>=1 / y>=1 clamps are dropped (only
+    the upper rectangle bounds remain -- dependencies are non-decreasing
+    in x and y, so over-the-corner cells can never flow back into a
+    pair's rectangle or its capture mask).
     """
     o = jnp.int32(scheme.gap_open)
     e = jnp.int32(scheme.gap_extend)
@@ -108,32 +115,36 @@ def _diag_step(
         D = jnp.maximum(jnp.where(lane_last, NEGBIG, roll(M1o, -1)),
                         D_src_d) + e
 
-    valid = jnp.logical_and(
-        jnp.logical_and(xv >= 1, xv <= n2v),
-        jnp.logical_and(yv >= 1, yv <= n1v),
-    )
+    if boundary:
+        valid = jnp.logical_and(
+            jnp.logical_and(xv >= 1, xv <= n2v),
+            jnp.logical_and(yv >= 1, yv <= n1v),
+        )
+    else:
+        valid = jnp.logical_and(xv <= n2v, yv <= n1v)
     M = jnp.where(valid, M, NEGBIG)
     I = jnp.where(valid, I, NEGBIG)
     D = jnp.where(valid, D, NEGBIG)
 
-    # Boundary cells (same value conventions as ops.nw_banded: compat
-    # stores the x=0 chain in D and the y=0 chain in I with one extra
-    # extension, the reference's quirk; textbook uses I / D respectively).
-    row0 = jnp.logical_and(xv == 0, jnp.logical_and(yv >= 0, yv <= n1v))
-    col0 = jnp.logical_and(yv == 0, jnp.logical_and(xv >= 1, xv <= n2v))
-    if compat:
-        row0_i, row0_d = neg, o + (yv + 1) * e
-        col0_i, col0_d = o + (xv + 1) * e, neg
-    else:
-        row0_i, row0_d = o + yv * e, neg
-        col0_i, col0_d = neg, o + xv * e
-    origin = jnp.logical_and(row0, yv == 0)
-    M = jnp.where(row0, jnp.where(origin, 0, neg), M)
-    I = jnp.where(row0, jnp.where(origin, neg, row0_i), I)
-    D = jnp.where(row0, jnp.where(origin, neg, row0_d), D)
-    M = jnp.where(col0, neg, M)
-    I = jnp.where(col0, col0_i, I)
-    D = jnp.where(col0, col0_d, D)
+    if boundary:
+        # Boundary cells (same value conventions as ops.nw_banded: compat
+        # stores the x=0 chain in D and the y=0 chain in I with one extra
+        # extension, the reference's quirk; textbook uses I / D).
+        row0 = jnp.logical_and(xv == 0, jnp.logical_and(yv >= 0, yv <= n1v))
+        col0 = jnp.logical_and(yv == 0, jnp.logical_and(xv >= 1, xv <= n2v))
+        if compat:
+            row0_i, row0_d = neg, o + (yv + 1) * e
+            col0_i, col0_d = o + (xv + 1) * e, neg
+        else:
+            row0_i, row0_d = o + yv * e, neg
+            col0_i, col0_d = neg, o + xv * e
+        origin = jnp.logical_and(row0, yv == 0)
+        M = jnp.where(row0, jnp.where(origin, 0, neg), M)
+        I = jnp.where(row0, jnp.where(origin, neg, row0_i), I)
+        D = jnp.where(row0, jnp.where(origin, neg, row0_d), D)
+        M = jnp.where(col0, neg, M)
+        I = jnp.where(col0, col0_i, I)
+        D = jnp.where(col0, col0_d, D)
 
     H = jnp.maximum(M, jnp.maximum(I, D))
 
@@ -311,50 +322,71 @@ def _diag_kernel(
         fi_ref[...] += jnp.where(hit, I, 0)
         fd_ref[...] += jnp.where(hit, D, 0)
 
-    def quad(j, _):
-        # 4 iterations = wavefronts a in [8j'+1, 8j'+8], one dirs word.
-        wreg = jnp.zeros((BT, L), jnp.uint32)
-        st = (M1[...], I1[...], D1[...], H1[...], H2[...],
-              s1w[...], s2w[...])
-        for r in range(4):
-            Mp, Ip, Dp, Hp, Hpp, s1c, s2c = st
-            i = j * 4 + r
-            g = c * chunk + i
-            c1 = col(c1s_ref, i)
-            c2 = col(c2s_ref, i)
-            a1 = 2 * g + 1
-            M, I, D, H, s1c, s2c, code1 = _diag_step(
-                1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
-                lane, n1v, n2v, he, L, scheme, compat, wildcard,
-                want_dirs, roll,
-            )
+    def make_quad(boundary: bool):
+        def quad(j, _):
+            # 4 iterations = wavefronts a in [8j'+1, 8j'+8], one dirs word.
+            wreg = jnp.zeros((BT, L), jnp.uint32)
+            st = (M1[...], I1[...], D1[...], H1[...], H2[...],
+                  s1w[...], s2w[...])
+            for r in range(4):
+                Mp, Ip, Dp, Hp, Hpp, s1c, s2c = st
+                i = j * 4 + r
+                g = c * chunk + i
+                c1 = col(c1s_ref, i)
+                c2 = col(c2s_ref, i)
+                a1 = 2 * g + 1
+                M, I, D, H, s1c, s2c, code1 = _diag_step(
+                    1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
+                    lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                    want_dirs, roll, boundary=boundary,
+                )
 
-            @pl.when(jnp.logical_and(a1 >= a_lo, a1 <= a_hi))
-            def _():
-                capture_fn(a1, M, I, D)
+                @pl.when(jnp.logical_and(a1 >= a_lo, a1 <= a_hi))
+                def _():
+                    capture_fn(a1, M, I, D)
 
-            a2 = 2 * g + 2
-            M2_, I2_, D2_, H2_, s1c, s2c, code2 = _diag_step(
-                0, a2, M, I, D, Hp, s1c, s2c, None, c2,
-                lane, n1v, n2v, he, L, scheme, compat, wildcard,
-                want_dirs, roll,
-            )
+                a2 = 2 * g + 2
+                M2_, I2_, D2_, H2_, s1c, s2c, code2 = _diag_step(
+                    0, a2, M, I, D, Hp, s1c, s2c, None, c2,
+                    lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                    want_dirs, roll, boundary=boundary,
+                )
 
-            @pl.when(jnp.logical_and(a2 >= a_lo, a2 <= a_hi))
-            def _():
-                capture_fn(a2, M2_, I2_, D2_)
+                @pl.when(jnp.logical_and(a2 >= a_lo, a2 <= a_hi))
+                def _():
+                    capture_fn(a2, M2_, I2_, D2_)
 
+                if want_dirs:
+                    # aidx = a-1: a1 -> 8j'+2r, a2 -> 8j'+2r+1 (static
+                    # shifts).
+                    wreg |= code1.astype(jnp.uint32) << jnp.uint32(
+                        4 * (2 * r)
+                    )
+                    wreg |= code2.astype(jnp.uint32) << jnp.uint32(
+                        4 * (2 * r + 1)
+                    )
+                st = (M2_, I2_, D2_, H2_, H, s1c, s2c)
+            (M1[...], I1[...], D1[...], H1[...], H2[...], s1w[...],
+             s2w[...]) = st
             if want_dirs:
-                # aidx = a-1: a1 -> 8j'+2r, a2 -> 8j'+2r+1 (static shifts).
-                wreg |= code1.astype(jnp.uint32) << jnp.uint32(4 * (2 * r))
-                wreg |= code2.astype(jnp.uint32) << jnp.uint32(4 * (2 * r + 1))
-            st = (M2_, I2_, D2_, H2_, H, s1c, s2c)
-        M1[...], I1[...], D1[...], H1[...], H2[...], s1w[...], s2w[...] = st
-        if want_dirs:
-            dirs_ref[pl.ds(j, 1), :, :] = wreg[None]
-        return 0
+                dirs_ref[pl.ds(j, 1), :, :] = wreg[None]
+            return 0
 
-    jax.lax.fori_loop(0, chunk // 4, quad, 0)
+        return quad
+
+    # Boundary phase: wavefronts that can contain x=0 / y=0 cells or
+    # lanes left of the origin.  Confined to the first NBND chunks; the
+    # steady-state loop runs the slimmer step (no boundary selects).
+    a_bnd = max(2 * L + k_lo_even - 1, 2 - k_lo_even)
+    nbnd = max(1, -(-(a_bnd // 2 + 1) // chunk))
+
+    @pl.when(c < nbnd)
+    def _boundary_chunks():
+        jax.lax.fori_loop(0, chunk // 4, make_quad(True), 0)
+
+    @pl.when(c >= nbnd)
+    def _steady_chunks():
+        jax.lax.fori_loop(0, chunk // 4, make_quad(False), 0)
 
 
 def banded_diag_fill_pallas(

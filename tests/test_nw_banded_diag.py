@@ -146,3 +146,38 @@ def test_diag_native_walker_matches_python():
         )
         score_nat, alns_nat = batch_out[j]
         assert (score_nat, alns_nat) == (score_py, alns_py)
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_diag_steady_state_body_matches_row_kernel(compat):
+    """Pairs long enough that the kernel's peeled steady-state (no
+    boundary selects) body runs: n1+n2 must exceed a_bnd ~ 2L (~250 at
+    the minimum 128-lane width)."""
+    pairs = _pairs(61, n=8, lo=150, hi=180, maxdiff=8)
+    b = pack_batch(pairs, batch_size=8)
+    row = nw_banded_batch(
+        b.query, b.db, b.query_len, b.db_len, band=12,
+        compat=compat, with_dirs=False, backend="lax",
+    )
+    diag = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=12,
+        compat=compat, with_dirs="fast4", backend="pallas",
+    )
+    # Note: the diag kernel's lane rounding widens its effective band, so
+    # compare at a band where both cover the optimum -- use the full
+    # scores from the row kernel at a saturating band instead.
+    full = nw_banded_batch(
+        b.query, b.db, b.query_len, b.db_len, band=64,
+        compat=compat, with_dirs=False, backend="lax",
+    )
+    dirs = np.asarray(diag.dirs)
+    finals = np.asarray(diag.finals)
+    scheme = ScoringScheme()
+    for j, (s1, s2) in enumerate(pairs):
+        want = int(np.asarray(full.finals)[j].max())
+        assert int(finals[j].max()) == want
+        score, alns = banded_diag_fast4_traceback_pair(
+            dirs[:, j, :], finals[j], s1, s2, diag.k_lo_even, compat=compat
+        )
+        a1, a2 = alns[0]
+        assert _rescore(a1, a2, scheme, compat) == score == want
