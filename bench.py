@@ -18,19 +18,14 @@ Prints ONE JSON line on stdout; human-readable detail goes to stderr.
 """
 
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
-# Persistent XLA compilation cache: verified to work through the remote
-# (axon) compile helper -- warm kernel compiles drop from minutes to ~2 s
-# across processes.  Affects compile time only, never kernel timings.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/seqalign_jax"),
-)
+from sequencealigning_tpu.utils.compilecache import enable as _enable_cache
+
+_enable_cache()
 
 
 def _make_pairs(rng, n, length):

@@ -17,12 +17,9 @@ import time
 
 import numpy as np
 
-# Persistent XLA compilation cache (works through the remote compile
-# helper; compile-time only, never affects kernel timings).
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    os.path.expanduser("~/.cache/seqalign_jax"),
-)
+from sequencealigning_tpu.utils.compilecache import enable as _enable_cache
+
+_enable_cache()
 
 
 def _mkpairs(rng, n, length, divergence=0.01):
@@ -157,7 +154,9 @@ def config3_wfa(on_tpu):
     """WFA exact, 128 pairs ~10 kb low-divergence: score + CIGAR parity."""
     from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
     from sequencealigning_tpu.io.encode import pack_batch
-    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
+    from sequencealigning_tpu.ops.nw_banded_diag import (
+        nw_banded_diag_batch,
+    )
     from sequencealigning_tpu.ops.wfa import (
         wfa_textbook_batch,
         wfa_traceback_host,
@@ -193,13 +192,14 @@ def config3_wfa(on_tpu):
     )
 
     def banded_route():
-        r = nw_banded_batch(
+        # Mirrors models/wfa._banded_route: diag fill + (band+256) cert.
+        r = nw_banded_diag_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
-            band=64, scheme=eq_scheme_r, compat=False, with_dirs="fast4",
+            band=128, scheme=eq_scheme_r, compat=False, with_dirs="fast4",
         )
-        c = nw_banded_batch(
+        c = nw_banded_diag_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
-            band=128, scheme=eq_scheme_r, compat=False, with_dirs=False,
+            band=384, scheme=eq_scheme_r, compat=False, with_dirs=False,
         )
         return np.asarray(r.finals), np.asarray(c.finals)
 
@@ -208,7 +208,7 @@ def config3_wfa(on_tpu):
     bf1, bf2 = banded_route()
     dt_banded = time.perf_counter() - t0
     certified = int((bf1.max(1) == bf2.max(1)).sum())
-    banded_agree = int((-bf1.max(1) == scores).sum())
+    banded_agree = int(((-bf1.max(1) == scores) & conv).sum())
 
     # Full auto route through the model layer (native capped leg + banded
     # escapes), alignments included -- the production contract.
@@ -216,13 +216,13 @@ def config3_wfa(on_tpu):
     from sequencealigning_tpu.models.wfa import WfaAligner
 
     al = WfaAligner(AlignConfig(algo=Algo.WFA, compat=False))
-    al._align_batch_impl(pairs[:8])  # warm compile paths
+    al._align_batch_impl(pairs)  # warm ALL compile paths (incl. escapes)
     t0 = time.perf_counter()
     routed = al._align_batch_impl(pairs)
     dt_auto = time.perf_counter() - t0
     auto_ok = sum(
-        1 for r, s in zip(routed, scores)
-        if isinstance(r, dict) and r["score"] == int(s)
+        1 for r, s, c in zip(routed, scores, conv)
+        if isinstance(r, dict) and c and r["score"] == int(s)
     )
 
     # Cross-algorithm identity: WFA penalty == -(affine NW score) under the
@@ -395,13 +395,16 @@ def _banded_diag_kernel_only(batch, band: int, want_dirs: bool):
     k_hi = int(max(0, diff.max()) + band)
     k_lo_even = k_lo - (k_lo & 1)
     L = round_up((k_hi - k_lo_even + 2) // 2, 128)
+    k_hi_eff = k_lo + round_up(k_hi - k_lo + 1, 128) - 1
+    if k_lo_even + 2 * L - 1 < k_hi_eff:
+        L += 128
     backend = "pallas" if jax.default_backend() == "tpu" else "lax"
     bt, chunk = nd._pick_tile(B, L, want_dirs)
     n_need = (L1 + L2 + 1) // 2 + 1
     n_iters = round_up(n_need, chunk) if backend == "pallas" else n_need
     fn = nd._jitted_diag(
-        backend, k_lo_even, L, n_iters, nd.ScoringScheme(), True, False,
-        want_dirs, bt, chunk,
+        backend, k_lo_even, L, n_iters, k_hi_eff, nd.ScoringScheme(), True,
+        False, want_dirs, bt, chunk,
     )
     args = (
         jnp.asarray(np.asarray(batch.query, np.int8)),
@@ -415,7 +418,9 @@ def _banded_diag_kernel_only(batch, band: int, want_dirs: bool):
         t0 = time.perf_counter()
         np.asarray(fn(*args)[0])
         best = min(best, time.perf_counter() - t0)
-    return best, 2 * L
+    # Credit the EFFECTIVE band (clipped to the row kernel's padded range)
+    # so row and diag numbers are per-identical-cell comparable.
+    return best, k_hi_eff - k_lo + 1
 
 
 def config5_streaming(on_tpu):

@@ -103,6 +103,13 @@ class WfaAligner(Aligner):
         pen = self.config.wfa_penalties
         in_regime = pen.mismatch <= 2 * pen.gap_extend
         if engine == "banded":
+            if not in_regime:
+                raise ValueError(
+                    "wfa_engine='banded' requires the standard-affine "
+                    "coincidence regime (mismatch <= 2*gap_extend, see "
+                    "PARITY.md); use 'native' or 'wavefront' for this "
+                    "scheme"
+                )
             return self._banded_route(pairs)
         if engine == "wavefront":
             return self._wavefront_batch(pairs)
@@ -263,13 +270,15 @@ class WfaAligner(Aligner):
         return out
 
     def _dirs_chunked(self, pairs, pending, band):
-        """Split `pending` so each chunk's fast4 dirs tensor (~L2/2 * B * K
-        bytes) stays under the device budget."""
+        """Split `pending` so each chunk's fast4 dirs tensor stays under
+        the device budget.  The diag layout stores one 4-bit code per
+        wavefront per lane: ~((l1+l2)/16) u32 words x L lanes per pair."""
+        l1 = max(len(pairs[i][0]) for i in pending)
         l2 = max(len(pairs[i][1]) for i in pending)
         diffs = [len(pairs[i][0]) - len(pairs[i][1]) for i in pending]
-        k_est = -(-(max(0, max(diffs)) - min(0, min(diffs)) + 2 * band + 1)
-                  // 128) * 128
-        per_pair = max(1, (l2 // 8 + 1) * 4 * k_est)
+        span = max(0, max(diffs)) - min(0, min(diffs)) + 2 * band + 2
+        l_est = -(-(span // 2) // 128) * 128
+        per_pair = max(1, ((l1 + l2) // 16 + 1) * 4 * l_est)
         max_pairs = max(8, int(self.wfa_dirs_budget // per_pair) // 8 * 8)
         return [
             pending[lo : lo + max_pairs]

@@ -397,13 +397,16 @@ def wfa_textbook_align_batch_native(
     lens = np.zeros(B, np.int64)
     if n_threads is None:
         n_threads = min(32, os.cpu_count() or 8)
+    # The C budget is PER PAIR and up to min(n_threads, B) pairs fill
+    # concurrently; divide so the aggregate transient stays ~`budget`.
+    per_pair_budget = max(1 << 22, budget // max(1, min(n_threads, B)))
     u8 = lambda b: ctypes.cast(ctypes.c_char_p(b), ctypes.POINTER(ctypes.c_uint8))
     lib.wfa_textbook_align_batch(
         u8(buf1), off1.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         u8(buf2), off2.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         B,
         penalties.mismatch, penalties.gap_open, penalties.gap_extend,
-        s_max, budget,
+        s_max, per_pair_budget,
         a1s, a2s, cap,
         pens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
         lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),

@@ -60,7 +60,7 @@ class BandedDiagResult(NamedTuple):
 
 def _diag_step(
     par: int, a, M1, I1, D1, H2, s1w, s2w, c1, c2,
-    lane, n1v, n2v, he: int, L: int,
+    lane, n1v, n2v, he: int, L: int, lane_lim: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
     roll, boundary: bool = True,
 ):
@@ -115,13 +115,21 @@ def _diag_step(
         D = jnp.maximum(jnp.where(lane_last, NEGBIG, roll(M1o, -1)),
                         D_src_d) + e
 
+    # Effective-band clip: lanes with diagonal k > k_hi_eff are masked so
+    # the effective band matches the row kernel's padded range exactly
+    # (static per-parity limit; keeps fast4/full model modes consistent).
+    lane_ok = lane <= lane_lim
     if boundary:
         valid = jnp.logical_and(
-            jnp.logical_and(xv >= 1, xv <= n2v),
+            jnp.logical_and(
+                jnp.logical_and(xv >= 1, xv <= n2v), lane_ok
+            ),
             jnp.logical_and(yv >= 1, yv <= n1v),
         )
     else:
-        valid = jnp.logical_and(xv <= n2v, yv <= n1v)
+        valid = jnp.logical_and(
+            jnp.logical_and(xv <= n2v, yv <= n1v), lane_ok
+        )
     M = jnp.where(valid, M, NEGBIG)
     I = jnp.where(valid, I, NEGBIG)
     D = jnp.where(valid, D, NEGBIG)
@@ -200,6 +208,7 @@ def _entering_streams(seq1, seq2, he: int, L: int, n_iters: int):
 
 def _banded_diag_lax(
     seq1, seq2, n1v, n2v, k_lo_even: int, L: int, n_iters: int,
+    k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
 ):
     """lax.scan reference: one iteration = wavefronts (2i+1, 2i+2)."""
@@ -226,16 +235,19 @@ def _banded_diag_lax(
     def body(carry, ins):
         (M1, I1, D1, H1, H2, s1w, s2w, cap) = carry
         i, c1, c2 = ins
+        lim = lambda par: (k_hi_eff - k_lo_even - par) // 2
         a1 = 2 * i + 1
         M, I, D, H, s1w, s2w, code1 = _diag_step(
             1, a1, M1, I1, D1, H2, s1w, s2w, c1[:, None], None,
-            lane, n1v, n2v, he, L, scheme, compat, wildcard, want_dirs, roll,
+            lane, n1v, n2v, he, L, lim(1), scheme, compat, wildcard,
+            want_dirs, roll,
         )
         cap = capture(cap, a1, M, I, D)
         a2 = 2 * i + 2
         M2, I2, D2, Hb, s1w, s2w, code2 = _diag_step(
             0, a2, M, I, D, H1, s1w, s2w, None, c2[:, None],
-            lane, n1v, n2v, he, L, scheme, compat, wildcard, want_dirs, roll,
+            lane, n1v, n2v, he, L, lim(0), scheme, compat, wildcard,
+            want_dirs, roll,
         )
         cap = capture(cap, a2, M2, I2, D2)
         out = (code1, code2) if want_dirs else 0
@@ -271,7 +283,7 @@ def _diag_kernel(
     n1v_ref, n2v_ref, s1w0_ref, s2w0_ref, c1s_ref, c2s_ref,
     fm_ref, fi_ref, fd_ref, dirs_ref,
     M1, I1, D1, H1, H2, s1w, s2w,
-    *, k_lo_even: int, L: int, chunk: int,
+    *, k_lo_even: int, L: int, chunk: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
 ):
     """Grid (NB, NC): batch tiles x iteration chunks (1 iteration = 2
@@ -337,7 +349,9 @@ def _diag_kernel(
                 a1 = 2 * g + 1
                 M, I, D, H, s1c, s2c, code1 = _diag_step(
                     1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
-                    lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                    lane, n1v, n2v, he, L,
+                    (k_hi_eff - k_lo_even - 1) // 2,
+                    scheme, compat, wildcard,
                     want_dirs, roll, boundary=boundary,
                 )
 
@@ -348,7 +362,9 @@ def _diag_kernel(
                 a2 = 2 * g + 2
                 M2_, I2_, D2_, H2_, s1c, s2c, code2 = _diag_step(
                     0, a2, M, I, D, Hp, s1c, s2c, None, c2,
-                    lane, n1v, n2v, he, L, scheme, compat, wildcard,
+                    lane, n1v, n2v, he, L,
+                    (k_hi_eff - k_lo_even) // 2,
+                    scheme, compat, wildcard,
                     want_dirs, roll, boundary=boundary,
                 )
 
@@ -391,7 +407,7 @@ def _diag_kernel(
 
 def banded_diag_fill_pallas(
     s1w0, s2w0, c1s, c2s, n1v, n2v,
-    k_lo_even: int, L: int,
+    k_lo_even: int, L: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
     chunk: int = 128, bt: int = 8, interpret: Optional[bool] = None,
 ):
@@ -408,6 +424,7 @@ def banded_diag_fill_pallas(
     grid = (NB, NC)
     kernel = functools.partial(
         _diag_kernel, k_lo_even=k_lo_even, L=L, chunk=chunk,
+        k_hi_eff=k_hi_eff,
         scheme=scheme, compat=compat, wildcard=wildcard, want_dirs=want_dirs,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
@@ -455,8 +472,8 @@ def banded_diag_fill_pallas(
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_diag(backend, k_lo_even, L, n_iters, scheme, compat,
-                 wildcard, want_dirs, bt, chunk):
+def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
+                 compat, wildcard, want_dirs, bt, chunk):
     """One jitted dispatch per configuration (stream prep fused with the
     fill; see nw_banded._jitted_banded for why)."""
 
@@ -468,11 +485,11 @@ def _jitted_diag(backend, k_lo_even, L, n_iters, scheme, compat,
             _, s1w0, s2w0, _, _ = _init_state(q32, d32, he, L)
             c1s, c2s = _entering_streams(q32, d32, he, L, n_iters)
             return banded_diag_fill_pallas(
-                s1w0, s2w0, c1s, c2s, n1v, n2v, k_lo_even, L,
+                s1w0, s2w0, c1s, c2s, n1v, n2v, k_lo_even, L, k_hi_eff,
                 scheme, compat, wildcard, want_dirs, chunk=chunk, bt=bt,
             )
         return _banded_diag_lax(
-            query, db, n1v, n2v, k_lo_even, L, n_iters,
+            query, db, n1v, n2v, k_lo_even, L, n_iters, k_hi_eff,
             scheme, compat, wildcard, want_dirs,
         )
 
@@ -524,6 +541,14 @@ def nw_banded_diag_batch(
     k_hi = int(max(0, diff.max()) + band)
     k_lo_even = k_lo - (k_lo & 1)
     L = _round_up((k_hi - k_lo_even + 2) // 2, 128)
+    # Effective band = the ROW kernel's padded range (k_lo .. k_lo+K-1,
+    # K = round_up(span, 128)) so every banded engine reports identical
+    # scores for the same requested band: diag lanes beyond it are masked,
+    # and L grows one block in the rare corner where the diag span would
+    # fall short of the row padding (odd k_lo, span mod 256 near 0).
+    k_hi_eff = k_lo + _round_up(k_hi - k_lo + 1, 128) - 1
+    if k_lo_even + 2 * L - 1 < k_hi_eff:
+        L += 128
     B, L1 = query.shape
     _, L2 = db.shape
     want_dirs = with_dirs == "fast4"
@@ -556,8 +581,8 @@ def nw_banded_diag_batch(
         raise ValueError(f"unknown backend {backend!r}")
 
     fn = _jitted_diag(
-        backend, k_lo_even, L, n_iters, scheme, compat, wildcard,
-        want_dirs, bt, chunk,
+        backend, k_lo_even, L, n_iters, k_hi_eff, scheme, compat,
+        wildcard, want_dirs, bt, chunk,
     )
     finals, dirs = fn(
         jnp.asarray(np.asarray(query, np.int8)),

@@ -581,6 +581,47 @@ def banded_diag_fast4_traceback_pair(
     return int(finals_b.max()), [_apply_ops(ops, seq1, seq2)]
 
 
+def _banded_batch_walks(
+    dirs, finals, seqs1, seqs2, k_origin, compat,
+    native_name: str, pair_fn,
+):
+    """Shared scaffolding for the banded batch walkers: native C walker
+    (looked up by name on the native module) when available, Python pair
+    fallback; per-pair AlignmentError isolation."""
+    import os
+
+    native_fn = None
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native as native_mod
+
+            if native_mod.available():
+                native_fn = getattr(native_mod, native_name)
+        except Exception:
+            native_fn = None
+
+    out = []
+    dirs = np.ascontiguousarray(dirs, np.uint32)
+    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
+        try:
+            score = int(finals[b].max())
+            ops = None
+            if native_fn is not None:
+                ops = native_fn(dirs, b, k_origin, len(s1), len(s2), finals[b])
+            if ops is not None:
+                out.append((score, [_apply_ops(ops, s1, s2)]))
+            else:
+                out.append(
+                    pair_fn(
+                        dirs[:, b, :], finals[b], s1, s2, k_origin,
+                        compat=compat,
+                    )
+                )
+        except AlignmentError as e:
+            out.append(e)
+    return out
+
+
 def banded_fast4_traceback_batch(
     dirs: np.ndarray,
     finals: np.ndarray,
@@ -589,43 +630,13 @@ def banded_fast4_traceback_batch(
     k_lo: int,
     compat: bool = True,
 ):
-    """Batch first-path walks over an (X8, B, K) banded fast4 dirs tensor.
-    Uses the native C walker when available (ops strings, applied with
-    _apply_ops); falls back to banded_fast4_traceback_pair.  Returns a list
-    of (score, [(a1, a2)]) or AlignmentError per pair."""
-    import os
-
-    native_mod = None
-    if not os.environ.get("SEQALIGN_NO_NATIVE"):
-        try:
-            from sequencealigning_tpu import native as native_mod
-
-            if not native_mod.available():
-                native_mod = None
-        except Exception:
-            native_mod = None
-
-    out = []
-    dirs = np.ascontiguousarray(dirs, np.uint32)
-    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
-        try:
-            score = int(finals[b].max())
-            ops = None
-            if native_mod is not None:
-                ops = native_mod.banded_fast4_first_path_native(
-                    dirs, b, k_lo, len(s1), len(s2), finals[b]
-                )
-            if ops is not None:
-                out.append((score, [_apply_ops(ops, s1, s2)]))
-            else:
-                out.append(
-                    banded_fast4_traceback_pair(
-                        dirs[:, b, :], finals[b], s1, s2, k_lo, compat=compat
-                    )
-                )
-        except AlignmentError as e:
-            out.append(e)
-    return out
+    """Batch first-path walks over an (X8, B, K) banded fast4 dirs tensor
+    (row layout).  Returns (score, [(a1, a2)]) or AlignmentError per
+    pair."""
+    return _banded_batch_walks(
+        dirs, finals, seqs1, seqs2, k_lo, compat,
+        "banded_fast4_first_path_native", banded_fast4_traceback_pair,
+    )
 
 
 def banded_diag_fast4_traceback_batch(
@@ -637,43 +648,13 @@ def banded_diag_fast4_traceback_batch(
     compat: bool = True,
 ):
     """Batch first-path walks over an (Aw, B, L) wavefront-packed fast4
-    dirs tensor (ops.nw_banded_diag layout).  Native C walker when
-    available; Python fallback.  Returns (score, [(a1, a2)]) or
-    AlignmentError per pair."""
-    import os
-
-    native_mod = None
-    if not os.environ.get("SEQALIGN_NO_NATIVE"):
-        try:
-            from sequencealigning_tpu import native as native_mod
-
-            if not native_mod.available():
-                native_mod = None
-        except Exception:
-            native_mod = None
-
-    out = []
-    dirs = np.ascontiguousarray(dirs, np.uint32)
-    for b, (s1, s2) in enumerate(zip(seqs1, seqs2)):
-        try:
-            score = int(finals[b].max())
-            ops = None
-            if native_mod is not None:
-                ops = native_mod.banded_diag_fast4_first_path_native(
-                    dirs, b, k_lo_even, len(s1), len(s2), finals[b]
-                )
-            if ops is not None:
-                out.append((score, [_apply_ops(ops, s1, s2)]))
-            else:
-                out.append(
-                    banded_diag_fast4_traceback_pair(
-                        dirs[:, b, :], finals[b], s1, s2, k_lo_even,
-                        compat=compat,
-                    )
-                )
-        except AlignmentError as e:
-            out.append(e)
-    return out
+    dirs tensor (ops.nw_banded_diag layout).  Returns (score, [(a1, a2)])
+    or AlignmentError per pair."""
+    return _banded_batch_walks(
+        dirs, finals, seqs1, seqs2, k_lo_even, compat,
+        "banded_diag_fast4_first_path_native",
+        banded_diag_fast4_traceback_pair,
+    )
 
 
 def traceback_stream_batch(

@@ -163,19 +163,14 @@ def test_diag_steady_state_body_matches_row_kernel(compat):
         b.query, b.db, b.query_len, b.db_len, band=12,
         compat=compat, with_dirs="fast4", backend="pallas",
     )
-    # Note: the diag kernel's lane rounding widens its effective band, so
-    # compare at a band where both cover the optimum -- use the full
-    # scores from the row kernel at a saturating band instead.
-    full = nw_banded_batch(
-        b.query, b.db, b.query_len, b.db_len, band=64,
-        compat=compat, with_dirs=False, backend="lax",
-    )
+    # The diag kernel clips its lanes to the row kernel's padded range,
+    # so the two engines' finals agree EXACTLY at any requested band.
+    assert np.array_equal(np.asarray(row.finals), np.asarray(diag.finals))
     dirs = np.asarray(diag.dirs)
     finals = np.asarray(diag.finals)
     scheme = ScoringScheme()
     for j, (s1, s2) in enumerate(pairs):
-        want = int(np.asarray(full.finals)[j].max())
-        assert int(finals[j].max()) == want
+        want = int(finals[j].max())
         score, alns = banded_diag_fast4_traceback_pair(
             dirs[:, j, :], finals[j], s1, s2, diag.k_lo_even, compat=compat
         )

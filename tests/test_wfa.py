@@ -311,3 +311,18 @@ def test_native_engine_model_routing():
             assert r.ok, r.error
             assert r.score == oracle_wfa.wfa_textbook_score(s1, s2, pen)
             assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
+
+
+def test_forced_banded_engine_rejects_out_of_regime_scheme():
+    """wfa_engine='banded' outside the coincidence regime would silently
+    report the wrong (Gotoh-model) penalty; it must refuse instead."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, WfaPenalties
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+
+    pen = WfaPenalties(mismatch=9, gap_open=1, gap_extend=2)
+    al = get_aligner(AlignConfig(
+        algo=Algo.WFA, compat=False, wfa_penalties=pen, wfa_engine="banded",
+    ))
+    with pytest.raises(ValueError, match="coincidence regime"):
+        al._align_batch_impl([(b"ACGT", b"AGGT")])
