@@ -154,6 +154,7 @@ def config3_wfa(on_tpu):
     """WFA exact, 128 pairs ~10 kb low-divergence: score + CIGAR parity."""
     from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
     from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
     from sequencealigning_tpu.ops.nw_banded_diag import (
         nw_banded_diag_batch,
     )
@@ -192,14 +193,14 @@ def config3_wfa(on_tpu):
     )
 
     def banded_route():
-        # Mirrors models/wfa._banded_route: diag fill + (band+256) cert.
+        # Mirrors models/wfa._banded_route: diag fill + (band+128) cert.
         r = nw_banded_diag_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             band=128, scheme=eq_scheme_r, compat=False, with_dirs="fast4",
         )
         c = nw_banded_diag_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
-            band=384, scheme=eq_scheme_r, compat=False, with_dirs=False,
+            band=256, scheme=eq_scheme_r, compat=False, with_dirs=False,
         )
         return np.asarray(r.finals), np.asarray(c.finals)
 

@@ -23,6 +23,10 @@ import sys
 
 import numpy as np
 
+from sequencealigning_tpu.utils.compilecache import enable as _enable_cache
+
+_enable_cache()
+
 
 def main() -> int:
     ap = argparse.ArgumentParser()
@@ -116,6 +120,50 @@ def main() -> int:
                 if got != exp[b]:
                     report(f"banded-{dm}", rnd, b, got, exp[b], pairs[b])
 
+        # Anti-diagonal banded kernel: finals must equal the row kernel's
+        # EXACTLY at the same (narrow) band, and the oracle at a wide one;
+        # spot-rescore the fast4 walker on two pairs.
+        from sequencealigning_tpu.ops.nw_banded_diag import (
+            nw_banded_diag_batch,
+        )
+        from sequencealigning_tpu.ops.traceback import (
+            banded_diag_fast4_traceback_pair,
+        )
+
+        nb = rng.choice([4, 24])
+        brow = nw_banded_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=nb, scheme=sch, compat=compat, with_dirs=False,
+        )
+        bdia = nw_banded_diag_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=nb, scheme=sch, compat=compat, with_dirs="fast4",
+        )
+        if not np.array_equal(
+            np.asarray(brow.finals), np.asarray(bdia.finals)
+        ):
+            report("diag-vs-row", rnd, -1, "finals differ", "-", pairs[0])
+        bwide = nw_banded_diag_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=args.max_len, scheme=sch, compat=compat, with_dirs=False,
+        )
+        for b in range(16):
+            got = int(np.asarray(bwide.finals)[b].max())
+            if got != exp[b]:
+                report("diag-wide", rnd, b, got, exp[b], pairs[b])
+        ddirs = np.asarray(bdia.dirs)
+        for b in (rnd % 16, (rnd + 7) % 16):
+            score, alns = banded_diag_fast4_traceback_pair(
+                ddirs[:, b, :], np.asarray(bdia.finals)[b],
+                pairs[b][0], pairs[b][1], bdia.k_lo_even, compat=compat,
+            )
+            a1, a2 = alns[0]
+            if (
+                a1.replace("-", "").encode() != pairs[b][0]
+                or a2.replace("-", "").encode() != pairs[b][1]
+            ):
+                report("diag-walk", rnd, b, "bad-recon", "-", pairs[b])
+
         # Tiled long-pair engine (multi-tile at this tile width).
         tf = nw_affine_tiled_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
@@ -168,6 +216,31 @@ def main() -> int:
             )
             if got != want:
                 report("wfa", rnd, b, got, want, pairs[b])
+
+        # Routed WFA model (auto engine: native capped leg + banded
+        # escapes): every pair must come back with the exact penalty and
+        # a valid alignment.
+        from sequencealigning_tpu.config import AlignConfig, Algo
+        from sequencealigning_tpu.models.wfa import WfaAligner
+
+        al = WfaAligner(AlignConfig(
+            algo=Algo.WFA, compat=False, wfa_penalties=pen,
+        ))
+        routed = al._align_batch_impl(pairs)
+        for b, r in enumerate(routed):
+            if not isinstance(r, dict):
+                report("wfa-auto", rnd, b, repr(r), "-", pairs[b])
+                continue
+            want = -oracle_gotoh.gotoh_score(
+                pairs[b][0], pairs[b][1], scheme=eq, compat=False
+            )
+            if r["score"] != want:
+                report("wfa-auto", rnd, b, r["score"], want, pairs[b])
+            elif r["aligned_query"] is not None and (
+                r["aligned_query"].replace("-", "").encode() != pairs[b][0]
+                or r["aligned_db"].replace("-", "").encode() != pairs[b][1]
+            ):
+                report("wfa-auto-walk", rnd, b, "bad-recon", "-", pairs[b])
 
         print(f"[soak] round {rnd} done (compat={compat})", file=sys.stderr)
 

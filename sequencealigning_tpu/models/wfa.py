@@ -184,10 +184,12 @@ class WfaAligner(Aligner):
         stronger than the wavefront engine's converged-in-band acceptance.
         Fills run on the anti-diagonal kernel (ops.nw_banded_diag, ~1.6x
         the row sweep); because its lane count rounds up to 128-lane
-        blocks, the certificate fill requests band+256 (always >= one more
-        lane block, so the two fills genuinely differ).  Disagreeing pairs
-        escalate past both widths; past the cap the exact full-width Gotoh
-        fallback takes over (always an alignment)."""
+        blocks, the certificate fill requests band+128 -- +256 diagonals,
+        which grows the lane count by EXACTLY one block
+        (round_up(x+128, 128) == round_up(x, 128) + 128), so the two
+        fills always genuinely differ at minimal extra cost.  Disagreeing
+        pairs escalate past both widths; past the cap the exact
+        full-width Gotoh fallback takes over (always an alignment)."""
         from sequencealigning_tpu.config import ScoringScheme
         from sequencealigning_tpu.ops.nw_banded_diag import (
             nw_banded_diag_batch,
@@ -237,7 +239,7 @@ class WfaAligner(Aligner):
                 )
                 chk = nw_banded_diag_batch(
                     batch.query, batch.db, batch.query_len, batch.db_len,
-                    band=band + 256, scheme=eq, compat=False,
+                    band=band + 128, scheme=eq, compat=False,
                     with_dirs=False,
                 )
                 f1 = np.asarray(res.finals)
@@ -263,8 +265,8 @@ class WfaAligner(Aligner):
                         out[i] = e
             pending = still
             # Escalate past both this round's fill AND its certificate
-            # width (the +256 keeps the next lane count strictly larger).
-            band = 2 * band + 256
+            # width (the +128 keeps the next lane count strictly larger).
+            band = 2 * band + 128
         if pending:
             self._gotoh_fallback(pairs, pending, out)
         return out

@@ -176,3 +176,24 @@ def test_diag_steady_state_body_matches_row_kernel(compat):
         )
         a1, a2 = alns[0]
         assert _rescore(a1, a2, scheme, compat) == score == want
+
+
+def test_diag_wildcard_matches_row_kernel():
+    """BandedAligner runs the diag kernel with wildcard=True (N matches
+    anything); finals must equal the row kernel's under the same flag."""
+    rng = random.Random(73)
+    pairs = []
+    for _ in range(8):
+        n1 = rng.randint(10, 50)
+        mk = lambda n: bytes(rng.choice(b"ACGTN") for _ in range(n))
+        pairs.append((mk(n1), mk(rng.randint(max(3, n1 - 5), n1 + 5))))
+    b = pack_batch(pairs, batch_size=8)
+    row = nw_banded_batch(
+        b.query, b.db, b.query_len, b.db_len, band=8,
+        compat=True, wildcard=True, with_dirs=False, backend="lax",
+    )
+    diag = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=8,
+        compat=True, wildcard=True, with_dirs=False, backend="pallas",
+    )
+    assert np.array_equal(np.asarray(row.finals), np.asarray(diag.finals))
