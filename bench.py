@@ -189,6 +189,35 @@ def main() -> int:
     )
 
     primary = results["stream_fill+fast4"]
+    detail = {
+        "stream_score_only_gcups": round(results["stream_score_only"], 3),
+        "stream_cooptimal_dirs_gcups": round(
+            results["stream_fill+dirs"], 3
+        ),
+        "plain_fill_dirs_gcups": round(results["plain_fill+dirs"], 3),
+        "pairs": n_pairs,
+        "length": length,
+        "backend": jax.default_backend(),
+    }
+    # Secondary-engine numbers from the committed 5-config artifact
+    # (benchmarks/configs_bench.py measures them on this same chip).
+    try:
+        import os as _os
+
+        _art = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                             "BENCH_CONFIGS.json")
+        with open(_art) as f:
+            for r in json.load(f)["results"]:
+                if r["config"].startswith("3-wfa"):
+                    detail["wfa_routed_pairs_per_s"] = r.get("pairs_per_s")
+                elif r["config"].startswith("4-banded"):
+                    detail["banded_diag_fast4_gcups"] = r.get(
+                        "band_gcups_fast4"
+                    )
+                elif r["config"].startswith("5-streaming"):
+                    detail["streaming_pairs_per_s"] = r.get("pairs_per_s")
+    except (OSError, ValueError, KeyError):
+        pass
     print(
         json.dumps(
             {
@@ -196,20 +225,7 @@ def main() -> int:
                 "value": round(primary, 3),
                 "unit": "GCUPS",
                 "vs_baseline": round(primary / 50.0, 4),
-                "detail": {
-                    "stream_score_only_gcups": round(
-                        results["stream_score_only"], 3
-                    ),
-                    "stream_cooptimal_dirs_gcups": round(
-                        results["stream_fill+dirs"], 3
-                    ),
-                    "plain_fill_dirs_gcups": round(
-                        results["plain_fill+dirs"], 3
-                    ),
-                    "pairs": n_pairs,
-                    "length": length,
-                    "backend": jax.default_backend(),
-                },
+                "detail": detail,
             }
         )
     )

@@ -277,14 +277,21 @@ def config4_banded(on_tpu):
     pairs = _mkpairs(rng, n, length)
     batch = pack_batch(pairs, batch_size=n)
 
-    np.asarray(nw_banded_batch(
+    from sequencealigning_tpu.ops.nw_banded_diag import (
+        nw_banded_diag_batch,
+    )
+    from sequencealigning_tpu.ops.traceback import (
+        banded_diag_traceback_pair,
+    )
+
+    np.asarray(nw_banded_diag_batch(
         batch.query, batch.db, batch.query_len, batch.db_len,
-        band=band, with_dirs=True,
+        band=band, with_dirs="full",
     ).finals)  # compile warmup (block: dispatch is async)
     t0 = time.perf_counter()
-    res = nw_banded_batch(
+    res = nw_banded_diag_batch(
         batch.query, batch.db, batch.query_len, batch.db_len,
-        band=band, with_dirs=True,
+        band=band, with_dirs="full",
     )
     finals = np.asarray(res.finals)
     dt = time.perf_counter() - t0
@@ -292,10 +299,10 @@ def config4_banded(on_tpu):
     # Kernel-only rate (inputs device-resident): the end-to-end number
     # above charges the per-call int8 transfer, which on a tunneled dev
     # box dwarfs the fill; production hosts pay ~PCIe instead.
-    dt_kernel = _banded_kernel_only(batch, band, "full")
-    dt_fast4 = _banded_kernel_only(batch, band, "fast4")
-    # Production first-path engine: the anti-diagonal kernel.
-    dt_diag_f4, diag_lanes = _banded_diag_kernel_only(batch, band, True)
+    dt_row_full = _banded_kernel_only(batch, band, "full")
+    # Production engines: the anti-diagonal kernel in all three modes.
+    dt_diag_full, diag_lanes = _banded_diag_kernel_only(batch, band, "full")
+    dt_diag_f4, _ = _banded_diag_kernel_only(batch, band, "fast4")
     dt_diag_sc, _ = _banded_diag_kernel_only(batch, band, False)
 
     # Verify a sample against the full (unbanded) streamed fill.
@@ -309,10 +316,10 @@ def config4_banded(on_tpu):
         int(finals[i].max()) == int(full.finals[j_].max())
         for j_, i in enumerate(idx)
     )
-    # Banded traceback on one pair.
+    # Co-optimal banded traceback on one pair (diag full layout).
     dirs0 = np.asarray(res.dirs)[:, 0, :]
-    score0, alns = banded_traceback_pair(
-        dirs0, finals[0], pairs[0][0], pairs[0][1], res.k_lo,
+    score0, alns = banded_diag_traceback_pair(
+        dirs0, finals[0], pairs[0][0], pairs[0][1], res.k_lo_even,
         max_alignments=1,
     )
     ok &= bool(alns) and score0 == int(finals[0].max())
@@ -327,10 +334,10 @@ def config4_banded(on_tpu):
     diag_cells = float(batch.db_len.astype(np.int64).sum()) * diag_lanes
     return {
         "config": "4-banded-1024x5kb",
-        "band_gcups": round(band_cells / dt_kernel / 1e9, 3),
-        "band_gcups_fast4": round(band_cells / dt_fast4 / 1e9, 3),
-        "band_gcups_diag_fast4": round(diag_cells / dt_diag_f4 / 1e9, 3),
-        "band_gcups_diag_score": round(diag_cells / dt_diag_sc / 1e9, 3),
+        "band_gcups": round(diag_cells / dt_diag_full / 1e9, 3),
+        "band_gcups_fast4": round(diag_cells / dt_diag_f4 / 1e9, 3),
+        "band_gcups_score_only": round(diag_cells / dt_diag_sc / 1e9, 3),
+        "band_gcups_row_full": round(band_cells / dt_row_full / 1e9, 3),
         "band_gcups_e2e": round(band_cells / dt / 1e9, 3),
         "band_lanes": K,
         "band_lanes_diag": diag_lanes,
@@ -377,9 +384,10 @@ def _banded_kernel_only(batch, band: int, dirs_mode) -> float:
     return best
 
 
-def _banded_diag_kernel_only(batch, band: int, want_dirs: bool):
+def _banded_diag_kernel_only(batch, band: int, want_dirs):
     """Best-of-3 anti-diagonal fill time with device-resident inputs.
-    Returns (seconds, effective diagonal count = 2L)."""
+    want_dirs: False | "fast4" | "full".  Returns (seconds, effective
+    diagonal count)."""
     import jax
     import jax.numpy as jnp
 

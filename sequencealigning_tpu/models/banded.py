@@ -12,8 +12,6 @@ from sequencealigning_tpu.config import Mode
 from sequencealigning_tpu.errors import AlignerError, AlignmentError
 from sequencealigning_tpu.io.encode import pack_batch
 from sequencealigning_tpu.models.base import Aligner
-from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
-from sequencealigning_tpu.ops.traceback import banded_traceback_pair
 
 
 class BandedAligner(Aligner):
@@ -65,23 +63,30 @@ class BandedAligner(Aligner):
                     )
                 )
             return out
-        # Full 7-bit co-optimal layout: row kernel (the diag layout is
-        # fast4-only).
-        res = nw_banded_batch(
+        # Full 7-bit co-optimal layout on the diag kernel (same bytes as
+        # the row layout cell-for-cell, so the enumeration is identical).
+        from sequencealigning_tpu.ops.nw_banded_diag import (
+            nw_banded_diag_batch,
+        )
+        from sequencealigning_tpu.ops.traceback import (
+            banded_diag_traceback_pair,
+        )
+
+        res = nw_banded_diag_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             band=self.config.band,
             scheme=self.config.scoring,
             compat=self.config.compat,
             wildcard=True,
-            with_dirs=True,
+            with_dirs="full",
         )
         dirs = np.asarray(res.dirs)
         finals = np.asarray(res.finals)
         out = []
         for b, (s1, s2) in enumerate(pairs):
             try:
-                score, alns = banded_traceback_pair(
-                    dirs[:, b, :], finals[b], s1, s2, res.k_lo,
+                score, alns = banded_diag_traceback_pair(
+                    dirs[:, b, :], finals[b], s1, s2, res.k_lo_even,
                     compat=self.config.compat, max_alignments=1,
                 )
                 if not alns:

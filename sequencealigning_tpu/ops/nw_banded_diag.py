@@ -28,10 +28,13 @@ each fed by one precomputed entering char per step (no gathers).
 
 Score semantics (incl. the compat boundary-chain quirks and the swapped
 row0/col0 planes, needleman_wunsch_affine.rs:172-216) are identical to
-ops.nw_banded -- tests assert equal finals on shared shapes.  dirs support
-is fast4-only (4-bit first-path codes; wavefront a packs into word
-dirs[(a-1)//8, b, l] at shift 4*((a-1)%8) -- the a-1 index keeps words
-aligned to whole chunks).  Co-optimal "full" mode stays on the row kernel.
+ops.nw_banded -- tests assert equal finals on shared shapes.  Two dirs
+layouts (both keyed by aidx = a-1 so words align to whole chunks):
+"fast4" packs 8 wavefronts of 4-bit first-path codes per word
+(dirs[aidx//8, b, l], shift 4*(aidx%8)); "full" packs 4 wavefronts of the
+row kernel's 7-bit co-optimal bytes (ops.dirbits codes) per word
+(dirs[aidx//4, b, l], shift 8*(aidx%4)) -- cell-for-cell the same bytes
+as the row layout, so co-optimal enumeration order is identical.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sequencealigning_tpu.config import NEG_INF, ScoringScheme
 from sequencealigning_tpu.io.encode import round_up as _round_up
+from sequencealigning_tpu.ops import dirbits
 
 NEGBIG = -(2 ** 24)  # band-mask -inf (same convention as ops.nw_banded)
 
@@ -157,12 +161,30 @@ def _diag_step(
     H = jnp.maximum(M, jnp.maximum(I, D))
 
     code = None
-    if want_dirs:
+    if want_dirs == "fast4":
         # fast4: bits[0:2] H-argmax plane (M > I > D), bit2 I-extend,
         # bit3 D-extend -- extend flags against the a-1 sources.
         code = jnp.where(M == H, 0, jnp.where(I == H, 1, 2))
         code |= (I == I_src_i + e).astype(jnp.int32) * 4
         code |= (D == D_src_d + e).astype(jnp.int32) * 8
+    elif want_dirs == "full":
+        # full 7-bit co-optimal layout (ops.dirbits codes): all H tie
+        # bits + both parent bits per gap plane.  Values match the row
+        # kernel's cell-for-cell, so the co-optimal enumeration order is
+        # bit-identical.
+        if par == 0:
+            M_src_i = jnp.where(lane_0, NEGBIG, roll(M1o, 1))
+            M_src_d = M1o
+        else:
+            M_src_i = M1o
+            M_src_d = jnp.where(lane_last, NEGBIG, roll(M1o, -1))
+        code = (M == H).astype(jnp.int32) * dirbits.HM
+        code |= (I == H).astype(jnp.int32) * dirbits.HI
+        code |= (D == H).astype(jnp.int32) * dirbits.HD
+        code |= (I == I_src_i + e).astype(jnp.int32) * dirbits.IEXT
+        code |= (I == M_src_i + e).astype(jnp.int32) * dirbits.IOPEN
+        code |= (D == D_src_d + e).astype(jnp.int32) * dirbits.DEXT
+        code |= (D == M_src_d + e).astype(jnp.int32) * dirbits.DOPEN
     return M, I, D, H, s1w, s2w, code
 
 
@@ -264,12 +286,16 @@ def _banded_diag_lax(
     dirs = None
     if want_dirs:
         # aidx = a-1: iteration i emits aidx 2i (code1) and 2i+1 (code2).
+        upack = 8 if want_dirs == "fast4" else 4
+        bits = 32 // upack
         c1, c2 = codes
         A2 = jnp.stack([c1, c2], axis=1).reshape(2 * n_iters, B, L)
-        Ap = _round_up(A2.shape[0], 8)
+        Ap = _round_up(A2.shape[0], upack)
         A2 = jnp.pad(A2, ((0, Ap - A2.shape[0]), (0, 0), (0, 0)))
-        w = A2.reshape(Ap // 8, 8, B, L).astype(jnp.uint32)
-        shifts = (4 * jnp.arange(8, dtype=jnp.uint32))[None, :, None, None]
+        w = A2.reshape(Ap // upack, upack, B, L).astype(jnp.uint32)
+        shifts = (
+            bits * jnp.arange(upack, dtype=jnp.uint32)
+        )[None, :, None, None]
         dirs = (w << shifts).sum(axis=1, dtype=jnp.uint32)
     return finals, dirs
 
@@ -334,10 +360,15 @@ def _diag_kernel(
         fi_ref[...] += jnp.where(hit, I, 0)
         fd_ref[...] += jnp.where(hit, D, 0)
 
+    upack = 8 if want_dirs == "fast4" else 4
+    ubits = 32 // upack
+
     def make_quad(boundary: bool):
         def quad(j, _):
-            # 4 iterations = wavefronts a in [8j'+1, 8j'+8], one dirs word.
+            # 4 iterations = wavefronts a in [8j'+1, 8j'+8]: one packed
+            # dirs word in fast4 (8 x 4 bits), two in full (4 x 8 bits).
             wreg = jnp.zeros((BT, L), jnp.uint32)
+            wreg2 = jnp.zeros((BT, L), jnp.uint32)
             st = (M1[...], I1[...], D1[...], H1[...], H2[...],
                   s1w[...], s2w[...])
             for r in range(4):
@@ -374,18 +405,28 @@ def _diag_kernel(
 
                 if want_dirs:
                     # aidx = a-1: a1 -> 8j'+2r, a2 -> 8j'+2r+1 (static
-                    # shifts).
-                    wreg |= code1.astype(jnp.uint32) << jnp.uint32(
-                        4 * (2 * r)
-                    )
-                    wreg |= code2.astype(jnp.uint32) << jnp.uint32(
-                        4 * (2 * r + 1)
-                    )
+                    # shifts; full mode splits the 8 codes over 2 words).
+                    c1u = code1.astype(jnp.uint32)
+                    c2u = code2.astype(jnp.uint32)
+                    if want_dirs == "fast4":
+                        wreg |= c1u << jnp.uint32(4 * (2 * r))
+                        wreg |= c2u << jnp.uint32(4 * (2 * r + 1))
+                    elif r < 2:
+                        wreg |= (c1u << jnp.uint32(8 * (2 * r))) | (
+                            c2u << jnp.uint32(8 * (2 * r + 1))
+                        )
+                    else:
+                        wreg2 |= (c1u << jnp.uint32(8 * (2 * r - 4))) | (
+                            c2u << jnp.uint32(8 * (2 * r - 3))
+                        )
                 st = (M2_, I2_, D2_, H2_, H, s1c, s2c)
             (M1[...], I1[...], D1[...], H1[...], H2[...], s1w[...],
              s2w[...]) = st
-            if want_dirs:
+            if want_dirs == "fast4":
                 dirs_ref[pl.ds(j, 1), :, :] = wreg[None]
+            elif want_dirs:
+                dirs_ref[pl.ds(2 * j, 1), :, :] = wreg[None]
+                dirs_ref[pl.ds(2 * j + 1, 1), :, :] = wreg2[None]
             return 0
 
         return quad
@@ -437,12 +478,14 @@ def banded_diag_fill_pallas(
         bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
         bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
     ]
+    upack = 8 if want_dirs == "fast4" else 4  # cells per dirs word
+    wpc = (2 * chunk) // upack  # dirs words per chunk
     out_specs = [
         bspec((BT, L), lambda b, c: (b, 0)),
         bspec((BT, L), lambda b, c: (b, 0)),
         bspec((BT, L), lambda b, c: (b, 0)),
         bspec(
-            (chunk // 4 if want_dirs else 1, BT, L),
+            (wpc if want_dirs else 1, BT, L),
             (lambda b, c: (c, b, 0)) if want_dirs else (lambda b, c: (0, b, 0)),
         ),
     ]
@@ -451,7 +494,7 @@ def banded_diag_fill_pallas(
         jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct((B, L), jnp.int32),
         jax.ShapeDtypeStruct(
-            ((NC * chunk) // 4 if want_dirs else 1, B, L), jnp.uint32
+            (NC * wpc if want_dirs else 1, B, L), jnp.uint32
         ),
     ]
     scratch = [pltpu.VMEM((BT, L), jnp.int32) for _ in range(7)]
@@ -476,6 +519,8 @@ def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
                  compat, wildcard, want_dirs, bt, chunk):
     """One jitted dispatch per configuration (stream prep fused with the
     fill; see nw_banded._jitted_banded for why)."""
+    if want_dirs is True:  # legacy bool callers mean the full layout
+        want_dirs = "full"
 
     def run(query, db, n1v, n2v):
         he = k_lo_even // 2
@@ -497,21 +542,31 @@ def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
 
 
 def _pick_tile(B: int, L: int, want_dirs: bool):
-    """(bt, chunk): widest batch tile within the VMEM budget (the model
-    that matched every observed compile success/failure in round 2:
-    state + double-buffered dirs + in/out blocks <= ~11 MB)."""
+    """(bt, chunk): widest batch tile within the VMEM budget.  The row
+    kernel's empirical ~11 MB model is kept as the general gate; the diag
+    kernel's smaller input blocks leave headroom, and (bt=256, chunk=64)
+    with dirs is measured to compile and run ~4% faster than (128, 128)
+    at L=256, so dirs mode tries it first under a relaxed 14 MB gate."""
     budget = 11 * 2 ** 20
+
+    upack = 8 if want_dirs == "fast4" else 4
+
+    def fits(bt, chunk, cap):
+        dirs_blk = ((2 * chunk) // upack) * bt * L * 4 if want_dirs else 0
+        state = 7 * bt * L * 4
+        outs = 3 * bt * L * 4
+        ins = 2 * bt * max(chunk, 128) * 4 + 2 * bt * L * 4
+        return 2 * dirs_blk + state + 2 * outs + ins <= cap
+
     best = (8 if B % 8 == 0 else B, 128)
+    if want_dirs and B % 256 == 0 and fits(256, 64, 14 * 2 ** 20):
+        return 256, 64
     bts = (256, 128, 64, 32, 16, 8) if not want_dirs else (128, 64, 32, 16, 8)
     for bt in bts:
         if B % bt:
             continue
         for chunk in (128, 64):
-            dirs_blk = (chunk // 4) * bt * L * 4 if want_dirs else 0
-            state = 7 * bt * L * 4
-            outs = 3 * bt * L * 4
-            ins = 2 * bt * max(chunk, 128) * 4 + 2 * bt * L * 4
-            if 2 * dirs_blk + state + 2 * outs + ins <= budget:
+            if fits(bt, chunk, budget):
                 return bt, chunk
     return best
 
@@ -531,9 +586,11 @@ def nw_banded_diag_batch(
 ) -> BandedDiagResult:
     """Anti-diagonal banded Gotoh fill.  Same band semantics and score
     contract as ops.nw_banded.nw_banded_batch; with_dirs in (False,
-    "fast4")."""
-    if with_dirs not in (False, None, "fast4"):
-        raise ValueError("diag layout supports fast4 dirs only")
+    "fast4", "full"/True)."""
+    if with_dirs is True:
+        with_dirs = "full"
+    if with_dirs not in (False, None, "fast4", "full"):
+        raise ValueError(f"unknown dirs mode {with_dirs!r}")
     qlen = np.asarray(query_len)
     dlen = np.asarray(db_len)
     diff = qlen.astype(np.int64) - dlen.astype(np.int64)
@@ -551,7 +608,7 @@ def nw_banded_diag_batch(
         L += 128
     B, L1 = query.shape
     _, L2 = db.shape
-    want_dirs = with_dirs == "fast4"
+    want_dirs = with_dirs if with_dirs in ("fast4", "full") else False
 
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "lax"

@@ -70,6 +70,36 @@ def banded_traceback_pair(
     return _gotoh_walk(byte_at, finals_b, seq1, seq2, compat, max_alignments)
 
 
+def banded_diag_traceback_pair(
+    dirs_b: np.ndarray,
+    finals_b: np.ndarray,
+    seq1: bytes,
+    seq2: bytes,
+    k_lo_even: int,
+    compat: bool = True,
+    max_alignments: int = 64,
+) -> Tuple[int, List[Tuple[str, str]]]:
+    """Co-optimal traceback for ops.nw_banded_diag's full 7-bit wavefront
+    layout: byte(x, y) lives at word dirs[(x+y-1)//4, (y-x-k_lo_even)//2],
+    shift 8*((x+y-1)%4).  Same bit semantics (and therefore the same
+    enumeration order) as the row layout."""
+
+    def byte_at(x: int, y: int) -> int:
+        if x == 0 and y == 0:
+            # Wavefront 0 (the origin) is never emitted; its H-argmax is
+            # always the M plane (H(0,0) = M = 0, I/D = -inf).
+            return dirbits.HM
+        l = ((y - x) - k_lo_even) >> 1
+        if l < 0 or l >= dirs_b.shape[1]:
+            return 0  # out of band: no parents
+        aidx = x + y - 1
+        if aidx < 0 or (aidx >> 2) >= dirs_b.shape[0]:
+            return 0
+        return int(dirs_b[aidx >> 2, l] >> (8 * (aidx & 3))) & 0xFF
+
+    return _gotoh_walk(byte_at, finals_b, seq1, seq2, compat, max_alignments)
+
+
 def _gotoh_walk(
     byte_at,
     finals_b: np.ndarray,

@@ -197,3 +197,52 @@ def test_diag_wildcard_matches_row_kernel():
         compat=True, wildcard=True, with_dirs=False, backend="pallas",
     )
     assert np.array_equal(np.asarray(row.finals), np.asarray(diag.finals))
+
+
+@pytest.mark.parametrize("compat", [True, False])
+def test_diag_full_dirs_cooptimal_matches_row_layout(compat):
+    """Full 7-bit diag layout: pallas == lax dirs, and the co-optimal
+    enumeration (scores, alignments, ORDER) is identical to the row
+    layout's -- the bytes encode the same cell values."""
+    from sequencealigning_tpu.ops.traceback import (
+        banded_diag_traceback_pair,
+        banded_traceback_pair,
+    )
+
+    pairs = _pairs(83, n=8, lo=4, hi=60, maxdiff=6)
+    b = pack_batch(pairs, batch_size=8)
+    lax = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=16,
+        compat=compat, with_dirs="full", backend="lax",
+    )
+    pal = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=16,
+        compat=compat, with_dirs="full", backend="pallas",
+    )
+    dl = np.asarray(lax.dirs)
+    dp = np.asarray(pal.dirs)
+    # Compare the real wavefront range only: the pallas run's rounded-up
+    # iteration count emits junk codes for all-invalid wavefronts past
+    # the lax range (cells are NEGBIG == NEGBIG there); walkers address
+    # aidx = x+y-1 < n1+n2 and never read them.
+    n = (b.query.shape[1] + b.db.shape[1]) // 4
+    n = min(n, dl.shape[0], dp.shape[0])
+    assert np.array_equal(dl[:n], dp[:n, :, : dl.shape[2]])
+    row = nw_banded_batch(
+        b.query, b.db, b.query_len, b.db_len, band=16,
+        compat=compat, with_dirs=True,
+    )
+    rdirs = np.asarray(row.dirs)
+    rf = np.asarray(row.finals)
+    df = np.asarray(pal.finals)
+    assert np.array_equal(rf, df)
+    for j, (s1, s2) in enumerate(pairs):
+        want = banded_traceback_pair(
+            rdirs[:, j, :], rf[j], s1, s2, row.k_lo, compat=compat,
+            max_alignments=8,
+        )
+        got = banded_diag_traceback_pair(
+            dp[:, j, :], df[j], s1, s2, pal.k_lo_even, compat=compat,
+            max_alignments=8,
+        )
+        assert got == want
