@@ -226,3 +226,34 @@ def test_stream_asymmetric_padded_shapes(compat):
                 assert int(res.finals[b].max()) == exp, (
                     backend, b, len(s1), len(s2),
                 )
+
+
+@pytest.mark.parametrize("chunk", [64, 32])
+@pytest.mark.parametrize("wd", ["full", "fast4"])
+def test_stream_pallas_small_chunk_matches_lax(chunk, wd):
+    """chunk=64/32 shrink the double-buffered dirs block (the VMEM lever
+    that unlocks larger row tiles in dirs modes); finals and dirs words
+    must be identical to the default-chunk lax reference."""
+    from sequencealigning_tpu.io.encode import pack_batch as _pb
+
+    pairs = _random_pairs(23, n_pairs=16, hi=12)
+    batch = _pb(pairs, batch_size=len(pairs))
+    args = (batch.query, batch.db, batch.query_len, batch.db_len)
+    r_lax = nw_affine_stream_batch(
+        *args, with_dirs=wd, backend="lax", np_slots=2, chunk=chunk,
+    )
+    r_pal = nw_affine_stream_batch(
+        *args, with_dirs=wd, backend="pallas", np_slots=2, chunk=chunk,
+    )
+    np.testing.assert_array_equal(r_lax.finals, r_pal.finals)
+    np.testing.assert_array_equal(
+        np.asarray(r_lax.dirs), np.asarray(r_pal.dirs)
+    )
+    # Cross-chunk invariance: the packed dirs words don't depend on chunk.
+    r_ref = nw_affine_stream_batch(
+        *args, with_dirs=wd, backend="lax", np_slots=2, chunk=128,
+    )
+    if r_ref.plan.t_total == r_lax.plan.t_total:
+        np.testing.assert_array_equal(
+            np.asarray(r_ref.dirs), np.asarray(r_lax.dirs)
+        )
