@@ -199,23 +199,27 @@ def main() -> int:
         "length": length,
         "backend": jax.default_backend(),
     }
-    # Secondary-engine numbers from the committed 5-config artifact
-    # (benchmarks/configs_bench.py measures them on this same chip).
+    # Secondary-engine numbers copied from the committed 5-config artifact
+    # (benchmarks/configs_bench.py measures them on this same chip); nested
+    # under their own key so they are not mistaken for this run's values.
     try:
         import os as _os
 
         _art = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
                              "BENCH_CONFIGS.json")
+        art = {}
         with open(_art) as f:
             for r in json.load(f)["results"]:
                 if r["config"].startswith("3-wfa"):
-                    detail["wfa_routed_pairs_per_s"] = r.get("pairs_per_s")
+                    art["wfa_routed_pairs_per_s"] = r.get("pairs_per_s")
                 elif r["config"].startswith("4-banded"):
-                    detail["banded_diag_fast4_gcups"] = r.get(
+                    art["banded_diag_fast4_gcups"] = r.get(
                         "band_gcups_fast4"
                     )
                 elif r["config"].startswith("5-streaming"):
-                    detail["streaming_pairs_per_s"] = r.get("pairs_per_s")
+                    art["streaming_pairs_per_s"] = r.get("pairs_per_s")
+        if art:
+            detail["from_bench_configs_artifact"] = art
     except (OSError, ValueError, KeyError):
         pass
     print(

@@ -269,8 +269,6 @@ def config4_banded(on_tpu):
     """Banded affine, 1024 pairs ~5 kb, fixed band: score + CIGAR."""
     from sequencealigning_tpu.io.encode import pack_batch
     from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
-    from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
-    from sequencealigning_tpu.ops.traceback import banded_traceback_pair
 
     n, length, band = (1024, 5115, 128) if on_tpu else (16, 100, 16)
     rng = np.random.default_rng(4)

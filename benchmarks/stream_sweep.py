@@ -33,11 +33,15 @@ def main() -> int:
     )
     args = ap.parse_args()
 
+    import os
+
     import jax
     import jax.numpy as jnp
 
-    sys.path.insert(0, ".")
-    from bench import _make_pairs, _stream_args, _time_device
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _make_pairs, _stream_args
 
     from sequencealigning_tpu.config import ScoringScheme
     from sequencealigning_tpu.io.encode import pack_batch, trim_for_stream
@@ -116,8 +120,13 @@ def main() -> int:
                 return outs[0].sum(axis=2)
 
             t0 = time.perf_counter()
-            dt = _time_device(fn, sargs, args.iters)
+            np.asarray(fn(*sargs))  # compile + warmup (forced host read)
             compile_s = time.perf_counter() - t0
+            dt = float("inf")
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                np.asarray(fn(*sargs))
+                dt = min(dt, time.perf_counter() - t0)
             g = cells_n / dt / 1e9
             row = {
                 "wd": wd, "bt": bt, "chunk": chunk, "unroll": unroll,

@@ -55,9 +55,27 @@ from sequencealigning_tpu.ops import dirbits
 NEGBIG = -(2 ** 24)  # band-mask -inf (same convention as ops.nw_banded)
 
 
+def _norm_dirs(want_dirs):
+    """Normalize a dirs mode to False | "fast4" | "full" (True means the
+    full co-optimal layout, for parity with ops.nw_banded's bool API)."""
+    if want_dirs is True:
+        return "full"
+    if want_dirs in (False, None):
+        return False
+    if want_dirs in ("fast4", "full"):
+        return want_dirs
+    raise ValueError(f"unknown dirs mode {want_dirs!r}")
+
+
+def _upack(want_dirs) -> int:
+    """Cells per packed uint32 dirs word: fast4 = 8 x 4-bit codes,
+    full = 4 x 8-bit co-optimal bytes."""
+    return 8 if want_dirs == "fast4" else 4
+
+
 class BandedDiagResult(NamedTuple):
     finals: jax.Array  # (B, 3) M/I/D at (n2, n1)
-    dirs: Optional[jax.Array]  # (Aw, B, L) uint32, 8 wavefronts per word
+    dirs: Optional[jax.Array]  # (Aw, B, L) uint32, _upack(mode) wavefronts/word
     k_lo_even: int
     k_lo: int
 
@@ -65,7 +83,7 @@ class BandedDiagResult(NamedTuple):
 def _diag_step(
     par: int, a, M1, I1, D1, H2, s1w, s2w, c1, c2,
     lane, n1v, n2v, he: int, L: int, lane_lim: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
     roll, boundary: bool = True,
 ):
     """One wavefront (static parity `par`, traced scalar wavefront `a`).
@@ -231,9 +249,10 @@ def _entering_streams(seq1, seq2, he: int, L: int, n_iters: int):
 def _banded_diag_lax(
     seq1, seq2, n1v, n2v, k_lo_even: int, L: int, n_iters: int,
     k_hi_eff: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
 ):
     """lax.scan reference: one iteration = wavefronts (2i+1, 2i+2)."""
+    want_dirs = _norm_dirs(want_dirs)
     B = seq1.shape[0]
     he = k_lo_even // 2
     q32 = seq1.astype(jnp.int32)
@@ -286,7 +305,7 @@ def _banded_diag_lax(
     dirs = None
     if want_dirs:
         # aidx = a-1: iteration i emits aidx 2i (code1) and 2i+1 (code2).
-        upack = 8 if want_dirs == "fast4" else 4
+        upack = _upack(want_dirs)
         bits = 32 // upack
         c1, c2 = codes
         A2 = jnp.stack([c1, c2], axis=1).reshape(2 * n_iters, B, L)
@@ -310,7 +329,7 @@ def _diag_kernel(
     fm_ref, fi_ref, fd_ref, dirs_ref,
     M1, I1, D1, H1, H2, s1w, s2w,
     *, k_lo_even: int, L: int, chunk: int, k_hi_eff: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
 ):
     """Grid (NB, NC): batch tiles x iteration chunks (1 iteration = 2
     wavefronts).  The fori body unrolls 4 iterations (= 8 wavefronts =
@@ -359,9 +378,6 @@ def _diag_kernel(
         fm_ref[...] += jnp.where(hit, M, 0)
         fi_ref[...] += jnp.where(hit, I, 0)
         fd_ref[...] += jnp.where(hit, D, 0)
-
-    upack = 8 if want_dirs == "fast4" else 4
-    ubits = 32 // upack
 
     def make_quad(boundary: bool):
         def quad(j, _):
@@ -449,11 +465,12 @@ def _diag_kernel(
 def banded_diag_fill_pallas(
     s1w0, s2w0, c1s, c2s, n1v, n2v,
     k_lo_even: int, L: int, k_hi_eff: int,
-    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs: bool,
+    scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
     chunk: int = 128, bt: int = 8, interpret: Optional[bool] = None,
 ):
     """Invoke the anti-diagonal kernel.  B multiple of 8; c1s/c2s (B, Np)
     with Np a multiple of `chunk` (which is a multiple of 4)."""
+    want_dirs = _norm_dirs(want_dirs)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B = s1w0.shape[0]
@@ -478,7 +495,7 @@ def banded_diag_fill_pallas(
         bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
         bspec((BT, cchunk), lambda b, c: (b, (c * chunk) // cchunk)),
     ]
-    upack = 8 if want_dirs == "fast4" else 4  # cells per dirs word
+    upack = _upack(want_dirs)  # cells per dirs word
     wpc = (2 * chunk) // upack  # dirs words per chunk
     out_specs = [
         bspec((BT, L), lambda b, c: (b, 0)),
@@ -549,7 +566,7 @@ def _pick_tile(B: int, L: int, want_dirs: bool):
     at L=256, so dirs mode tries it first under a relaxed 14 MB gate."""
     budget = 11 * 2 ** 20
 
-    upack = 8 if want_dirs == "fast4" else 4
+    upack = _upack(want_dirs)
 
     def fits(bt, chunk, cap):
         dirs_blk = ((2 * chunk) // upack) * bt * L * 4 if want_dirs else 0

@@ -249,11 +249,24 @@ def test_stream_pallas_small_chunk_matches_lax(chunk, wd):
     np.testing.assert_array_equal(
         np.asarray(r_lax.dirs), np.asarray(r_pal.dirs)
     )
-    # Cross-chunk invariance: the packed dirs words don't depend on chunk.
+    # Cross-chunk: finals are layout-independent (dirs words are NOT --
+    # the launch period s = round_up(max(l1,l2)+1, chunk) shifts every
+    # slot's d_offset), and the walked alignments agree.
     r_ref = nw_affine_stream_batch(
         *args, with_dirs=wd, backend="lax", np_slots=2, chunk=128,
     )
-    if r_ref.plan.t_total == r_lax.plan.t_total:
-        np.testing.assert_array_equal(
-            np.asarray(r_ref.dirs), np.asarray(r_lax.dirs)
+    np.testing.assert_array_equal(r_ref.finals, r_lax.finals)
+    if wd == "full":
+        seqs1 = [p[0] for p in pairs]
+        seqs2 = [p[1] for p in pairs]
+        got = traceback_stream_batch(
+            r_lax.dirs, r_lax.finals, seqs1, seqs2, r_lax.plan,
         )
+        exp = traceback_stream_batch(
+            r_ref.dirs, r_ref.finals, seqs1, seqs2, r_ref.plan,
+        )
+        for b, (g, e) in enumerate(zip(got, exp)):
+            if isinstance(e, Exception):
+                assert isinstance(g, type(e)) and str(g) == str(e), (b, g, e)
+            else:
+                assert g == e, (b, pairs[b], g, e)
