@@ -54,6 +54,11 @@ from sequencealigning_tpu.ops import dirbits
 
 NEGBIG = -(2 ** 24)  # band-mask -inf (same convention as ops.nw_banded)
 
+# fori-loop iterations per kernel body (multiple of 4, divides chunk).
+# Each loop iteration carries a fixed state spill/reload cost (PERF.md);
+# sweep-tuned default.
+_DEFAULT_UNROLL = 4
+
 
 def _norm_dirs(want_dirs):
     """Normalize a dirs mode to False | "fast4" | "full" (True means the
@@ -330,10 +335,14 @@ def _diag_kernel(
     M1, I1, D1, H1, H2, s1w, s2w,
     *, k_lo_even: int, L: int, chunk: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
+    unroll: int = 4,
 ):
     """Grid (NB, NC): batch tiles x iteration chunks (1 iteration = 2
-    wavefronts).  The fori body unrolls 4 iterations (= 8 wavefronts =
-    exactly one packed dirs word, with static shift patterns)."""
+    wavefronts).  The fori body unrolls `unroll` iterations (multiple of
+    4; each 4-iteration quad = 8 wavefronts = exactly one packed fast4
+    dirs word, two full-mode words, with static shift patterns).  Each
+    fori iteration carries a fixed state spill/reload cost (PERF.md), so
+    unrolling several quads per iteration amortizes it."""
     c = pl.program_id(1)
     he = k_lo_even // 2
     BT = M1.shape[0]
@@ -379,17 +388,25 @@ def _diag_kernel(
         fi_ref[...] += jnp.where(hit, I, 0)
         fd_ref[...] += jnp.where(hit, D, 0)
 
+    UN = unroll
+    assert UN % 4 == 0 and chunk % UN == 0, (UN, chunk)
+
     def make_quad(boundary: bool):
         def quad(j, _):
-            # 4 iterations = wavefronts a in [8j'+1, 8j'+8]: one packed
-            # dirs word in fast4 (8 x 4 bits), two in full (4 x 8 bits).
+            # Each 4-iteration quad = wavefronts a in [8q+1, 8q+8]: one
+            # packed dirs word in fast4 (8 x 4 bits), two in full
+            # (4 x 8 bits); UN // 4 quads per fori iteration.
             wreg = jnp.zeros((BT, L), jnp.uint32)
             wreg2 = jnp.zeros((BT, L), jnp.uint32)
             st = (M1[...], I1[...], D1[...], H1[...], H2[...],
                   s1w[...], s2w[...])
-            for r in range(4):
+            for ri in range(UN):
+                r = ri % 4
+                if r == 0:
+                    wreg = jnp.zeros((BT, L), jnp.uint32)
+                    wreg2 = jnp.zeros((BT, L), jnp.uint32)
                 Mp, Ip, Dp, Hp, Hpp, s1c, s2c = st
-                i = j * 4 + r
+                i = j * UN + ri
                 g = c * chunk + i
                 c1 = col(c1s_ref, i)
                 c2 = col(c2s_ref, i)
@@ -436,13 +453,15 @@ def _diag_kernel(
                             c2u << jnp.uint32(8 * (2 * r - 3))
                         )
                 st = (M2_, I2_, D2_, H2_, H, s1c, s2c)
+                if want_dirs and r == 3:
+                    wq = j * (UN // 4) + ri // 4
+                    if want_dirs == "fast4":
+                        dirs_ref[pl.ds(wq, 1), :, :] = wreg[None]
+                    else:
+                        dirs_ref[pl.ds(2 * wq, 1), :, :] = wreg[None]
+                        dirs_ref[pl.ds(2 * wq + 1, 1), :, :] = wreg2[None]
             (M1[...], I1[...], D1[...], H1[...], H2[...], s1w[...],
              s2w[...]) = st
-            if want_dirs == "fast4":
-                dirs_ref[pl.ds(j, 1), :, :] = wreg[None]
-            elif want_dirs:
-                dirs_ref[pl.ds(2 * j, 1), :, :] = wreg[None]
-                dirs_ref[pl.ds(2 * j + 1, 1), :, :] = wreg2[None]
             return 0
 
         return quad
@@ -455,11 +474,11 @@ def _diag_kernel(
 
     @pl.when(c < nbnd)
     def _boundary_chunks():
-        jax.lax.fori_loop(0, chunk // 4, make_quad(True), 0)
+        jax.lax.fori_loop(0, chunk // UN, make_quad(True), 0)
 
     @pl.when(c >= nbnd)
     def _steady_chunks():
-        jax.lax.fori_loop(0, chunk // 4, make_quad(False), 0)
+        jax.lax.fori_loop(0, chunk // UN, make_quad(False), 0)
 
 
 def banded_diag_fill_pallas(
@@ -467,6 +486,7 @@ def banded_diag_fill_pallas(
     k_lo_even: int, L: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
     chunk: int = 128, bt: int = 8, interpret: Optional[bool] = None,
+    unroll: int = 4,
 ):
     """Invoke the anti-diagonal kernel.  B multiple of 8; c1s/c2s (B, Np)
     with Np a multiple of `chunk` (which is a multiple of 4)."""
@@ -484,6 +504,7 @@ def banded_diag_fill_pallas(
         _diag_kernel, k_lo_even=k_lo_even, L=L, chunk=chunk,
         k_hi_eff=k_hi_eff,
         scheme=scheme, compat=compat, wildcard=wildcard, want_dirs=want_dirs,
+        unroll=unroll,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     cchunk = max(chunk, 128)
@@ -533,7 +554,7 @@ def banded_diag_fill_pallas(
 
 @functools.lru_cache(maxsize=64)
 def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
-                 compat, wildcard, want_dirs, bt, chunk):
+                 compat, wildcard, want_dirs, bt, chunk, unroll=4):
     """One jitted dispatch per configuration (stream prep fused with the
     fill; see nw_banded._jitted_banded for why)."""
     if want_dirs is True:  # legacy bool callers mean the full layout
@@ -549,6 +570,7 @@ def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
             return banded_diag_fill_pallas(
                 s1w0, s2w0, c1s, c2s, n1v, n2v, k_lo_even, L, k_hi_eff,
                 scheme, compat, wildcard, want_dirs, chunk=chunk, bt=bt,
+                unroll=unroll,
             )
         return _banded_diag_lax(
             query, db, n1v, n2v, k_lo_even, L, n_iters, k_hi_eff,
@@ -600,6 +622,7 @@ def nw_banded_diag_batch(
     with_dirs=False,
     backend: str = "auto",
     bt: Optional[int] = None,
+    unroll: Optional[int] = None,
 ) -> BandedDiagResult:
     """Anti-diagonal banded Gotoh fill.  Same band semantics and score
     contract as ops.nw_banded.nw_banded_batch; with_dirs in (False,
@@ -657,6 +680,7 @@ def nw_banded_diag_batch(
     fn = _jitted_diag(
         backend, k_lo_even, L, n_iters, k_hi_eff, scheme, compat,
         wildcard, want_dirs, bt, chunk,
+        unroll if unroll is not None else _DEFAULT_UNROLL,
     )
     finals, dirs = fn(
         jnp.asarray(np.asarray(query, np.int8)),

@@ -246,3 +246,21 @@ def test_diag_full_dirs_cooptimal_matches_row_layout(compat):
             max_alignments=8,
         )
         assert got == want
+
+
+@pytest.mark.parametrize("unroll", [8, 16])
+def test_diag_unroll_variants_match_default(unroll):
+    """Bigger fori-body unrolls must be bit-identical to unroll=4 (finals
+    AND packed dirs words) -- the unroll only regroups loop iterations."""
+    pairs = _pairs(61, n=8)
+    b = pack_batch(pairs, batch_size=8)
+    base = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=8,
+        compat=True, with_dirs="fast4", backend="pallas", unroll=4,
+    )
+    var = nw_banded_diag_batch(
+        b.query, b.db, b.query_len, b.db_len, band=8,
+        compat=True, with_dirs="fast4", backend="pallas", unroll=unroll,
+    )
+    assert np.array_equal(np.asarray(base.finals), np.asarray(var.finals))
+    assert np.array_equal(np.asarray(base.dirs), np.asarray(var.dirs))
