@@ -80,8 +80,57 @@ def _stream_args(batch, plan):
     return qstream, dstream, dsy, n2y, dso, n2o
 
 
-def main() -> int:
+def _init_backend():
+    """Return an initialized jax with a usable backend.  The axon TPU
+    tunnel is occasionally unavailable, and jax caches backend-init
+    failures in-process, so probe in a SUBPROCESS (retry briefly), then
+    fall back to CPU so the bench always emits a valid JSON line."""
+    import os
+    import subprocess
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env
+        return jax
+
+    probe = "import jax; jax.devices(); print(jax.default_backend())"
+    for attempt in range(3):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe], capture_output=True,
+                text=True, timeout=300,
+            )
+            if out.returncode == 0 and "tpu" in out.stdout:
+                break
+            print(
+                f"[bench] TPU probe failed (attempt {attempt + 1}): "
+                f"{out.stderr.strip().splitlines()[-1][:120] if out.stderr.strip() else out.stdout[:120]}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"[bench] TPU probe timed out (attempt {attempt + 1})",
+                file=sys.stderr,
+            )
+        if attempt == 2:
+            print(
+                "[bench] TPU unavailable; falling back to CPU",
+                file=sys.stderr,
+            )
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+            return jax
+        time.sleep(30)
     import jax
+
+    return jax
+
+
+def main() -> int:
+    jax = _init_backend()
     import jax.numpy as jnp
 
     from sequencealigning_tpu.config import ScoringScheme
