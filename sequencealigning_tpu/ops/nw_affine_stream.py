@@ -153,10 +153,18 @@ def _stream_step(
 
     # Merged-roll Gotoh: D needs max(M,D)[x-1] so the max commutes with the
     # lane shift -- one roll instead of two (vs ops.nw_affine._gotoh_step).
+    # In dirs modes the I/D maxes are written as compare+select so the
+    # compares double as the extend flags (shared, not recomputed).
     t0 = M1 + o
     M = roll(H2) + sub
-    D = roll(jnp.maximum(t0, D1)) + e
-    I = jnp.maximum(t0, I1) + e
+    if dirs_mode:
+        ci = I1 >= t0
+        cd = D1 >= t0
+        D = roll(jnp.where(cd, D1, t0)) + e
+        I = jnp.where(ci, I1, t0) + e
+    else:
+        D = roll(jnp.maximum(t0, D1)) + e
+        I = jnp.maximum(t0, I1) + e
 
     row0, col0 = _boundary_scalars(p, scheme, compat)
     M = jnp.where(lane_p, col0[0], M)
@@ -176,9 +184,9 @@ def _stream_step(
         b = (M == H).astype(jnp.int32) * dirbits.HM
         b |= (I == H).astype(jnp.int32) * dirbits.HI
         b |= (D == H).astype(jnp.int32) * dirbits.HD
-        b |= (I1 >= t0).astype(jnp.int32) * dirbits.IEXT
+        b |= ci.astype(jnp.int32) * dirbits.IEXT
         b |= (t0 >= I1).astype(jnp.int32) * dirbits.IOPEN
-        dpre = (D1 >= t0).astype(jnp.int32) * dirbits.DEXT
+        dpre = cd.astype(jnp.int32) * dirbits.DEXT
         dpre |= (t0 >= D1).astype(jnp.int32) * dirbits.DOPEN
         b |= roll(dpre)
         byte = b
@@ -187,8 +195,8 @@ def _stream_step(
             M == H, 0, jnp.where(I == H, 1, 2)
         )  # argmax plane, priority M > I > D
         b = code
-        b |= (I1 >= t0).astype(jnp.int32) * 4   # I from extend
-        b |= roll((D1 >= t0).astype(jnp.int32)) * 8  # D from extend
+        b |= ci.astype(jnp.int32) * 4   # I from extend
+        b |= roll(cd.astype(jnp.int32)) * 8  # D from extend
         byte = b
 
     return M, I, D, H, s1d_n, s2v_n, byte
