@@ -238,7 +238,27 @@ def main() -> int:
     )
 
     primary = results["stream_fill+fast4"]
-    detail = {
+    detail = {}
+    if jax.default_backend() != "tpu":
+        # CPU fallback (TPU tunnel unavailable): the measured value is NOT
+        # comparable to the TPU headline; point at the last committed TPU
+        # measurement so the outage is not read as a perf regression.
+        detail["tpu_unavailable"] = True
+        try:
+            import os as _os
+
+            with open(
+                _os.path.join(
+                    _os.path.dirname(_os.path.abspath(__file__)),
+                    "BENCH_r01.json",
+                )
+            ) as f:
+                detail["last_committed_tpu_value"] = json.load(f)["parsed"][
+                    "value"
+                ]
+        except (OSError, ValueError, KeyError):
+            pass
+    detail |= {
         "stream_score_only_gcups": round(results["stream_score_only"], 3),
         "stream_cooptimal_dirs_gcups": round(
             results["stream_fill+dirs"], 3
