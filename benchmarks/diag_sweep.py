@@ -36,6 +36,9 @@ def main() -> int:
     import os
 
     import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env
     import jax.numpy as jnp
 
     sys.path.insert(
