@@ -335,11 +335,16 @@ def _stream_kernel(
 
     p0 = cc * chunk
     lanec = jax.lax.broadcasted_iota(jnp.int32, (BT, chunk), 1)
+    # One masked lane-reduce per step instead of two: the q and d chunk
+    # blocks are packed into one int32 word per lane (char codes are
+    # 4-bit, io.encode), hoisted out of the step loop.
+    qd_pack = q_ref[...] | (d2_ref[...] << 8)
 
-    def gather(ref, i):
-        return jnp.sum(
-            jnp.where(lanec == i, ref[...], 0), axis=1, keepdims=True
+    def gather_qd(i):
+        v = jnp.sum(
+            jnp.where(lanec == i, qd_pack, 0), axis=1, keepdims=True
         )
+        return v & 0xFF, v >> 8
 
     def group_body(g, carry):
         vH2, vH1, vM1, vI1, vD1, vs1d, vs2v = carry
@@ -347,8 +352,7 @@ def _stream_kernel(
         for u in range(U):
             i = g * U + u          # step index within chunk
             p = p0 + i             # younger local diagonal
-            qc = gather(q_ref, i)
-            dc = gather(d2_ref, i)
+            qc, dc = gather_qd(i)
             M, I, D, H, vs1d, vs2v, byte = _stream_step(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
                 qc, dc, col_iota, lane_0, p,

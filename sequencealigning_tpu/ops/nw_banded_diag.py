@@ -372,12 +372,18 @@ def _diag_kernel(
     cchunk = c1s_ref.shape[1]  # input block width (>= chunk, 128-aligned)
     lanec = jax.lax.broadcasted_iota(jnp.int32, (BT, cchunk), 1)
     off0 = c * chunk - (c * chunk // cchunk) * cchunk
+    # One masked lane-reduce per iteration instead of two (Mosaic has no
+    # unaligned lane-dim dynamic_slice): c1/c2 packed into one int32 per
+    # lane, hoisted out of the loop.  The -1 padding sentinel becomes 255
+    # after the 8-bit unpack -- equivalent against 4-bit char codes under
+    # both == and the wildcard & (neither ever matches a real code).
+    cc_pack = (c1s_ref[...] & 0xFF) | ((c2s_ref[...] & 0xFF) << 8)
 
-    def col(ref, i):
-        # Mosaic has no unaligned lane-dim dynamic_slice: masked reduce.
-        return jnp.sum(
-            jnp.where(lanec == off0 + i, ref[...], 0), axis=1, keepdims=True
+    def col_qd(i):
+        v = jnp.sum(
+            jnp.where(lanec == off0 + i, cc_pack, 0), axis=1, keepdims=True
         )
+        return v & 0xFF, (v >> 8) & 0xFF
 
     def capture_fn(a, M, I, D):
         q0 = (a - (a & 1)) // 2 - he
@@ -408,8 +414,7 @@ def _diag_kernel(
                 Mp, Ip, Dp, Hp, Hpp, s1c, s2c = st
                 i = j * UN + ri
                 g = c * chunk + i
-                c1 = col(c1s_ref, i)
-                c2 = col(c2s_ref, i)
+                c1, c2 = col_qd(i)
                 a1 = 2 * g + 1
                 M, I, D, H, s1c, s2c, code1 = _diag_step(
                     1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
