@@ -21,6 +21,10 @@ from sequencealigning_tpu.ops.nw_affine_modes import (
     modes_end_cell,
     nw_affine_modes_batch,
 )
+from sequencealigning_tpu.ops.nw_affine_stream_modes import (
+    nw_affine_stream_modes_batch,
+    stream_modes_best,
+)
 from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
 from sequencealigning_tpu.ops.traceback import (
     local_affine_traceback_pair,
@@ -252,11 +256,38 @@ class GotohAligner(Aligner):
     def _modes_batch(self, pairs: List[Tuple[bytes, bytes]]):
         local = self.config.mode is Mode.LOCAL
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
-        res = nw_affine_modes_batch(
-            batch.query, batch.db, batch.query_len, batch.db_len,
-            local=local, scheme=self.config.scoring,
+        # Large batches ride the streamed-pair engine (~2x lane occupancy
+        # + batch-scale amortization, ops.nw_affine_stream_modes); small
+        # ones keep the plain per-pair kernel (lighter compile/dispatch).
+        streamed = len(pairs) >= 32 and batch.query.shape[1] > 0 and (
+            batch.db.shape[1] > 0
         )
-        dirs = np.asarray(res.dirs)
+        if streamed:
+            sres = nw_affine_stream_modes_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                "local" if local else "semi", scheme=self.config.scoring,
+            )
+            dirs = np.asarray(sres.dirs)
+
+            def end_cell(b):
+                return stream_modes_best(sres, b)
+
+            def dirs_of(b):
+                row, _slot, d_off = sres.plan.pair_coords(b)
+                return dirs[:, row, :], d_off
+        else:
+            res = nw_affine_modes_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                local=local, scheme=self.config.scoring,
+            )
+            dirs = np.asarray(res.dirs)
+
+            def end_cell(b):
+                return modes_end_cell(res, b)
+
+            def dirs_of(b):
+                return dirs[:, b, :], 0
+
         out = []
         for b, (s1, s2) in enumerate(pairs):
             if not s1 or not s2:
@@ -276,14 +307,15 @@ class GotohAligner(Aligner):
                     )
                 continue
             try:
-                score, x, y = modes_end_cell(res, b)
+                score, x, y = end_cell(b)
+                dirs_b, d_off = dirs_of(b)
                 if local:
                     a1, a2, sy, sx = local_affine_traceback_pair(
-                        dirs[:, b, :], x, y, s1, s2
+                        dirs_b, x, y, s1, s2, d_offset=d_off
                     )
                 else:
                     a1, a2 = semi_global_traceback_pair(
-                        dirs[:, b, :], x, y, s1, s2
+                        dirs_b, x, y, s1, s2, d_offset=d_off
                     )
                 out.append(dict(score=score, aligned_query=a1, aligned_db=a2))
             except AlignerError as e:

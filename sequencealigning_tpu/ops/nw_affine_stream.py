@@ -129,6 +129,7 @@ def _stream_step(
     qc, dc, col_iota, lane_0, p,
     scheme: ScoringScheme, compat: bool, wildcard: bool,
     roll, dirs_mode,
+    mode: str = "global",
 ):
     """One anti-diagonal step.  qc/dc: (B, 1) younger query/db codes for
     this step.  lane_0: hoisted loop-invariant (col_iota == 0) mask.
@@ -136,7 +137,13 @@ def _stream_step(
     (score only), "full" (7 tie bits/cell, co-optimal enumeration), or
     "fast4" (4 bits/cell: H-argmax plane code with M>I>D priority + the
     two extend flags -- exactly what a first-path walk needs).  Returns
-    (M, I, D, H, s1d_new, s2v_new, byte)."""
+    (M, I, D, H, s1d_new, s2v_new, byte).
+
+    ``mode`` picks the boundary semantics at lanes 0 and p (the same hook
+    as ops.nw_affine._gotoh_step): "global" = the compat/textbook gap
+    chains; "semi" = free end gaps (M = 0, I = D = -inf); "local" adds
+    the Smith-Waterman clamp M = max(M, 0) with restarts recorded as the
+    LSTART dirs bit ("full" layout only)."""
     o = jnp.int32(scheme.gap_open)
     e = jnp.int32(scheme.gap_extend)
 
@@ -157,6 +164,11 @@ def _stream_step(
     # compares double as the extend flags (shared, not recomputed).
     t0 = M1 + o
     M = roll(H2) + sub
+    restart = None
+    if mode == "local":
+        # int32, not bool: Mosaic cannot broadcast/rotate i1 vectors.
+        restart = (M < 0).astype(jnp.int32)
+        M = jnp.maximum(M, 0)
     if dirs_mode:
         ci = I1 >= t0
         cd = D1 >= t0
@@ -166,16 +178,27 @@ def _stream_step(
         D = roll(jnp.maximum(t0, D1)) + e
         I = jnp.maximum(t0, I1) + e
 
-    row0, col0 = _boundary_scalars(p, scheme, compat)
-    M = jnp.where(lane_p, col0[0], M)
-    I = jnp.where(lane_p, col0[1], I)
-    D = jnp.where(lane_p, col0[2], D)
-    M = jnp.where(lane_0, row0[0], M)
-    # The I override at lane 0 cannot be dropped even in compat mode (where
-    # row0's I is -inf): the origin's M = 0 seeds the *textbook* I chain
-    # (o + p*e) through the recurrence at every slot restart.
-    I = jnp.where(lane_0, row0[1], I)
-    D = jnp.where(lane_0, row0[2], D)
+    if mode == "global":
+        row0, col0 = _boundary_scalars(p, scheme, compat)
+        M = jnp.where(lane_p, col0[0], M)
+        I = jnp.where(lane_p, col0[1], I)
+        D = jnp.where(lane_p, col0[2], D)
+        M = jnp.where(lane_0, row0[0], M)
+        # The I override at lane 0 cannot be dropped even in compat mode
+        # (where row0's I is -inf): the origin's M = 0 seeds the *textbook*
+        # I chain (o + p*e) through the recurrence at every slot restart.
+        I = jnp.where(lane_0, row0[1], I)
+        D = jnp.where(lane_0, row0[2], D)
+    else:
+        # Free end gaps (semi/local): boundary rows and columns hold M = 0
+        # -- also the barrier that keeps the previous slot's garbage from
+        # flowing into this pair's window (same role as the global chains).
+        on_b = jnp.logical_or(lane_0, lane_p)
+        M = jnp.where(on_b, 0, M)
+        I = jnp.where(on_b, NEG_INF, I)
+        D = jnp.where(on_b, NEG_INF, D)
+        if mode == "local":
+            restart = jnp.where(on_b, 1, restart)
 
     H = jnp.maximum(M, jnp.maximum(I, D))
 
@@ -189,6 +212,8 @@ def _stream_step(
         dpre = cd.astype(jnp.int32) * dirbits.DEXT
         dpre |= (t0 >= D1).astype(jnp.int32) * dirbits.DOPEN
         b |= roll(dpre)
+        if mode == "local":
+            b |= restart * dirbits.LSTART
         byte = b
     elif dirs_mode == "fast4":
         code = jnp.where(

@@ -245,14 +245,17 @@ def semi_global_traceback_pair(
     end_y: int,
     seq1: bytes,
     seq2: bytes,
+    d_offset: int = 0,
 ) -> Tuple[str, str]:
     """Semi-global alignment reconstruction (free end gaps both sides):
     walk from the best last-row/last-column cell to a boundary, then add the
-    free leading and trailing gap columns."""
+    free leading and trailing gap columns.  d_offset: the pair's diagonal
+    offset in a streamed dirs layout (slot * plan.s), 0 for per-pair
+    layouts."""
     n1, n2 = len(seq1), len(seq2)
 
     def byte_at(x, y):
-        return _byte(dirs_b, x + y, x)
+        return _byte(dirs_b, x + y + d_offset, x)
 
     ops, sx, sy = _walk_from(
         byte_at, end_x, end_y, seq1, seq2,
@@ -270,14 +273,16 @@ def local_affine_traceback_pair(
     end_y: int,
     seq1: bytes,
     seq2: bytes,
+    d_offset: int = 0,
 ) -> Tuple[str, str, int, int]:
     """Local (SW-affine) reconstruction: walk from the argmax M cell until
     the previous cell's M is a restart (LSTART) or a boundary zero.
     Returns (aligned_seq1, aligned_seq2, start_in_seq1, start_in_seq2),
-    starts 0-based."""
+    starts 0-based.  d_offset: the pair's diagonal offset in a streamed
+    dirs layout (slot * plan.s), 0 for per-pair layouts."""
 
     def byte_at(x, y):
-        return _byte(dirs_b, x + y, x)
+        return _byte(dirs_b, x + y + d_offset, x)
 
     def stop(x, y, plane):
         return plane == M and bool(byte_at(x, y) & dirbits.LSTART)
