@@ -41,6 +41,7 @@ from sequencealigning_tpu.config import ScoringScheme
 from sequencealigning_tpu.ops.nw_affine_stream import (
     StreamPlan,
     _STATE_LANE_BUDGET,
+    _device_stream_inputs,
     _stream_step,
     build_stream_inputs,
     plan_stream,
@@ -396,9 +397,14 @@ def stream_modes_lanes(outs, np_slots: int) -> Tuple[jax.Array, jax.Array]:
 
 @functools.lru_cache(maxsize=64)
 def _jitted_stream_modes(plan, scheme, wildcard, mode, with_dirs, bt):
-    def run(qstream, dstream, dsy, n2y, dso, n2o):
+    """Device-side stream prep + fill as ONE jitted dispatch (ships the
+    raw 1-byte/char padded sequences, not the 5x fatter int32 streams --
+    see nw_affine_stream._jitted_stream_prep_pallas)."""
+
+    def run(q_all, d_all, qlen, dlen):
+        ins = _device_stream_inputs(q_all, d_all, qlen, dlen, plan)
         outs, dirs = gotoh_fill_stream_modes_pallas(
-            qstream, dstream, dsy, n2y, dso, n2o,
+            *ins,
             plan=plan, scheme=scheme, wildcard=wildcard, mode=mode,
             with_dirs=with_dirs, bt=bt,
         )
@@ -432,8 +438,8 @@ def nw_affine_stream_modes_batch(
     NP, R = plan.np_slots, plan.n_rows
     n_padded = NP * R
 
-    q_all = np.zeros((n_padded, L1), np.int32)
-    d_all = np.zeros((n_padded, L2), np.int32)
+    q_all = np.zeros((n_padded, L1), np.int8)
+    d_all = np.zeros((n_padded, L2), np.int8)
     q_all[:B] = query
     d_all[:B] = db
     qlen = np.ones(n_padded, np.int32)
@@ -444,19 +450,19 @@ def nw_affine_stream_modes_batch(
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "lax"
 
-    qstream, dstream, dsy, n2y, dso, n2o = build_stream_inputs(
-        q_all, d_all, qlen, dlen, plan
-    )
     if backend == "pallas":
         fn = _jitted_stream_modes(
             plan, scheme, wildcard, mode, with_dirs, bt
         )
         bv, bd, dirs = fn(
-            jnp.asarray(qstream), jnp.asarray(dstream),
-            jnp.asarray(dsy), jnp.asarray(n2y),
-            jnp.asarray(dso), jnp.asarray(n2o),
+            jnp.asarray(q_all), jnp.asarray(d_all),
+            jnp.asarray(qlen), jnp.asarray(dlen),
         )
     elif backend == "lax":
+        qstream, dstream, dsy, n2y, dso, n2o = build_stream_inputs(
+            q_all.astype(np.int32), d_all.astype(np.int32),
+            qlen, dlen, plan,
+        )
         (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),
