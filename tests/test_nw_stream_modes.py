@@ -116,3 +116,38 @@ def test_model_layer_streamed_routing_matches_plain(mode_name):
         assert r_big["score"] == r_small["score"], b
         assert r_big["aligned_query"] == r_small["aligned_query"], b
         assert r_big["aligned_db"] == r_small["aligned_db"], b
+
+
+@pytest.mark.parametrize("mode", ["semi", "local"])
+def test_stream_modes_skewed_lengths(mode):
+    """Strongly unequal L1 vs L2 stresses the pipelined window geometry
+    (launch period s = max(L1,L2)+1 >> the shorter side)."""
+    import random
+
+    rng = random.Random(241)
+    pairs = []
+    for _ in range(8):
+        n1 = rng.randint(2, 6)
+        n2 = rng.randint(20, 30)
+        if rng.random() < 0.5:
+            n1, n2 = n2, n1
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    batch = pack_batch(pairs, batch_size=8)
+    res = nw_affine_stream_modes_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len, mode,
+        backend="pallas", np_slots=2,
+    )
+    plain = nw_affine_modes_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        local=(mode == "local"),
+    )
+    for b, (s1, s2) in enumerate(pairs):
+        score, x, y = stream_modes_best(res, b)
+        p_score, p_x, p_y = modes_end_cell(plain, b)
+        assert (score, x, y) == (p_score, p_x, p_y), (b, s1, s2)
+        assert score == brute_force_mode(s1, s2, mode)
