@@ -34,7 +34,26 @@ from sequencealigning_tpu.ops.nw_affine_stream import (
     plan_stream,
     stream_finals,
 )
+from sequencealigning_tpu.ops.nw_affine_stream_modes import (
+    gotoh_fill_stream_modes_lax,
+    gotoh_fill_stream_modes_pallas,
+    stream_modes_lanes,
+)
 from sequencealigning_tpu.parallel.mesh import make_mesh
+
+
+def _mk_streams(q_r, d_r, plan):
+    """Per-row code streams from the compact (R_loc, NP, L) int8 batch,
+    built on device (host->device traffic = 1 byte/char)."""
+    S, T = plan.s, plan.t_total
+
+    def one(a):
+        r, np_, l = a.shape
+        s_ = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, 0), (1, S - l - 1)))
+        s_ = s_.reshape(r, np_ * S)
+        return jnp.pad(s_, ((0, 0), (0, T - np_ * S)))
+
+    return one(q_r), one(d_r)
 
 
 class DataParallelRunner:
@@ -124,19 +143,7 @@ class DataParallelRunner:
         NP = plan.np_slots
 
         def per_shard(q_r, d_r, dsy, n2y, dso, n2o):
-            # Build the per-row code streams on device from the compact
-            # (R_loc, NP, L) int8 batch: host->device traffic is the raw
-            # sequences (1 byte/char), not the 4-byte padded streams.
-            S, T = plan.s, plan.t_total
-
-            def mk_stream(a):
-                r, np_, l = a.shape
-                s_ = jnp.pad(a.astype(jnp.int32), ((0, 0), (0, 0), (1, S - l - 1)))
-                s_ = s_.reshape(r, np_ * S)
-                return jnp.pad(s_, ((0, 0), (0, T - np_ * S)))
-
-            qstream = mk_stream(q_r)
-            dstream = mk_stream(d_r)
+            qstream, dstream = _mk_streams(q_r, d_r, plan)
             if backend == "pallas":
                 outs, dirs = gotoh_fill_stream_pallas(
                     qstream, dstream, dsy, n2y, dso, n2o,
@@ -179,6 +186,75 @@ class DataParallelRunner:
         )
         self._fn_cache[key] = fn
         return fn
+
+    def _stream_modes_fn(self, plan, mode: str, with_dirs: bool):
+        key = ("stream_modes", plan, self.gather, mode, with_dirs)
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        scheme, wildcard = self.scheme, self.wildcard
+        backend, bt, gather = self.backend, self.bt, self.gather
+        NP = plan.np_slots
+
+        def per_shard(q_r, d_r, dsy, n2y, dso, n2o):
+            qstream, dstream = _mk_streams(q_r, d_r, plan)
+            if backend == "pallas":
+                outs, dirs = gotoh_fill_stream_modes_pallas(
+                    qstream, dstream, dsy, n2y, dso, n2o,
+                    plan, scheme, wildcard, mode, with_dirs, bt=bt,
+                )
+                bv, bd = stream_modes_lanes(outs, NP)
+            else:
+                (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
+                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
+                    plan, scheme, wildcard, mode, with_dirs,
+                )
+                bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
+                bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
+            if gather:
+                bv = jax.lax.all_gather(bv, "data", axis=0, tiled=True)
+                bd = jax.lax.all_gather(bd, "data", axis=0, tiled=True)
+            if with_dirs:
+                # dirs stay row-sharded (huge); host fetches per batch.
+                return bv, bd, dirs
+            return bv, bd
+
+        row = P("data")
+        slot = P(None, "data")
+        pair_spec = P() if gather else P("data")
+        out_specs = (
+            (pair_spec, pair_spec, P(None, "data"))
+            if with_dirs
+            else (pair_spec, pair_spec)
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(row, row, slot, slot, slot, slot),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        self._fn_cache[key] = fn
+        return fn
+
+    def fill_modes(self, batch: PairBatch, mode: str, with_dirs: bool = True):
+        """Semi-global/local streamed fill on the runner's mesh (textbook
+        semantics; ops.nw_affine_stream_modes).  Returns (best_val[:B],
+        best_d[:B], dirs, plan) -- per-lane running argmax buffers; recover
+        each pair's end cell with the host argmax (stream_modes_best
+        semantics) and walk dirs with d_offset = slot * plan.s."""
+        if self.kernel != "stream":
+            raise ValueError("fill_modes requires kernel='stream'")
+        if mode not in ("semi", "local"):
+            raise ValueError(f"unknown mode {mode!r}")
+        args, plan, B = self._stream_args(batch)
+        out = self._stream_modes_fn(plan, mode, with_dirs)(*args)
+        if with_dirs:
+            bv, bd, dirs = out
+        else:
+            (bv, bd), dirs = out, None
+        return bv[:B], bd[:B], dirs, plan
 
     def _stream_args(self, batch: PairBatch):
         """(device args, plan, B) for the streamed fill, sharded over the

@@ -137,3 +137,48 @@ def test_stream_align_with_cigars():
         a1, a2 = alns[0]
         assert a1.replace("-", "").encode() == pairs[b][0]
         assert a2.replace("-", "").encode() == pairs[b][1]
+
+
+def test_runner_fill_modes_across_8_devices():
+    """Semi-global/local streamed fills on the mesh equal the plain
+    single-device modes engine, and the sharded dirs walk to the same
+    alignments."""
+    import pytest
+
+    from sequencealigning_tpu.ops.nw_affine_modes import (
+        modes_end_cell,
+        nw_affine_modes_batch,
+    )
+    from sequencealigning_tpu.ops.traceback import (
+        local_affine_traceback_pair,
+        semi_global_traceback_pair,
+    )
+
+    pairs = _pairs(83, 16)
+    batch = pack_batch(pairs, batch_size=16)
+    runner = DataParallelRunner(backend="lax")
+    for mode in ("semi", "local"):
+        bv, bd, dirs, plan = runner.fill_modes(batch, mode)
+        bv = np.asarray(bv)
+        bd = np.asarray(bd)
+        dirs = np.asarray(dirs)
+        plain = nw_affine_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            local=(mode == "local"),
+        )
+        for b, (s1, s2) in enumerate(pairs):
+            lane = int(np.argmax(bv[b]))
+            score, x, y = int(bv[b][lane]), lane, int(bd[b][lane]) - lane
+            p_score, p_x, p_y = modes_end_cell(plain, b)
+            assert (score, x, y) == (p_score, p_x, p_y), (mode, b, s1, s2)
+            row, _slot, d_off = plan.pair_coords(b)
+            if mode == "semi":
+                a1, a2 = semi_global_traceback_pair(
+                    dirs[:, row, :], x, y, s1, s2, d_offset=d_off
+                )
+            else:
+                a1, a2, _, _ = local_affine_traceback_pair(
+                    dirs[:, row, :], x, y, s1, s2, d_offset=d_off
+                )
+            assert a1.replace("-", "") in s1.decode()
+            assert a2.replace("-", "") in s2.decode()
