@@ -29,7 +29,6 @@ def main() -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     def probe(name, body, dtype):
         def kernel(x_ref, o_ref):
