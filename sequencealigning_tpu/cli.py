@@ -156,6 +156,11 @@ def _print_result(res, algo: Algo, verbose: bool) -> None:
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compile cache: repeated CLI invocations reuse kernel
+    # binaries (warm compiles are ~2 s on the TPU rig; see PERF.md).
+    from sequencealigning_tpu.utils.compilecache import enable as _cc
+
+    _cc()
     args = build_parser().parse_args(argv)
 
     db = _load(args.db_file, "DB")

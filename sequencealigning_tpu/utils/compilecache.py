@@ -12,7 +12,17 @@ import os
 
 
 def enable(path: str | None = None) -> str:
-    """Set JAX_COMPILATION_CACHE_DIR (if not already set) and return it."""
+    """Set JAX_COMPILATION_CACHE_DIR (if not already set) and return it.
+
+    If jax was already imported (the env var is only read at import),
+    also point jax.config at the directory so late enabling still works
+    (the CLI calls this after module imports pulled jax in)."""
+    import sys
+
     path = path or os.path.expanduser("~/.cache/seqalign_jax")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
-    return os.environ["JAX_COMPILATION_CACHE_DIR"]
+    effective = os.environ["JAX_COMPILATION_CACHE_DIR"]
+    jax = sys.modules.get("jax")
+    if jax is not None and not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir", effective)
+    return effective
