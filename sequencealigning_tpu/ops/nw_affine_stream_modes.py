@@ -67,7 +67,8 @@ def _mode_candidates(mode, M, I, D, H, col_iota, p, dsv, n2v):
     drain slots).  Mirrors ops.nw_affine_modes._fill_modes_lax."""
     n1v = dsv - n2v
     y = p - col_iota
-    live = dsv >= 0
+    # Drain slots carry (dsv, n2v) = (-1, -1): x <= n2v is then empty, so
+    # no separate liveness mask is needed.
     if mode == "local":
         elig = jnp.logical_and(
             jnp.logical_and(col_iota >= 1, col_iota <= n2v),
@@ -83,7 +84,7 @@ def _mode_candidates(mode, M, I, D, H, col_iota, p, dsv, n2v):
             valid, jnp.logical_or(col_iota == n2v, y == n1v)
         )
         score = H
-    return jnp.logical_and(elig, live), score
+    return elig, score
 
 
 # ---------------------------------------------------------------------------
