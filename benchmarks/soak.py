@@ -35,6 +35,13 @@ def main() -> int:
     ap.add_argument("--max-len", type=int, default=600)
     args = ap.parse_args()
 
+    import os
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # axon overrides the env
+
     from sequencealigning_tpu.config import ScoringScheme, WfaPenalties
     from sequencealigning_tpu.io.encode import pack_batch
     from sequencealigning_tpu.ops import oracle_gotoh
@@ -42,6 +49,14 @@ def main() -> int:
     from sequencealigning_tpu.ops.nw_affine_tiled import (
         nw_affine_tiled_batch,
         nw_affine_tiled_fold_batch,
+    )
+    from sequencealigning_tpu.ops.nw_affine_modes import (
+        modes_end_cell,
+        nw_affine_modes_batch,
+    )
+    from sequencealigning_tpu.ops.nw_affine_stream_modes import (
+        nw_affine_stream_modes_batch,
+        stream_modes_best,
     )
     from sequencealigning_tpu.ops.nw_banded import nw_banded_batch
     from sequencealigning_tpu.ops.traceback import traceback_stream_batch
@@ -108,6 +123,22 @@ def main() -> int:
                 or a2.replace("-", "").encode() != pairs[b][1]
             ):
                 report("stream-walk", rnd, b, "bad-recon", "-", pairs[b])
+
+        # Streamed textbook modes vs the plain modes engine (end cells).
+        mode = "semi" if rnd % 2 == 0 else "local"
+        sres = nw_affine_stream_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len, mode,
+            scheme=sch, np_slots=2, with_dirs=False,
+        )
+        plain = nw_affine_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            local=(mode == "local"), scheme=sch, with_dirs=False,
+        )
+        for b in range(16):
+            got = stream_modes_best(sres, b)
+            expm = modes_end_cell(plain, b)
+            if got != expm:
+                report(f"stream-modes-{mode}", rnd, b, got, expm, pairs[b])
 
         # Banded (wide band covers the optimum) in both dirs modes.
         for dm in ("full", "fast4"):
