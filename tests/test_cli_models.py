@@ -224,3 +224,48 @@ def test_gotoh_dirs_chunking_matches_unchunked(monkeypatch):
         for r in al.align_batch(pairs)
     ]
     assert plain == chunked
+
+
+def test_cli_textbook_modes_streamed_route(tmp_path, capsys):
+    """A >=32-pair textbook semi-global CLI run exercises the streamed
+    modes engine end-to-end (parse -> model routing -> streamed fill ->
+    walker -> JSONL), and each score equals the single-pair result."""
+    import random
+
+    rng = random.Random(5)
+    qf = tmp_path / "q.fa"
+    qf.write_text(
+        "".join(
+            f">q{i}\n"
+            + "".join(rng.choice("ACGT") for _ in range(rng.randint(4, 14)))
+            + "\n"
+            for i in range(33)
+        )
+    )
+    df = tmp_path / "d.fa"
+    df.write_text(">d1\nACGTTACGGATCACGT\n")
+    out = tmp_path / "res.jsonl"
+    rc = main(
+        [
+            "-q", str(qf), "-d", str(df), "-a", "needleman-wunsch",
+            "-m", "semi-global", "--textbook", "-o", str(out),
+            "--batch-size", "64",
+        ]
+    )
+    capsys.readouterr()
+    assert rc == 0
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 33
+    from sequencealigning_tpu.io.fasta import parse_fasta
+
+    qs = parse_fasta(str(qf))
+    al = get_aligner(
+        AlignConfig(
+            algo=Algo.NEEDLEMAN_WUNSCH, mode=Mode.SEMI_GLOBAL, compat=False
+        )
+    )
+    d_seq = parse_fasta(str(df)).records[0]
+    for rec, line in zip(qs.records, lines):
+        single = al.align_pair(rec, d_seq)
+        assert line["score"] == single.score, rec.name
+        assert line["error"] is None
