@@ -99,7 +99,7 @@ def _init_backend():
         try:
             out = subprocess.run(
                 [sys.executable, "-c", probe], capture_output=True,
-                text=True, timeout=300,
+                text=True, timeout=150,
             )
             if out.returncode == 0 and "tpu" in out.stdout:
                 break
@@ -123,7 +123,7 @@ def _init_backend():
 
             jax.config.update("jax_platforms", "cpu")
             return jax
-        time.sleep(30)
+        time.sleep(15)
     import jax
 
     return jax
