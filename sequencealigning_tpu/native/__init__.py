@@ -1,7 +1,8 @@
 """Native (C) runtime components with pure-Python fallbacks.
 
-The shared library is built on demand from seqalign_native.c (cc -O2) and
-loaded via ctypes; if the toolchain or build fails, callers transparently
+The shared library is built on demand from seqalign_native.c (cc -O3, with
+an -O2 fallback) and loaded via ctypes; if the toolchain or build fails,
+callers transparently
 fall back to the Python implementations (io.fasta / ops.traceback), which
 are semantically identical (tests assert equality).
 """
@@ -25,17 +26,21 @@ _tried = False
 
 
 def _build() -> Optional[str]:
+    # -O3 vectorizes the WFA wavefront loops (the source multi-versions the
+    # hot function across ISAs via target_clones, so the binary stays
+    # portable); fall back to -O2 for toolchains where -O3 fails.
     for cc in ("cc", "gcc", "clang"):
-        try:
-            subprocess.run(
-                [cc, "-O2", "-shared", "-fPIC", "-pthread", "-o", _LIB, _SRC],
-                check=True,
-                capture_output=True,
-                timeout=120,
-            )
-            return _LIB
-        except (OSError, subprocess.SubprocessError):
-            continue
+        for opt in ("-O3", "-O2"):
+            try:
+                subprocess.run(
+                    [cc, opt, "-shared", "-fPIC", "-pthread", "-o", _LIB, _SRC],
+                    check=True,
+                    capture_output=True,
+                    timeout=120,
+                )
+                return _LIB
+            except (OSError, subprocess.SubprocessError):
+                continue
     return None
 
 

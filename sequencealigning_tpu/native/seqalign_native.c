@@ -1045,6 +1045,28 @@ static inline int twfa_ok(long t, long k, long n1, long n2) {
     return t >= 0 && t <= n2 && y >= 0 && y <= n1;
 }
 
+/* dst[k - lo] = twf_at(src, k + shift) for k in [lo, hi]: the in-range
+ * middle is one memcpy, the flanks are WFA_NEG fills.  Staging the shifted
+ * source spans into dense scratch rows turns the per-diagonal recurrences
+ * into branchless max/select loops the compiler auto-vectorizes. */
+static void twf_gather(int32_t *dst, long lo, long hi, const TWf *src,
+                       long shift) {
+    long n = hi - lo + 1;
+    if (!src || !src->off) {
+        for (long i = 0; i < n; i++) dst[i] = WFA_NEG;
+        return;
+    }
+    long a = src->lo - shift; /* k range where k + shift is in-span */
+    long b = src->hi - shift;
+    if (a < lo) a = lo;
+    if (b > hi) b = hi;
+    for (long k = lo; k < a; k++) dst[k - lo] = WFA_NEG;
+    if (a <= b)
+        memcpy(dst + (a - lo), src->off + (a + shift - src->lo),
+               (size_t)(b - a + 1) * sizeof(int32_t));
+    for (long k = (a <= b ? b + 1 : a); k <= hi; k++) dst[k - lo] = WFA_NEG;
+}
+
 static void twfa_free_levels(TLev *lev, long n) {
     for (long i = 0; i < n; i++) {
         free(lev[i].m.off);
@@ -1054,8 +1076,22 @@ static void twfa_free_levels(TLev *lev, long n) {
     free(lev);
 }
 
+/* Multi-version the wavefront fill for the host ISA: the recurrence loops
+ * are plain int32 max/compare/select streams that vectorize 8-16 wide on
+ * AVX2/AVX-512, and the library must stay portable when a prebuilt .so
+ * ships in a wheel -- target_clones picks the widest supported variant at
+ * load time via the glibc ifunc resolver. */
+#if defined(__x86_64__) && defined(__gnu_linux__) && defined(__GNUC__) && \
+    __GNUC__ >= 11 && !defined(__clang__)
+#define WFA_ISA_CLONES \
+    __attribute__((target_clones("arch=x86-64-v4,arch=x86-64-v3,default")))
+#else
+#define WFA_ISA_CLONES
+#endif
+
 /* Exact fill + traceback for one pair.  Returns the penalty (>= 0) or:
  *   -1 no convergence within s_max,  -4 allocation / memory budget. */
+WFA_ISA_CLONES
 long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
                         long n2, int x_pen, int o_pen, int e_pen,
                         long s_max, long mem_budget,
@@ -1080,10 +1116,19 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
     if (!lev) return -4;
     long used = lev_cap * (long)sizeof(TLev);
 
+    /* scratch rows for the staged (shifted) source spans */
+    long max_w = n1 + n2 + 3;
+    int32_t *scr = malloc((size_t)(3 * max_w) * sizeof(int32_t));
+    if (!scr) { free(lev); return -4; }
+    int32_t *tmp_a = scr, *tmp_b = scr + max_w, *tmp_c = scr + 2 * max_w;
+    /* int32 copies for the vector loops (offsets are stored int32 already,
+     * so n1/n2 and every t/y fit int32 by construction) */
+    const int32_t vn1 = (int32_t)n1, vn2 = (int32_t)n2;
+
     /* seed */
     lev[0].m.lo = lev[0].m.hi = 0;
     lev[0].m.off = malloc(sizeof(int32_t));
-    if (!lev[0].m.off) { free(lev); return -4; }
+    if (!lev[0].m.off) { free(scr); free(lev); return -4; }
     lev[0].m.off[0] = (int32_t)twfa_extend(s1, n1, s2, n2, 0, 0);
     long n_lev = 1;
     long final_s = -1;
@@ -1091,11 +1136,11 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
 
     while (final_s < 0) {
         long s = n_lev;
-        if (s > cap_s) { twfa_free_levels(lev, n_lev); return -1; }
+        if (s > cap_s) { free(scr); twfa_free_levels(lev, n_lev); return -1; }
         if (s >= lev_cap) {
             long nc = lev_cap * 2;
             TLev *nl = realloc(lev, nc * sizeof(TLev));
-            if (!nl) { twfa_free_levels(lev, n_lev); return -4; }
+            if (!nl) { free(scr); twfa_free_levels(lev, n_lev); return -4; }
             memset(nl + lev_cap, 0, (nc - lev_cap) * sizeof(TLev));
             used += (nc - lev_cap) * (long)sizeof(TLev);
             lev = nl;
@@ -1122,15 +1167,18 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
         if (lo <= hi) {
             long w = hi - lo + 1;
             L->i.off = malloc(w * sizeof(int32_t));
-            if (!L->i.off) { twfa_free_levels(lev, n_lev); return -4; }
+            if (!L->i.off) { free(scr); twfa_free_levels(lev, n_lev); return -4; }
             used += w * 4;
             L->i.lo = lo; L->i.hi = hi;
-            for (long k = lo; k <= hi; k++) {
-                int32_t a = m_oe ? twf_at(m_oe, k - 1) : WFA_NEG;
-                int32_t b = i_e ? twf_at(i_e, k - 1) : WFA_NEG;
-                int32_t v = a > b ? a : b;
-                if (v <= WFA_NEG || !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
-                L->i.off[k - lo] = v;
+            twf_gather(tmp_a, lo, hi, m_oe, -1);
+            twf_gather(tmp_b, lo, hi, i_e, -1);
+            int32_t *restrict io = L->i.off;
+            for (long i = 0; i < w; i++) {
+                int32_t v = tmp_a[i] > tmp_b[i] ? tmp_a[i] : tmp_b[i];
+                int32_t y = v + (int32_t)(lo + i);
+                int ok = (v > WFA_NEG) & (v >= 0) & (v <= vn2) &
+                         (y >= 0) & (y <= vn1);
+                io[i] = ok ? v : WFA_NEG;
             }
         }
         /* D[k] <- max(M[s-oe][k+1], D[s-e][k+1]) + 1 */
@@ -1148,16 +1196,19 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
         if (lo <= hi) {
             long w = hi - lo + 1;
             L->d.off = malloc(w * sizeof(int32_t));
-            if (!L->d.off) { twfa_free_levels(lev, n_lev); return -4; }
+            if (!L->d.off) { free(scr); twfa_free_levels(lev, n_lev); return -4; }
             used += w * 4;
             L->d.lo = lo; L->d.hi = hi;
-            for (long k = lo; k <= hi; k++) {
-                int32_t a = m_oe ? twf_at(m_oe, k + 1) : WFA_NEG;
-                int32_t b = d_e ? twf_at(d_e, k + 1) : WFA_NEG;
-                int32_t v = a > b ? a : b;
-                if (v > WFA_NEG) v += 1; else v = WFA_NEG;
-                if (v > WFA_NEG && !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
-                L->d.off[k - lo] = v;
+            twf_gather(tmp_a, lo, hi, m_oe, +1);
+            twf_gather(tmp_b, lo, hi, d_e, +1);
+            int32_t *restrict dout = L->d.off;
+            for (long i = 0; i < w; i++) {
+                int32_t v = tmp_a[i] > tmp_b[i] ? tmp_a[i] : tmp_b[i];
+                v = (v > WFA_NEG) ? v + 1 : WFA_NEG;
+                int32_t y = v + (int32_t)(lo + i);
+                int ok = (v > WFA_NEG) & (v >= 0) & (v <= vn2) &
+                         (y >= 0) & (y <= vn1);
+                dout[i] = ok ? v : WFA_NEG;
             }
         }
         /* M[k] <- extend(max(M[s-x][k]+1, I[s][k], D[s][k])) */
@@ -1179,20 +1230,31 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
         if (lo <= hi) {
             long w = hi - lo + 1;
             L->m.off = malloc(w * sizeof(int32_t));
-            if (!L->m.off) { twfa_free_levels(lev, n_lev); return -4; }
+            if (!L->m.off) { free(scr); twfa_free_levels(lev, n_lev); return -4; }
             used += w * 4;
             L->m.lo = lo; L->m.hi = hi;
-            for (long k = lo; k <= hi; k++) {
-                int32_t a = m_x ? twf_at(m_x, k) : WFA_NEG;
-                if (a > WFA_NEG) a += 1;
-                int32_t b = twf_at(&L->i, k);
-                int32_t c = twf_at(&L->d, k);
-                int32_t v = a > b ? a : b;
-                if (c > v) v = c;
-                if (v > WFA_NEG && !twfa_ok(v, k, n1, n2)) v = WFA_NEG;
-                if (v > WFA_NEG)
-                    v = (int32_t)twfa_extend(s1, n1, s2, n2, k, v);
-                L->m.off[k - lo] = v;
+            twf_gather(tmp_a, lo, hi, m_x, 0);
+            twf_gather(tmp_b, lo, hi, &L->i, 0);
+            twf_gather(tmp_c, lo, hi, &L->d, 0);
+            int32_t *restrict mo = L->m.off;
+            for (long i = 0; i < w; i++) {
+                int32_t a = tmp_a[i];
+                a = (a > WFA_NEG) ? a + 1 : WFA_NEG;
+                int32_t v = a > tmp_b[i] ? a : tmp_b[i];
+                if (tmp_c[i] > v) v = tmp_c[i];
+                int32_t y = v + (int32_t)(lo + i);
+                int ok = (v > WFA_NEG) & (v >= 0) & (v <= vn2) &
+                         (y >= 0) & (y <= vn1);
+                mo[i] = ok ? v : WFA_NEG;
+            }
+            /* scalar extension pass: first-char gate inline so zero-length
+             * extensions (the common case on divergent pairs) skip the call */
+            for (long i = 0; i < w; i++) {
+                int32_t v = mo[i];
+                if (v <= WFA_NEG) continue;
+                long k = lo + i, y = v + k;
+                if (v < n2 && y < n1 && s1[y] == s2[v])
+                    mo[i] = (int32_t)twfa_extend(s1, n1, s2, n2, k, v);
             }
             if (k_target >= lo && k_target <= hi &&
                 L->m.off[k_target - lo] >= n2 &&
@@ -1200,9 +1262,10 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
                 final_s = s;
         }
         n_lev += 1;
-        if (used > mem_budget) { twfa_free_levels(lev, n_lev); return -4; }
+        if (used > mem_budget) { free(scr); twfa_free_levels(lev, n_lev); return -4; }
     }
 
+    free(scr);
     TLevCtx ctx = {lev, n_lev};
     long n = wfa_tb_walk(wfa_lev_at, &ctx, final_s, s1, n1, s2, n2,
                          x_pen, o_pen, e_pen, a1_out, a2_out,
