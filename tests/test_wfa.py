@@ -326,3 +326,51 @@ def test_forced_banded_engine_rejects_out_of_regime_scheme():
     ))
     with pytest.raises(ValueError, match="coincidence regime"):
         al._align_batch_impl([(b"ACGT", b"AGGT")])
+
+
+def test_native_engine_adversarial_shapes():
+    """Boundary-clamp stress for the native engine's staged (vectorized)
+    wavefront loops: extreme length skews and all-mismatch pairs drive the
+    spans into the k_min/k_max clamps and the all-WFA_NEG flank fills of
+    twf_gather; every result must match the Python oracle exactly."""
+    import random
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(99)
+    pairs = [
+        (b"A", b"T" * 40),                      # 1 x 40, nothing matches
+        (b"ACGT" * 12, b"G"),                    # 48 x 1
+        (b"A" * 30, b"A" * 3),                   # homopolymer, pure gaps
+        (b"AC" * 20, b"CA" * 20),                # frame-shifted repeat
+        (b"A" * 25, b"T" * 25),                  # every diagonal mismatches
+    ]
+    for _ in range(12):  # skew up to ~1:15
+        n1 = rng.randint(1, 45)
+        n2 = rng.randint(1, 45)
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                bytes(rng.choice(b"ACGT") for _ in range(n2)),
+            )
+        )
+    for pen in (
+        WfaPenalties(),
+        WfaPenalties(mismatch=9, gap_open=1, gap_extend=2),
+        WfaPenalties(mismatch=1, gap_open=7, gap_extend=3),
+    ):
+        res = native.wfa_textbook_align_batch_native(pairs, pen)
+        assert res is not None
+        for (s1, s2), r in zip(pairs, res):
+            assert r is not None, (s1, s2)
+            p, a1, a2 = r
+            assert p == oracle_wfa.wfa_textbook_score(s1, s2, pen), (s1, s2)
+            assert a1.replace("-", "").encode() == s1
+            assert a2.replace("-", "").encode() == s2
+            assert _penalty_of(a1, a2, pen) == p
