@@ -156,7 +156,7 @@ def main() -> int:
     scheme = ScoringScheme()
     results = {}
 
-    def measure(label, n, wd, np_slots, bt=None, chunk=128):
+    def measure(label, n, wd, np_slots, bt=None, chunk=128, state_dtype=None):
         pairs = _make_pairs(rng, n, length)
         batch = trim_for_stream(pack_batch(pairs, batch_size=n))
         cells = float(
@@ -172,10 +172,13 @@ def main() -> int:
 
         bt_ = bt or (16 if on_tpu else 8)
 
+        sdt = state_dtype if state_dtype is not None else jnp.int32
+
         @jax.jit
         def fn(qs, ds, a, b, c, d):
             outs, _ = gotoh_fill_stream_pallas(
                 qs, ds, a, b, c, d, plan, scheme, True, False, wd, bt=bt_,
+                state_dtype=sdt,
             )
             return outs[0].sum(axis=2)
 
@@ -195,16 +198,25 @@ def main() -> int:
     # candidate that fails to compile is skipped; the headline is the best
     # measured configuration.
     fast4_candidates = (
-        [("bt16/chunk128", 16, 128), ("bt32/chunk64", 32, 64)]
+        [
+            ("bt16/chunk128", 16, 128, None),
+            ("bt32/chunk64", 32, 64, None),
+            # int16 state: the ~2x dtype lever the moment the toolchain's
+            # Mosaic compiles i16 vector ops (bit-pinned vs int32 in
+            # tests/test_nw_stream.py; fails cleanly on a Mosaic that
+            # rejects i16 and the headline keeps the best int32 config).
+            ("i16/bt16/chunk128", 16, 128, jnp.int16),
+        ]
         if on_tpu
-        else [("bt8/chunk128", None, 128)]
+        else [("bt8/chunk128", None, 128, None)]
     )
     headline_cfg = None
-    for cfg_name, bt_c, chunk_c in fast4_candidates:
+    for cfg_name, bt_c, chunk_c, sdt_c in fast4_candidates:
         try:
             g = measure(
                 f"fast4[{cfg_name}]", n_pairs, "fast4",
                 128 if on_tpu else 2, bt=bt_c, chunk=chunk_c,
+                state_dtype=sdt_c,
             )
         except Exception as ex:
             print(

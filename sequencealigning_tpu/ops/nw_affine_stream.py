@@ -119,6 +119,37 @@ class StreamResult(NamedTuple):
     plan: StreamPlan
 
 
+def stream_i16_neg(scheme: ScoringScheme, plan: StreamPlan) -> Optional[int]:
+    """The -inf sentinel for int16 stream state, or None if the scheme x
+    shape cannot be certified to fit int16.
+
+    int16 state doubles VPU lane density (PERF.md's #1 lever, pending a
+    Mosaic that compiles i16 vector ops).  Certification is closed-form:
+
+    * every REAL DP cell is bounded below by per-consumed-char worst cost
+      (a path to (x, y) consumes x+y chars at >= min(mismatch, e) each,
+      plus two opens) and by the compat boundary chain o + (S+1)e;
+    * the sentinel sits 64 below that, and one pre-clamp step can dip at
+      most |o| + |e| + |mismatch| further -- all of which must stay above
+      INT16_MIN (the per-step floor clamp in _stream_step stops any
+      further decay);
+    * stale (drain-window) lanes can GROW by at most match per step for S
+      steps between boundary refreshes on top of the real maximum
+      min(l1,l2) * match, which must stay below INT16_MAX.
+    """
+    o, e = scheme.gap_open, scheme.gap_extend
+    mm, mt = scheme.mismatch, scheme.match_
+    per_char = min(mm, e, 0)
+    min_cell = (plan.l1 + plan.l2) * per_char + 2 * min(o, 0)
+    chain_min = min(o, 0) + (plan.s + 1) * min(e, 0)
+    neg = min(min_cell, chain_min) - 64
+    dip = abs(o) + abs(e) + max(abs(mm), abs(mt))
+    max_cell = max(mt, 0) * (min(plan.l1, plan.l2) + plan.s) + dip
+    if neg - dip <= -(1 << 15) or max_cell >= (1 << 15):
+        return None
+    return neg
+
+
 # ---------------------------------------------------------------------------
 # Shared single-step (state includes s2v; merged-roll D recurrence)
 # ---------------------------------------------------------------------------
@@ -130,6 +161,7 @@ def _stream_step(
     scheme: ScoringScheme, compat: bool, wildcard: bool,
     roll, dirs_mode,
     mode: str = "global",
+    neg_sent: int = NEG_INF,
 ):
     """One anti-diagonal step.  qc/dc: (B, 1) younger query/db codes for
     this step.  lane_0: hoisted loop-invariant (col_iota == 0) mask.
@@ -143,9 +175,19 @@ def _stream_step(
     as ops.nw_affine._gotoh_step): "global" = the compat/textbook gap
     chains; "semi" = free end gaps (M = 0, I = D = -inf); "local" adds
     the Smith-Waterman clamp M = max(M, 0) with restarts recorded as the
-    LSTART dirs bit ("full" layout only)."""
-    o = jnp.int32(scheme.gap_open)
-    e = jnp.int32(scheme.gap_extend)
+    LSTART dirs bit ("full" layout only).
+
+    The state dtype is taken from the score buffers (int32, or int16 for
+    2x VPU lane density when ``stream_i16_neg`` certifies the scheme x
+    shape range).  In int16, ``neg_sent`` is the -inf sentinel and the
+    accumulating I/D gap chains are floor-clamped to it each step so a
+    never-refreshed lane cannot decay past INT16_MIN (the int32 sentinel
+    survives S steps of decay for free; int16 does not)."""
+    sdt = H2.dtype
+    i16 = sdt == jnp.int16
+    o = jnp.asarray(scheme.gap_open, sdt)
+    e = jnp.asarray(scheme.gap_extend, sdt)
+    sneg = jnp.asarray(neg_sent, sdt)
 
     lane_p = col_iota == p
 
@@ -156,7 +198,9 @@ def _stream_step(
         eq = (s1d_n & s2v_n) != 0  # N-matches-anything (align.rs:298-304)
     else:
         eq = s1d_n == s2v_n
-    sub = jnp.where(eq, jnp.int32(scheme.match_), jnp.int32(scheme.mismatch))
+    sub = jnp.where(
+        eq, jnp.asarray(scheme.match_, sdt), jnp.asarray(scheme.mismatch, sdt)
+    )
 
     # Merged-roll Gotoh: D needs max(M,D)[x-1] so the max commutes with the
     # lane shift -- one roll instead of two (vs ops.nw_affine._gotoh_step).
@@ -177,9 +221,22 @@ def _stream_step(
     else:
         D = roll(jnp.maximum(t0, D1)) + e
         I = jnp.maximum(t0, I1) + e
+    if i16:
+        # Floor the accumulating chains at the sentinel: the extend/open
+        # flags above are computed pre-clamp (the clamp only binds on
+        # invalid lanes, where the flags are never walked).
+        I = jnp.maximum(I, sneg)
+        D = jnp.maximum(D, sneg)
 
     if mode == "global":
         row0, col0 = _boundary_scalars(p, scheme, compat)
+        if i16:
+            row0 = tuple(
+                jnp.maximum(v, jnp.int32(neg_sent)).astype(sdt) for v in row0
+            )
+            col0 = tuple(
+                jnp.maximum(v, jnp.int32(neg_sent)).astype(sdt) for v in col0
+            )
         M = jnp.where(lane_p, col0[0], M)
         I = jnp.where(lane_p, col0[1], I)
         D = jnp.where(lane_p, col0[2], D)
@@ -195,8 +252,8 @@ def _stream_step(
         # flowing into this pair's window (same role as the global chains).
         on_b = jnp.logical_or(lane_0, lane_p)
         M = jnp.where(on_b, 0, M)
-        I = jnp.where(on_b, NEG_INF, I)
-        D = jnp.where(on_b, NEG_INF, D)
+        I = jnp.where(on_b, sneg, I)
+        D = jnp.where(on_b, sneg, D)
         if mode == "local":
             restart = jnp.where(on_b, 1, restart)
 
@@ -234,19 +291,27 @@ def _stream_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "scheme", "compat", "wildcard", "dirs_mode"),
+    static_argnames=(
+        "plan", "scheme", "compat", "wildcard", "dirs_mode", "state_dtype"
+    ),
 )
 def gotoh_fill_stream_lax(
     qstream, dstream, dsums, n2s,
     plan: StreamPlan, scheme: ScoringScheme,
     compat: bool, wildcard: bool, dirs_mode,
+    state_dtype=jnp.int32,
 ):
     """qstream/dstream: (n_rows, t_total) int32 -- slot k's codes at
     [k*s+1, k*s+1+len); dsums/n2s: (np_slots, n_rows) int32.  Returns
     (fm, fi, fd) each (np_slots, n_rows) plus packed dirs or None."""
     R = qstream.shape[0]
     P = plan.p
-    neg = jnp.full((R, P), NEG_INF, jnp.int32)
+    neg_sent = NEG_INF
+    if state_dtype == jnp.int16:
+        neg_sent = stream_i16_neg(scheme, plan)
+        if neg_sent is None:
+            raise ValueError("scheme x shape does not fit int16 state")
+    neg = jnp.full((R, P), neg_sent, state_dtype)
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
     lane_0 = col_iota == 0
     roll = lambda a: jnp.roll(a, 1, axis=1)
@@ -260,15 +325,22 @@ def gotoh_fill_stream_lax(
         M, I, D, H, s1d, s2v, byte = _stream_step(
             H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, lane_0, p,
             scheme, compat, wildcard, roll, dirs_mode,
+            neg_sent=neg_sent,
         )
         for k in range(plan.np_slots):
             cap = jnp.logical_and(
                 t == k * plan.s + dsums[k][:, None],
                 col_iota == n2s[k][:, None],
             )
-            fm = fm.at[k].add(jnp.where(cap, M, 0).sum(axis=1))
-            fi = fi.at[k].add(jnp.where(cap, I, 0).sum(axis=1))
-            fd = fd.at[k].add(jnp.where(cap, D, 0).sum(axis=1))
+            fm = fm.at[k].add(
+                jnp.where(cap, M, 0).sum(axis=1).astype(jnp.int32)
+            )
+            fi = fi.at[k].add(
+                jnp.where(cap, I, 0).sum(axis=1).astype(jnp.int32)
+            )
+            fd = fd.at[k].add(
+                jnp.where(cap, D, 0).sum(axis=1).astype(jnp.int32)
+            )
         out = byte.astype(jnp.uint8) if dirs_mode else jnp.zeros((), jnp.uint8)
         return (H1, H, M, I, D, s1d, s2v, fm, fi, fd), out
 
@@ -309,6 +381,7 @@ def _stream_kernel(
     *, plan: StreamPlan,
     scheme: ScoringScheme, compat: bool, wildcard: bool, dirs_mode,
     unroll: int = 0,
+    neg_sent: int = NEG_INF,
 ):
     upack = 8 if dirs_mode == "fast4" else 4
     shift = 32 // upack
@@ -325,9 +398,11 @@ def _stream_kernel(
     lane_0 = col_iota == 0
     roll = lambda a: pltpu.roll(a, 1, axis=1)
 
+    sdt = H2.dtype
+
     @pl.when(jnp.logical_and(k == 0, cc == 0))
     def _init_state():
-        neg = jnp.full((BT, P), NEG_INF, dtype=jnp.int32)
+        neg = jnp.full((BT, P), neg_sent, dtype=sdt)
         H2[...] = neg
         H1[...] = neg
         M1[...] = neg
@@ -382,6 +457,7 @@ def _stream_kernel(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
                 qc, dc, col_iota, lane_0, p,
                 scheme, compat, wildcard, roll, dirs_mode,
+                neg_sent=neg_sent,
             )
             vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
 
@@ -396,30 +472,30 @@ def _stream_kernel(
             @pl.when(jnp.logical_and(gy, k_even))
             def _cap_ye(M=M, I=I, D=D, p=p):
                 cap = jnp.logical_and(dsy == p, col_iota == n2y)
-                fm_e[0] += jnp.where(cap, M, 0)
-                fi_e[0] += jnp.where(cap, I, 0)
-                fd_e[0] += jnp.where(cap, D, 0)
+                fm_e[0] += jnp.where(cap, M, 0).astype(jnp.int32)
+                fi_e[0] += jnp.where(cap, I, 0).astype(jnp.int32)
+                fd_e[0] += jnp.where(cap, D, 0).astype(jnp.int32)
 
             @pl.when(jnp.logical_and(gy, jnp.logical_not(k_even)))
             def _cap_yo(M=M, I=I, D=D, p=p):
                 cap = jnp.logical_and(dsy == p, col_iota == n2y)
-                fm_o[0] += jnp.where(cap, M, 0)
-                fi_o[0] += jnp.where(cap, I, 0)
-                fd_o[0] += jnp.where(cap, D, 0)
+                fm_o[0] += jnp.where(cap, M, 0).astype(jnp.int32)
+                fi_o[0] += jnp.where(cap, I, 0).astype(jnp.int32)
+                fd_o[0] += jnp.where(cap, D, 0).astype(jnp.int32)
 
             @pl.when(jnp.logical_and(go, jnp.logical_not(k_even)))
             def _cap_oe(M=M, I=I, D=D, po=po):
                 cap = jnp.logical_and(dso == po, col_iota == n2o)
-                fm_e[0] += jnp.where(cap, M, 0)
-                fi_e[0] += jnp.where(cap, I, 0)
-                fd_e[0] += jnp.where(cap, D, 0)
+                fm_e[0] += jnp.where(cap, M, 0).astype(jnp.int32)
+                fi_e[0] += jnp.where(cap, I, 0).astype(jnp.int32)
+                fd_e[0] += jnp.where(cap, D, 0).astype(jnp.int32)
 
             @pl.when(jnp.logical_and(go, k_even))
             def _cap_oo(M=M, I=I, D=D, po=po):
                 cap = jnp.logical_and(dso == po, col_iota == n2o)
-                fm_o[0] += jnp.where(cap, M, 0)
-                fi_o[0] += jnp.where(cap, I, 0)
-                fd_o[0] += jnp.where(cap, D, 0)
+                fm_o[0] += jnp.where(cap, M, 0).astype(jnp.int32)
+                fi_o[0] += jnp.where(cap, I, 0).astype(jnp.int32)
+                fd_o[0] += jnp.where(cap, D, 0).astype(jnp.int32)
 
             if dirs_mode:
                 word = byte.astype(jnp.uint32) << (shift * (u % upack))
@@ -442,16 +518,28 @@ def gotoh_fill_stream_pallas(
     interpret: Optional[bool] = None,
     bt: int = 8,
     unroll: int = 32,
+    state_dtype=jnp.int32,
 ):
     """qstream/dstream: (n_rows, t_total) int32; dsy/n2y/dso/n2o:
     (n_slots_g, n_rows, 1) int32 per-slot capture params (younger and
     older = shifted-by-one views).  Returns ((fm, fi, fd) each
     (J, n_rows, P) where J = (n_slots_g+1)//2 -- index k//2, parity k%2
-    picks even/odd -- and dirs)."""
+    picks even/odd -- and dirs).
+
+    state_dtype=jnp.int16 halves the score-state vreg footprint (2x VPU
+    lane density) when stream_i16_neg certifies the scheme x shape;
+    finals and dirs layouts are unchanged (still int32/uint32)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     R = qstream.shape[0]
     P = plan.p
+    neg_sent = NEG_INF
+    if state_dtype == jnp.int16:
+        neg_sent = stream_i16_neg(scheme, plan)
+        if neg_sent is None:
+            raise ValueError("scheme x shape does not fit int16 state")
+        if bt < 16:
+            bt = 16  # int16 min sublane tile is (16, 128)
     BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
     # VMEM feasibility at the actual row tile: scratch is 7 * BT * P * 4
     # bytes, so the lane budget shrinks as 8/BT (ADVICE round 1: the
@@ -473,7 +561,7 @@ def gotoh_fill_stream_pallas(
     kernel = functools.partial(
         _stream_kernel, plan=plan, scheme=scheme,
         compat=compat, wildcard=wildcard, dirs_mode=dirs_mode,
-        unroll=unroll,
+        unroll=unroll, neg_sent=neg_sent,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     in_specs = [
@@ -500,7 +588,10 @@ def gotoh_fill_stream_pallas(
     out_shape = [jax.ShapeDtypeStruct((J, R, P), jnp.int32)] * 6 + [
         jax.ShapeDtypeStruct((T4 if dirs_mode else 1, R, P), jnp.uint32)
     ]
-    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(7)]
+    # 5 score buffers in the state dtype; the two char buffers stay int32.
+    scratch = [pltpu.VMEM((BT, P), state_dtype) for _ in range(5)] + [
+        pltpu.VMEM((BT, P), jnp.int32) for _ in range(2)
+    ]
     fm_e, fi_e, fd_e, fm_o, fi_o, fd_o, dirs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -562,14 +653,16 @@ def _device_stream_inputs(q_all, d_all, qlen, dlen, plan: StreamPlan):
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_stream_prep_pallas(plan, scheme, compat, wildcard, dirs_mode):
+def _jitted_stream_prep_pallas(
+    plan, scheme, compat, wildcard, dirs_mode, state_dtype=jnp.int32
+):
     """Device-side stream prep + fill as ONE jitted dispatch."""
 
     def run(q_all, d_all, qlen, dlen):
         ins = _device_stream_inputs(q_all, d_all, qlen, dlen, plan)
         return gotoh_fill_stream_pallas(
             *ins, plan=plan, scheme=scheme, compat=compat,
-            wildcard=wildcard, dirs_mode=dirs_mode,
+            wildcard=wildcard, dirs_mode=dirs_mode, state_dtype=state_dtype,
         )
 
     return jax.jit(run)
@@ -661,6 +754,7 @@ def nw_affine_stream_batch(
     backend: str = "auto",
     np_slots: Optional[int] = None,
     chunk: int = 128,
+    state_dtype=jnp.int32,
 ) -> StreamResult:
     """Streamed batched Gotoh fill.  Same contract as
     ops.nw_affine.nw_affine_batch but ~2x the lane efficiency on uniform
@@ -687,7 +781,7 @@ def nw_affine_stream_batch(
     dirs_mode = "full" if with_dirs is True else with_dirs
     if backend == "pallas":
         fn = _jitted_stream_prep_pallas(
-            plan, scheme, compat, wildcard, dirs_mode
+            plan, scheme, compat, wildcard, dirs_mode, state_dtype
         )
         outs, dirs = fn(
             jnp.asarray(q_all), jnp.asarray(d_all),
@@ -702,6 +796,7 @@ def nw_affine_stream_batch(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),
             plan, scheme, compat, wildcard, dirs_mode,
+            state_dtype=state_dtype,
         )
         fm, fi, fd = np.asarray(fm), np.asarray(fi), np.asarray(fd)
         finals = np.stack(

@@ -270,3 +270,94 @@ def test_stream_pallas_small_chunk_matches_lax(chunk, wd):
                 assert isinstance(g, type(e)) and str(g) == str(e), (b, g, e)
             else:
                 assert g == e, (b, pairs[b], g, e)
+
+
+def test_stream_int16_state_matches_int32():
+    """int16 score state (2x VPU lane density once Mosaic compiles i16
+    vectors) must be bit-identical to int32 on the WALKED contracts:
+    finals and traceback alignments.  Raw dirs words may differ only at
+    never-walked positions (sentinel-vs-sentinel extend flags: the int32
+    sentinel decays unboundedly, the int16 one is floor-clamped)."""
+    import jax.numpy as jnp
+
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+
+    pairs = _random_pairs(31, n_pairs=24, hi=14)
+    batch = pack_batch(pairs, batch_size=len(pairs))
+    seqs1 = [p[0] for p in pairs]
+    seqs2 = [p[1] for p in pairs]
+    for compat in (True, False):
+        for backend in ("lax", "pallas"):
+            for dm in ("full", "fast4", False):
+                kw = dict(
+                    compat=compat, with_dirs=dm, backend=backend, np_slots=3
+                )
+                r32 = nw_affine_stream_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len, **kw
+                )
+                r16 = nw_affine_stream_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len,
+                    state_dtype=jnp.int16, **kw
+                )
+                np.testing.assert_array_equal(r32.finals, r16.finals)
+                if not dm:
+                    continue
+                w32 = traceback_stream_batch(
+                    np.asarray(r32.dirs), r32.finals, seqs1, seqs2, r32.plan,
+                    compat=compat, dirs_mode=dm,
+                )
+                w16 = traceback_stream_batch(
+                    np.asarray(r16.dirs), r16.finals, seqs1, seqs2, r16.plan,
+                    compat=compat, dirs_mode=dm,
+                )
+                for b, (g, e) in enumerate(zip(w16, w32)):
+                    if isinstance(e, Exception):
+                        assert isinstance(g, type(e)) and str(g) == str(e)
+                    else:
+                        assert g == e, (compat, backend, dm, b, pairs[b])
+
+
+def test_stream_int16_deep_negative_range():
+    """Pure-mismatch pairs drive real DP cells deep below the int16
+    sentinel's naive placement; the certified sentinel + clamp must keep
+    finals exact (lax, score-only for speed)."""
+    import jax.numpy as jnp
+
+    n, L = 8, 384
+    pairs = [(b"A" * L, b"T" * L)] * n
+    batch = pack_batch(pairs, batch_size=n)
+    r32 = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        with_dirs=False, backend="lax", np_slots=1,
+    )
+    r16 = nw_affine_stream_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        with_dirs=False, backend="lax", np_slots=1, state_dtype=jnp.int16,
+    )
+    np.testing.assert_array_equal(r32.finals, r16.finals)
+    assert int(r32.finals[0][0]) == -4 * L  # all-mismatch diagonal optimum
+
+
+def test_stream_int16_gate_rejects_overflow():
+    """A scheme x shape outside the closed-form int16 certification must
+    be rejected, not silently wrapped."""
+    import jax.numpy as jnp
+    import pytest
+
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.nw_affine_stream import (
+        plan_stream,
+        stream_i16_neg,
+    )
+
+    big = ScoringScheme(match_=5, mismatch=-400, gap_open=-800, gap_extend=-600)
+    plan = plan_stream(16, 60, 60)
+    assert stream_i16_neg(big, plan) is None
+    pairs = _random_pairs(7, n_pairs=16, hi=14)
+    batch = pack_batch(pairs, batch_size=16)
+    with pytest.raises(ValueError, match="int16"):
+        nw_affine_stream_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=big, with_dirs=False, backend="lax",
+            state_dtype=jnp.int16,
+        )
