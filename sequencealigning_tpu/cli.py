@@ -95,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
         "schemes), exact threaded native host engine, or the "
         "score-indexed TPU wavefront engine",
     )
+    p.add_argument(
+        "--stream-state", default="i32", choices=["i32", "i16", "auto"],
+        help="Streamed-kernel score-state dtype: i16 doubles VPU lane "
+        "density when the scheme x shape certifies and the backend "
+        "compiles i16 vectors; auto probes and falls back to i32",
+    )
     return p
 
 
@@ -156,6 +162,13 @@ def _print_result(res, algo: Algo, verbose: bool) -> None:
 
 
 def main(argv=None) -> int:
+    # Honor an explicit JAX_PLATFORMS=cpu request in-process: some TPU
+    # platform plugins override the env var, and a dead device tunnel
+    # would otherwise hang backend init (same fix as the bench tools).
+    if os.environ.get("JAX_PLATFORMS", "").strip() == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     # Persistent XLA compile cache: repeated CLI invocations reuse kernel
     # binaries (warm compiles are ~2 s on the TPU rig; see PERF.md).
     from sequencealigning_tpu.utils.compilecache import enable as _cc
@@ -191,6 +204,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         bucket=args.bucket,
         first_only=args.first_only,
+        stream_state=args.stream_state,
         debug=args.debug,
         profile_dir=args.profile,
     )

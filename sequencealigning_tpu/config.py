@@ -123,6 +123,12 @@ class AlignConfig:
     # fast4 direction layout (half the dirs memory, threaded native walker)
     # instead of the reference's full co-optimal enumeration.
     first_only: bool = False
+    # Streamed-kernel score-state dtype: "i32", "i16" (2x VPU lane density;
+    # requires the closed-form range certification to pass, see
+    # ops.nw_affine_stream.stream_i16_neg), or "auto" (i16 iff certified
+    # AND the backend's Mosaic compiles i16 vector ops -- probed once per
+    # process).  Results are bit-identical either way (tests pin it).
+    stream_state: str = "i32"
     # Device mesh: (data,) axis sizes; None = all local devices on one axis.
     mesh_shape: tuple = ()
     # Debug guards: validate kernel results against closed-form score

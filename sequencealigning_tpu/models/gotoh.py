@@ -76,6 +76,7 @@ class GotohAligner(Aligner):
             compat=self.config.compat,
             with_dirs="fast4" if first_only else True,
             np_slots=np_slots,
+            state_dtype=getattr(self.config, "stream_state", "i32"),
         )
         if self.config.debug:
             from sequencealigning_tpu.utils.guards import check_finals

@@ -150,6 +150,52 @@ def stream_i16_neg(scheme: ScoringScheme, plan: StreamPlan) -> Optional[int]:
     return neg
 
 
+@functools.lru_cache(maxsize=1)
+def stream_i16_supported() -> bool:
+    """Whether the current backend compiles the int16 vector ops the
+    streamed kernel needs (add/roll/compare/select on (16, 128) i16).
+
+    The dev rig's remote Mosaic rejects ALL i16 vector arithmetic
+    (PERF.md, re-probed every round); interpret mode always supports it.
+    The probe compiles once per process and is cheap under the
+    persistent compilation cache."""
+    if jax.default_backend() != "tpu":
+        return True
+
+    def k(x_ref, o_ref):
+        v = x_ref[...]
+        w = pltpu.roll(v, 1, axis=1) + jnp.asarray(1, jnp.int16)
+        o_ref[...] = jnp.where(v >= w, jnp.maximum(v, w), v)
+
+    try:
+        x = jnp.zeros((16, 128), jnp.int16)
+        out = pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((16, 128), jnp.int16)
+        )(x)
+        np.asarray(out)
+        return True
+    except Exception:
+        return False
+
+
+def resolve_stream_state(state_dtype, scheme: ScoringScheme, plan: StreamPlan):
+    """Map a stream-state request to a concrete dtype.
+
+    "i32"/None -> int32.  "i16" -> int16 (the fill raises if the scheme x
+    shape is not certified).  "auto" -> int16 iff certified AND the
+    backend compiles i16 vectors, else int32.  A concrete dtype passes
+    through."""
+    if state_dtype in (None, "i32"):
+        return jnp.int32
+    if state_dtype == "i16":
+        return jnp.int16
+    if state_dtype == "auto":
+        if stream_i16_neg(scheme, plan) is None:
+            return jnp.int32
+        return jnp.int16 if stream_i16_supported() else jnp.int32
+    return state_dtype
+
+
 # ---------------------------------------------------------------------------
 # Shared single-step (state includes s2v; merged-roll D recurrence)
 # ---------------------------------------------------------------------------
@@ -759,10 +805,12 @@ def nw_affine_stream_batch(
     """Streamed batched Gotoh fill.  Same contract as
     ops.nw_affine.nw_affine_batch but ~2x the lane efficiency on uniform
     batches.  Pads the batch to a multiple of np_slots*8 pairs internally
-    (padded lanes are stripped from finals)."""
+    (padded lanes are stripped from finals).  state_dtype: a dtype or
+    "i32"/"i16"/"auto" (resolve_stream_state)."""
     B, L1 = query.shape
     _, L2 = db.shape
     plan = plan_stream(B, L1, L2, chunk=chunk, np_slots=np_slots)
+    state_dtype = resolve_stream_state(state_dtype, scheme, plan)
     NP, R = plan.np_slots, plan.n_rows
     n_padded = NP * R
 

@@ -361,3 +361,42 @@ def test_stream_int16_gate_rejects_overflow():
             scheme=big, with_dirs=False, backend="lax",
             state_dtype=jnp.int16,
         )
+
+
+def test_stream_state_auto_resolution_and_model_knob():
+    """"auto" resolves to int16 exactly when the range certifies and the
+    backend supports i16 (interpret mode always does); the model-level
+    knob produces identical results either way."""
+    import jax.numpy as jnp
+
+    from sequencealigning_tpu.config import AlignConfig, Algo, ScoringScheme
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops.nw_affine_stream import (
+        plan_stream,
+        resolve_stream_state,
+    )
+
+    plan = plan_stream(16, 60, 60)
+    assert resolve_stream_state("i32", ScoringScheme(), plan) == jnp.int32
+    assert resolve_stream_state("i16", ScoringScheme(), plan) == jnp.int16
+    assert resolve_stream_state("auto", ScoringScheme(), plan) == jnp.int16
+    big = ScoringScheme(match_=5, mismatch=-400, gap_open=-800,
+                        gap_extend=-600)
+    assert resolve_stream_state("auto", big, plan) == jnp.int32
+
+    pairs = _random_pairs(41, n_pairs=10, hi=12)
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    outs = {}
+    for ss in ("i32", "auto"):
+        al = get_aligner(
+            AlignConfig(algo=Algo.NEEDLEMAN_WUNSCH, stream_state=ss)
+        )
+        outs[ss] = [al.align_pair(q, d) for q, d in recs]
+    for r32, r16 in zip(outs["i32"], outs["auto"]):
+        assert r32.score == r16.score
+        assert r32.aligned_query == r16.aligned_query
+        assert r32.aligned_db == r16.aligned_db
