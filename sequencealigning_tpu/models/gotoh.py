@@ -267,6 +267,7 @@ class GotohAligner(Aligner):
             sres = nw_affine_stream_modes_batch(
                 batch.query, batch.db, batch.query_len, batch.db_len,
                 "local" if local else "semi", scheme=self.config.scoring,
+                state_dtype=getattr(self.config, "stream_state", "i32"),
             )
             dirs = np.asarray(sres.dirs)
 

@@ -45,6 +45,8 @@ from sequencealigning_tpu.ops.nw_affine_stream import (
     _stream_step,
     build_stream_inputs,
     plan_stream,
+    resolve_stream_state,
+    stream_i16_neg,
 )
 
 NEGBIG = -(2 ** 24)
@@ -94,12 +96,15 @@ def _mode_candidates(mode, M, I, D, H, col_iota, p, dsv, n2v):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("plan", "scheme", "wildcard", "mode", "with_dirs"),
+    static_argnames=(
+        "plan", "scheme", "wildcard", "mode", "with_dirs", "state_dtype"
+    ),
 )
 def gotoh_fill_stream_modes_lax(
     qstream, dstream, dsums, n2s,
     plan: StreamPlan, scheme: ScoringScheme,
     wildcard: bool, mode: str, with_dirs: bool,
+    state_dtype=jnp.int32,
 ):
     """qstream/dstream: (n_rows, t_total) int32; dsums/n2s:
     (np_slots, n_rows) int32.  Returns (bv, bd) each (np_slots, n_rows, P)
@@ -107,7 +112,16 @@ def gotoh_fill_stream_modes_lax(
     assert mode in ("semi", "local"), mode
     R = qstream.shape[0]
     P = plan.p
-    neg = jnp.full((R, P), NEGBIG, jnp.int32)
+    neg_sent = None
+    if state_dtype == jnp.int16:
+        neg_sent = stream_i16_neg(scheme, plan)
+        if neg_sent is None:
+            raise ValueError("scheme x shape does not fit int16 state")
+    neg = (
+        jnp.full((R, P), NEGBIG, jnp.int32)
+        if neg_sent is None
+        else jnp.full((R, P), neg_sent, state_dtype)
+    )
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (R, P), 1)
     lane_0 = col_iota == 0
     roll = lambda a: jnp.roll(a, 1, axis=1)
@@ -122,6 +136,7 @@ def gotoh_fill_stream_modes_lax(
         M, I, D, H, s1d, s2v, byte = _stream_step(
             H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, lane_0, p,
             scheme, False, wildcard, roll, dirs_mode, mode=mode,
+            **({} if neg_sent is None else {"neg_sent": neg_sent}),
         )
         for k in range(plan.np_slots):
             pk = t - k * plan.s
@@ -129,6 +144,7 @@ def gotoh_fill_stream_modes_lax(
                 mode, M, I, D, H, col_iota, pk,
                 dsums[k][:, None], n2s[k][:, None],
             )
+            score = score.astype(jnp.int32)
             elig = jnp.logical_and(elig, pk >= 0)
             upd = jnp.logical_and(elig, score > bv[k])
             bv = bv.at[k].set(jnp.where(upd, score, bv[k]))
@@ -170,6 +186,7 @@ def _stream_modes_kernel(
     *, plan: StreamPlan,
     scheme: ScoringScheme, wildcard: bool, mode: str, with_dirs: bool,
     unroll: int = 0,
+    neg_sent: int = None,
 ):
     upack = 4
     shift = 8
@@ -184,9 +201,12 @@ def _stream_modes_kernel(
     roll = lambda a: pltpu.roll(a, 1, axis=1)
     dirs_mode = "full" if with_dirs else False
 
+    sdt = H2.dtype
+    state_neg = NEGBIG if neg_sent is None else neg_sent
+
     @pl.when(jnp.logical_and(k == 0, cc == 0))
     def _init_state():
-        neg = jnp.full((BT, P), NEGBIG, dtype=jnp.int32)
+        neg = jnp.full((BT, P), state_neg, dtype=sdt)
         H2[...] = neg
         H1[...] = neg
         M1[...] = neg
@@ -244,18 +264,23 @@ def _stream_modes_kernel(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
                 qc, dc, col_iota, lane_0, p,
                 scheme, False, wildcard, roll, dirs_mode, mode=mode,
+                **({} if neg_sent is None else {"neg_sent": neg_sent}),
             )
             vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
 
             # Running argmax for the younger (this slot, local diag p) and
-            # older (slot k-1, local diag p + s) pairs.
+            # older (slot k-1, local diag p + s) pairs.  The int32 cast is
+            # free for i32 state and one convert for i16 (the argmax
+            # blocks stay int32 either way).
             elig_y, sc_y = _mode_candidates(
                 mode, M, I, D, H, col_iota, p, dsy, n2y
             )
+            sc_y = sc_y.astype(jnp.int32)
             po = p + plan.s
             elig_o, sc_o = _mode_candidates(
                 mode, M, I, D, H, col_iota, po, dso, n2o
             )
+            sc_o = sc_o.astype(jnp.int32)
             upd = jnp.logical_and(elig_y, sc_y > gv_y)
             gv_y = jnp.where(upd, sc_y, gv_y)
             gd_y = jnp.where(upd, p, gd_y)
@@ -305,6 +330,7 @@ def gotoh_fill_stream_modes_pallas(
     interpret: Optional[bool] = None,
     bt: int = 8,
     unroll: int = 32,
+    state_dtype=jnp.int32,
 ):
     """Same input layout as gotoh_fill_stream_pallas.  Returns
     ((bv_e, bd_e, bv_o, bd_o) each (J, n_rows, P), dirs)."""
@@ -313,6 +339,13 @@ def gotoh_fill_stream_modes_pallas(
         interpret = jax.default_backend() != "tpu"
     R = qstream.shape[0]
     P = plan.p
+    neg_sent = None
+    if state_dtype == jnp.int16:
+        neg_sent = stream_i16_neg(scheme, plan)
+        if neg_sent is None:
+            raise ValueError("scheme x shape does not fit int16 state")
+        if bt < 16:
+            bt = 16  # int16 min sublane tile is (16, 128)
     BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
     if not interpret and BT * P > 8 * _STATE_LANE_BUDGET:
         raise ValueError(
@@ -328,6 +361,7 @@ def gotoh_fill_stream_modes_pallas(
     kernel = functools.partial(
         _stream_modes_kernel, plan=plan, scheme=scheme,
         wildcard=wildcard, mode=mode, with_dirs=with_dirs, unroll=unroll,
+        neg_sent=neg_sent,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     in_specs = [
@@ -354,7 +388,9 @@ def gotoh_fill_stream_modes_pallas(
     out_shape = [jax.ShapeDtypeStruct((J, R, P), jnp.int32)] * 4 + [
         jax.ShapeDtypeStruct((T4 if with_dirs else 1, R, P), jnp.uint32)
     ]
-    scratch = [pltpu.VMEM((BT, P), jnp.int32) for _ in range(7)]
+    scratch = [pltpu.VMEM((BT, P), state_dtype) for _ in range(5)] + [
+        pltpu.VMEM((BT, P), jnp.int32) for _ in range(2)
+    ]
     bv_e, bd_e, bv_o, bd_o, dirs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -397,7 +433,9 @@ def stream_modes_lanes(outs, np_slots: int) -> Tuple[jax.Array, jax.Array]:
 
 
 @functools.lru_cache(maxsize=64)
-def _jitted_stream_modes(plan, scheme, wildcard, mode, with_dirs, bt):
+def _jitted_stream_modes(
+    plan, scheme, wildcard, mode, with_dirs, bt, state_dtype=jnp.int32
+):
     """Device-side stream prep + fill as ONE jitted dispatch (ships the
     raw 1-byte/char padded sequences, not the 5x fatter int32 streams --
     see nw_affine_stream._jitted_stream_prep_pallas)."""
@@ -407,7 +445,7 @@ def _jitted_stream_modes(plan, scheme, wildcard, mode, with_dirs, bt):
         outs, dirs = gotoh_fill_stream_modes_pallas(
             *ins,
             plan=plan, scheme=scheme, wildcard=wildcard, mode=mode,
-            with_dirs=with_dirs, bt=bt,
+            with_dirs=with_dirs, bt=bt, state_dtype=state_dtype,
         )
         bv, bd = stream_modes_lanes(outs, plan.np_slots)
         return bv, bd, dirs
@@ -428,14 +466,17 @@ def nw_affine_stream_modes_batch(
     np_slots: Optional[int] = None,
     chunk: int = 128,
     bt: int = 8,
+    state_dtype=jnp.int32,
 ) -> StreamModesResult:
     """Streamed batched semi-global/local Gotoh fill.  mode in
     ("semi", "local").  Returns per-lane running argmax buffers; use
-    stream_modes_best() for the (score, x, y) end cell per pair."""
+    stream_modes_best() for the (score, x, y) end cell per pair.
+    state_dtype: dtype or "i32"/"i16"/"auto" (resolve_stream_state)."""
     assert mode in ("semi", "local"), mode
     B, L1 = query.shape
     _, L2 = db.shape
     plan = plan_stream(B, L1, L2, chunk=chunk, np_slots=np_slots)
+    state_dtype = resolve_stream_state(state_dtype, scheme, plan)
     NP, R = plan.np_slots, plan.n_rows
     n_padded = NP * R
 
@@ -453,7 +494,7 @@ def nw_affine_stream_modes_batch(
 
     if backend == "pallas":
         fn = _jitted_stream_modes(
-            plan, scheme, wildcard, mode, with_dirs, bt
+            plan, scheme, wildcard, mode, with_dirs, bt, state_dtype
         )
         bv, bd, dirs = fn(
             jnp.asarray(q_all), jnp.asarray(d_all),
@@ -468,6 +509,7 @@ def nw_affine_stream_modes_batch(
             jnp.asarray(qstream), jnp.asarray(dstream),
             jnp.asarray(dsy[:NP, :, 0]), jnp.asarray(n2y[:NP, :, 0]),
             plan, scheme, wildcard, mode, with_dirs,
+            state_dtype=state_dtype,
         )
         bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
         bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)

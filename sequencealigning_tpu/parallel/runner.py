@@ -73,6 +73,7 @@ class DataParallelRunner:
         kernel: str = "stream",
         np_slots: int = 32,
         bt: int = 16,
+        state_dtype="i32",
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scheme = scheme
@@ -87,6 +88,9 @@ class DataParallelRunner:
         self.kernel = kernel
         self.np_slots = np_slots
         self.bt = bt
+        # "i32" | "i16" | "auto" | dtype, resolved per plan at fn-build
+        # time (ops.nw_affine_stream.resolve_stream_state).
+        self.state_dtype = state_dtype
         self._fn_cache = {}
 
     @property
@@ -135,7 +139,12 @@ class DataParallelRunner:
         return fn
 
     def _stream_fn(self, plan, dirs_mode=False):
-        key = ("stream", plan, self.gather, dirs_mode)
+        from sequencealigning_tpu.ops.nw_affine_stream import (
+            resolve_stream_state,
+        )
+
+        sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
+        key = ("stream", plan, self.gather, dirs_mode, jnp.dtype(sdt).name)
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
@@ -148,13 +157,14 @@ class DataParallelRunner:
                 outs, dirs = gotoh_fill_stream_pallas(
                     qstream, dstream, dsy, n2y, dso, n2o,
                     plan, scheme, compat, wildcard, dirs_mode=dirs_mode,
-                    bt=bt,
+                    bt=bt, state_dtype=sdt,
                 )
                 finals = stream_finals(outs, NP)
             else:
                 (fm, fi, fd), dirs = gotoh_fill_stream_lax(
                     qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
                     plan, scheme, compat, wildcard, dirs_mode=dirs_mode,
+                    state_dtype=sdt,
                 )
                 finals = jnp.stack(
                     [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
@@ -188,7 +198,15 @@ class DataParallelRunner:
         return fn
 
     def _stream_modes_fn(self, plan, mode: str, with_dirs: bool):
-        key = ("stream_modes", plan, self.gather, mode, with_dirs)
+        from sequencealigning_tpu.ops.nw_affine_stream import (
+            resolve_stream_state,
+        )
+
+        sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
+        key = (
+            "stream_modes", plan, self.gather, mode, with_dirs,
+            jnp.dtype(sdt).name,
+        )
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, wildcard = self.scheme, self.wildcard
@@ -201,12 +219,14 @@ class DataParallelRunner:
                 outs, dirs = gotoh_fill_stream_modes_pallas(
                     qstream, dstream, dsy, n2y, dso, n2o,
                     plan, scheme, wildcard, mode, with_dirs, bt=bt,
+                    state_dtype=sdt,
                 )
                 bv, bd = stream_modes_lanes(outs, NP)
             else:
                 (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
                     qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
                     plan, scheme, wildcard, mode, with_dirs,
+                    state_dtype=sdt,
                 )
                 bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
                 bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)

@@ -151,3 +151,41 @@ def test_stream_modes_skewed_lengths(mode):
         p_score, p_x, p_y = modes_end_cell(plain, b)
         assert (score, x, y) == (p_score, p_x, p_y), (b, s1, s2)
         assert score == brute_force_mode(s1, s2, mode)
+
+
+@pytest.mark.parametrize("mode", ["semi", "local"])
+def test_stream_modes_int16_state_matches_int32(mode):
+    """int16 modes state: best-score/diag argmax buffers and walked
+    alignments must equal int32's exactly (dirs bytes may differ only at
+    never-walked sentinel-vs-sentinel flags, as in the global kernel)."""
+    import jax.numpy as jnp
+
+    pairs = _pairs(229, n=16, lo=2, hi=12)
+    batch = pack_batch(pairs, batch_size=16)
+    for backend in ("lax", "pallas"):
+        r32 = nw_affine_stream_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len, mode,
+            backend=backend, np_slots=2,
+        )
+        r16 = nw_affine_stream_modes_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len, mode,
+            backend=backend, np_slots=2, state_dtype=jnp.int16,
+        )
+        assert np.array_equal(r32.best_val, r16.best_val)
+        assert np.array_equal(r32.best_d, r16.best_d)
+        d32 = np.asarray(r32.dirs)
+        d16 = np.asarray(r16.dirs)
+        for b, (s1, s2) in enumerate(pairs):
+            e32 = stream_modes_best(r32, b)
+            e16 = stream_modes_best(r16, b)
+            assert e32 == e16
+            score, x, y = e32
+            row, _slot, d_off = r32.plan.pair_coords(b)
+            walk = (
+                local_affine_traceback_pair
+                if mode == "local"
+                else semi_global_traceback_pair
+            )
+            w32 = walk(d32[:, row, :], x, y, s1, s2, d_offset=d_off)
+            w16 = walk(d16[:, row, :], x, y, s1, s2, d_offset=d_off)
+            assert w32 == w16, (mode, backend, b, s1, s2)

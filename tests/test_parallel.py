@@ -182,3 +182,17 @@ def test_runner_fill_modes_across_8_devices():
                 )
             assert a1.replace("-", "") in s1.decode()
             assert a2.replace("-", "") in s2.decode()
+
+
+def test_runner_int16_state_matches_int32():
+    """state_dtype='auto' resolves to int16 off-TPU (interpret supports
+    i16) and the sharded scores are identical to the int32 runner's."""
+    pairs = _pairs(73, 16)
+    batch = pack_batch(pairs, batch_size=16)
+    f32 = np.asarray(DataParallelRunner(backend="lax").scores(batch))
+    f16 = np.asarray(
+        DataParallelRunner(
+            backend="lax", kernel="stream", state_dtype="auto"
+        ).scores(batch)
+    )
+    np.testing.assert_array_equal(f32, f16)
