@@ -124,6 +124,37 @@ def main() -> int:
             ):
                 report("stream-walk", rnd, b, "bad-recon", "-", pairs[b])
 
+        # int16 stream state vs int32 finals, on the REAL backend: the
+        # dtype lever is bit-pinned in interpret mode by the test suite,
+        # but this is the only place it runs against actual Mosaic
+        # codegen -- probe-gated so a Mosaic without i16 skips cleanly.
+        from sequencealigning_tpu.ops.nw_affine_stream import (
+            plan_stream as _plan_stream,
+            stream_i16_neg,
+            stream_i16_supported,
+        )
+
+        _plan = _plan_stream(
+            16, batch.query.shape[1], batch.db.shape[1], np_slots=2
+        )
+        if stream_i16_neg(sch, _plan) is not None and stream_i16_supported():
+            import jax.numpy as _jnp
+
+            r16 = nw_affine_stream_batch(
+                batch.query, batch.db, batch.query_len, batch.db_len,
+                scheme=sch, compat=compat, with_dirs=False, np_slots=2,
+                state_dtype=_jnp.int16,
+            )
+            for b in range(16):
+                got = int(np.asarray(r16.finals)[b].max())
+                if got != exp[b]:
+                    report("stream-i16", rnd, b, got, exp[b], pairs[b])
+        elif rnd == 0:
+            print(
+                "[soak] i16 leg skipped (range or Mosaic support)",
+                file=sys.stderr,
+            )
+
         # Streamed textbook modes vs the plain modes engine (end cells).
         mode = "semi" if rnd % 2 == 0 else "local"
         sres = nw_affine_stream_modes_batch(

@@ -29,7 +29,8 @@ def main() -> int:
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument(
         "--cases", default=None,
-        help="comma list of wd:bt:chunk[:unroll] (wd in fast4|full|score)",
+        help="comma list of wd:bt:chunk[:unroll[:dtype]] (wd in "
+        "fast4|full|score; dtype in i32|i16)",
     )
     args = ap.parse_args()
 
@@ -61,17 +62,21 @@ def main() -> int:
 
     default_cases = [
         # headline today: fast4 bt16 chunk128
-        ("fast4", 16, 128, 32),
+        ("fast4", 16, 128, 32, "i32"),
         # the VMEM-model fix candidates
-        ("fast4", 32, 64, 32),
-        ("fast4", 32, 32, 32),
-        ("fast4", 16, 64, 32),
+        ("fast4", 32, 64, 32, "i32"),
+        ("fast4", 32, 32, 32, "i32"),
+        ("fast4", 16, 64, 32, "i32"),
         # co-optimal full mode (VERDICT bar: >=65 at 4096; HBM caps one
         # sweep at 2048, so per-sweep rate is what matters)
-        ("full", 16, 128, 32),
-        ("full", 16, 64, 32),
-        ("full", 32, 32, 32),
-        ("full", 32, 64, 32),
+        ("full", 16, 128, 32, "i32"),
+        ("full", 16, 64, 32, "i32"),
+        ("full", 32, 32, 32, "i32"),
+        ("full", 32, 64, 32, "i32"),
+        # int16 state (2x lane density; compiles only on a Mosaic with
+        # i16 vector support -- errors are recorded per case)
+        ("fast4", 16, 128, 32, "i16"),
+        ("score", 32, 128, 32, "i16"),
     ]
     if args.cases:
         cases = []
@@ -81,6 +86,7 @@ def main() -> int:
             cases.append((
                 wd, int(parts[1]), int(parts[2]),
                 int(parts[3]) if len(parts) > 3 else 32,
+                parts[4] if len(parts) > 4 else "i32",
             ))
     else:
         cases = default_cases
@@ -94,8 +100,9 @@ def main() -> int:
     _, L2 = batch.db.shape
 
     out = []
-    for wd, bt, chunk, unroll in cases:
+    for wd, bt, chunk, unroll, sdt_name in cases:
         wd_arg = {"fast4": "fast4", "full": "full", "score": False}[wd]
+        sdt = jnp.int16 if sdt_name == "i16" else jnp.int32
         n = args.pairs
         cells_n = cells
         if wd == "full" and on_tpu and args.pairs * args.length > 2048 * 2100:
@@ -115,10 +122,10 @@ def main() -> int:
 
             @jax.jit
             def fn(qs, ds, a1, b1, c1, d1, plan=plan, wd_arg=wd_arg,
-                   bt=bt, unroll=unroll):
+                   bt=bt, unroll=unroll, sdt=sdt):
                 outs, _ = gotoh_fill_stream_pallas(
                     qs, ds, a1, b1, c1, d1, plan, scheme, True, False,
-                    wd_arg, bt=bt, unroll=unroll,
+                    wd_arg, bt=bt, unroll=unroll, state_dtype=sdt,
                 )
                 return outs[0].sum(axis=2)
 
@@ -133,12 +140,14 @@ def main() -> int:
             g = cells_n / dt / 1e9
             row = {
                 "wd": wd, "bt": bt, "chunk": chunk, "unroll": unroll,
+                "dtype": sdt_name,
                 "pairs": n, "gcups": round(g, 2),
                 "ms": round(dt * 1e3, 2), "compile_s": round(compile_s, 1),
             }
         except Exception as ex:
             row = {
                 "wd": wd, "bt": bt, "chunk": chunk, "unroll": unroll,
+                "dtype": sdt_name,
                 "pairs": n,
                 "error": f"{type(ex).__name__}: {str(ex)[:160]}",
             }
