@@ -134,15 +134,17 @@ def main() -> int:
             stream_i16_supported,
         )
 
+        # np_slots=1 keeps n_rows a multiple of 16 (the int16 minimum
+        # sublane tile constrains the Pallas row tile).
         _plan = _plan_stream(
-            16, batch.query.shape[1], batch.db.shape[1], np_slots=2
+            16, batch.query.shape[1], batch.db.shape[1], np_slots=1
         )
         if stream_i16_neg(sch, _plan) is not None and stream_i16_supported():
             import jax.numpy as _jnp
 
             r16 = nw_affine_stream_batch(
                 batch.query, batch.db, batch.query_len, batch.db_len,
-                scheme=sch, compat=compat, with_dirs=False, np_slots=2,
+                scheme=sch, compat=compat, with_dirs=False, np_slots=1,
                 state_dtype=_jnp.int16,
             )
             for b in range(16):

@@ -1120,6 +1120,7 @@ long wfa_textbook_align(const uint8_t *s1, long n1, const uint8_t *s2,
     long max_w = n1 + n2 + 3;
     int32_t *scr = malloc((size_t)(3 * max_w) * sizeof(int32_t));
     if (!scr) { free(lev); return -4; }
+    used += 3 * max_w * (long)sizeof(int32_t);
     int32_t *tmp_a = scr, *tmp_b = scr + max_w, *tmp_c = scr + 2 * max_w;
     /* int32 copies for the vector loops (offsets are stored int32 already,
      * so n1/n2 and every t/y fit int32 by construction) */

@@ -144,7 +144,9 @@ def stream_i16_neg(scheme: ScoringScheme, plan: StreamPlan) -> Optional[int]:
     chain_min = min(o, 0) + (plan.s + 1) * min(e, 0)
     neg = min(min_cell, chain_min) - 64
     dip = abs(o) + abs(e) + max(abs(mm), abs(mt))
-    max_cell = max(mt, 0) * (min(plan.l1, plan.l2) + plan.s) + dip
+    # Growth uses the largest POSITIVE per-step substitution: a scheme
+    # with mismatch > match (CLI-expressible) grows by mismatch.
+    max_cell = max(mt, mm, 0) * (min(plan.l1, plan.l2) + plan.s) + dip
     if neg - dip <= -(1 << 15) or max_cell >= (1 << 15):
         return None
     return neg
@@ -191,6 +193,10 @@ def resolve_stream_state(state_dtype, scheme: ScoringScheme, plan: StreamPlan):
         return jnp.int16
     if state_dtype == "auto":
         if stream_i16_neg(scheme, plan) is None:
+            return jnp.int32
+        if jax.default_backend() == "tpu" and plan.n_rows % 16:
+            # The (16, 128) minimum int16 sublane tile needs n_rows
+            # divisible by 16 on real Mosaic; auto falls back silently.
             return jnp.int32
         return jnp.int16 if stream_i16_supported() else jnp.int32
     return state_dtype
@@ -587,15 +593,28 @@ def gotoh_fill_stream_pallas(
         if bt < 16:
             bt = 16  # int16 min sublane tile is (16, 128)
     BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
-    # VMEM feasibility at the actual row tile: scratch is 7 * BT * P * 4
-    # bytes, so the lane budget shrinks as 8/BT (ADVICE round 1: the
-    # plan-time guard assumed BT=8 and let larger tiles hit an opaque
-    # Mosaic allocation error).
-    if not interpret and BT * P > 8 * _STATE_LANE_BUDGET:
+    if not interpret and state_dtype == jnp.int16 and BT % 16:
+        # The BT fallback for non-multiple row counts would drop below the
+        # int16 (16, 128) minimum sublane tile; fail with guidance rather
+        # than an opaque Mosaic lowering error.
+        raise ValueError(
+            f"int16 state needs n_rows divisible by 16 (got {R}); raise "
+            "np_slots/batch so n_rows is a multiple of 16, or use int32"
+        )
+    # VMEM feasibility at the actual row tile and dtype: scratch is
+    # 5 score buffers of the state dtype + 2 int32 char buffers per lane
+    # (ADVICE round 1: the plan-time guard assumed BT=8/int32 and let
+    # larger tiles hit an opaque Mosaic allocation error).  The empirical
+    # budget constant was measured with 28 bytes/lane (int32).
+    bytes_per_lane = 5 * jnp.dtype(state_dtype).itemsize + 2 * 4
+    if not interpret and BT * P * bytes_per_lane > (
+        8 * _STATE_LANE_BUDGET * 28
+    ):
         raise ValueError(
             f"lane width {P} with row tile bt={BT} exceeds the VMEM state "
-            f"budget ({8 * _STATE_LANE_BUDGET // BT} lanes at this bt); "
-            "lower bt or use ops.nw_affine_tiled for long pairs"
+            f"budget ({8 * _STATE_LANE_BUDGET * 28 // (BT * bytes_per_lane)}"
+            " lanes at this bt/dtype); lower bt or use ops.nw_affine_tiled "
+            "for long pairs"
         )
     NB = R // BT
     NCC = plan.s // plan.chunk

@@ -37,7 +37,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from sequencealigning_tpu.config import ScoringScheme
+from sequencealigning_tpu.config import NEG_INF, ScoringScheme
 from sequencealigning_tpu.ops.nw_affine_stream import (
     StreamPlan,
     _STATE_LANE_BUDGET,
@@ -136,7 +136,7 @@ def gotoh_fill_stream_modes_lax(
         M, I, D, H, s1d, s2v, byte = _stream_step(
             H2, H1, M1, I1, D1, s1d, s2v, qc, dc, col_iota, lane_0, p,
             scheme, False, wildcard, roll, dirs_mode, mode=mode,
-            **({} if neg_sent is None else {"neg_sent": neg_sent}),
+            neg_sent=NEG_INF if neg_sent is None else neg_sent,
         )
         for k in range(plan.np_slots):
             pk = t - k * plan.s
@@ -264,7 +264,7 @@ def _stream_modes_kernel(
                 vH2, vH1, vM1, vI1, vD1, vs1d, vs2v,
                 qc, dc, col_iota, lane_0, p,
                 scheme, False, wildcard, roll, dirs_mode, mode=mode,
-                **({} if neg_sent is None else {"neg_sent": neg_sent}),
+                neg_sent=NEG_INF if neg_sent is None else neg_sent,
             )
             vH2, vH1, vM1, vI1, vD1 = vH1, H, M, I, D
 
@@ -347,10 +347,19 @@ def gotoh_fill_stream_modes_pallas(
         if bt < 16:
             bt = 16  # int16 min sublane tile is (16, 128)
     BT = bt if R % bt == 0 else (8 if R % 8 == 0 else R)
-    if not interpret and BT * P > 8 * _STATE_LANE_BUDGET:
+    if not interpret and state_dtype == jnp.int16 and BT % 16:
+        raise ValueError(
+            f"int16 state needs n_rows divisible by 16 (got {R}); raise "
+            "np_slots/batch so n_rows is a multiple of 16, or use int32"
+        )
+    bytes_per_lane = 5 * jnp.dtype(state_dtype).itemsize + 2 * 4
+    if not interpret and BT * P * bytes_per_lane > (
+        8 * _STATE_LANE_BUDGET * 28
+    ):
         raise ValueError(
             f"lane width {P} with row tile bt={BT} exceeds the VMEM state "
-            f"budget ({8 * _STATE_LANE_BUDGET // BT} lanes at this bt)"
+            f"budget ({8 * _STATE_LANE_BUDGET * 28 // (BT * bytes_per_lane)}"
+            " lanes at this bt/dtype)"
         )
     NB = R // BT
     NCC = plan.s // plan.chunk
