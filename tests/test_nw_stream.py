@@ -400,3 +400,65 @@ def test_stream_state_auto_resolution_and_model_knob():
         assert r32.score == r16.score
         assert r32.aligned_query == r16.aligned_query
         assert r32.aligned_db == r16.aligned_db
+
+
+def test_stream_int16_certification_boundary():
+    """Schemes with large per-char costs reach the int16 boundary at tiny
+    lengths: everything the gate certifies must be bit-exact vs int32,
+    and the gate must reject the next notch up."""
+    import random
+
+    import jax.numpy as jnp
+
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.nw_affine_stream import (
+        plan_stream,
+        stream_i16_neg,
+    )
+
+    rng = random.Random(83)
+    n, lo, hi = 12, 2, 24
+    pairs = [
+        (
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(lo, hi))),
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(lo, hi))),
+        )
+        for _ in range(n)
+    ]
+    # pure-mismatch and pure-gap extremes drive cells toward the bounds
+    pairs += [(b"A" * hi, b"T" * hi), (b"A" * hi, b"C"), (b"G", b"T" * hi)]
+    batch = pack_batch(pairs, batch_size=len(pairs))
+    checked = rejected = 0
+    # The boundary chain runs to p = S-1 (S >= 128), so gap_extend is the
+    # chain-bound lever; mismatch drives the per-cell bound at tiny
+    # lengths; match drives the stale-growth upper bound over S steps.
+    for sch in (
+        # certifies, sentinel near -28k (deep negative stress; the gate
+        # sees the PADDED lengths, 128 here)
+        ScoringScheme(match_=5, mismatch=-110, gap_open=-8, gap_extend=-6),
+        # certifies, upper growth bound within ~2k of INT16_MAX
+        # (S rounds to 256, so the growth term is match * 384)
+        ScoringScheme(match_=80, mismatch=-4, gap_open=-8, gap_extend=-6),
+        # rejected: chain o + (S+1)e past INT16_MIN
+        ScoringScheme(match_=5, mismatch=-300, gap_open=-200, gap_extend=-250),
+        # rejected: stale growth match*(len+S) past INT16_MAX
+        ScoringScheme(match_=600, mismatch=-4, gap_open=-8, gap_extend=-6),
+    ):
+        plan = plan_stream(len(pairs), batch.query.shape[1],
+                           batch.db.shape[1], np_slots=2)
+        if stream_i16_neg(sch, plan) is None:
+            rejected += 1
+            continue
+        checked += 1
+        r32 = nw_affine_stream_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=sch, with_dirs=False, backend="lax", np_slots=2,
+        )
+        r16 = nw_affine_stream_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            scheme=sch, with_dirs=False, backend="lax", np_slots=2,
+            state_dtype=jnp.int16,
+        )
+        np.testing.assert_array_equal(r32.finals, r16.finals)
+    # the suite must exercise both sides of the gate
+    assert checked >= 2 and rejected >= 1, (checked, rejected)
