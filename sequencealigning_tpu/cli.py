@@ -11,7 +11,8 @@ the reference, --out-path actually works (the reference parses -o but never
 reads it, parse.rs:20-21): results are written as JSON lines.
 
 Framework extensions: --algo nw-linear|banded, --textbook (disable
-reference-quirk compat), scoring overrides, --band, --batch-size.
+reference-quirk compat), scoring overrides, --band, --batch-size,
+--stream-state (int16 kernel state), --serve (warm JSONL server).
 """
 
 from __future__ import annotations
@@ -42,8 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
         description="TPU-native pairwise sequence alignment "
         "(capabilities of Qw11111111111/SequenceAligning, rebuilt for TPU)",
     )
-    p.add_argument("-q", "--query-file", required=True, help="Path to query FASTA")
-    p.add_argument("-d", "--db-file", required=True, help="Path to db FASTA")
+    p.add_argument("-q", "--query-file", help="Path to query FASTA")
+    p.add_argument("-d", "--db-file", help="Path to db FASTA")
     p.add_argument(
         "-o", "--out-path", default="./results",
         help="Structured JSONL output path (default ./results)",
@@ -94,6 +95,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="Textbook-WFA engine: banded Gotoh kernel (in-regime "
         "schemes), exact threaded native host engine, or the "
         "score-indexed TPU wavefront engine",
+    )
+    p.add_argument(
+        "--serve", action="store_true",
+        help="Serve mode: read 'QUERY.fa DB.fa' lines from stdin, emit "
+        "one JSON result line per pair + a summary line per request; the "
+        "process stays warm (compiled kernels are reused across requests)",
     )
     p.add_argument(
         "--stream-state", default="i32", choices=["i32", "i16", "auto"],
@@ -176,12 +183,18 @@ def main(argv=None) -> int:
     _cc()
     args = build_parser().parse_args(argv)
 
-    db = _load(args.db_file, "DB")
-    if db is None:
-        return 1
-    query = _load(args.query_file, "Query")
-    if query is None:
-        return 1
+    if not args.serve:
+        if args.query_file is None or args.db_file is None:
+            build_parser().error(
+                "the following arguments are required: -q/--query-file, "
+                "-d/--db-file (or use --serve)"
+            )
+        db = _load(args.db_file, "DB")
+        if db is None:
+            return 1
+        query = _load(args.query_file, "Query")
+        if query is None:
+            return 1
 
     config = AlignConfig(
         algo=Algo(args.algo),
@@ -209,6 +222,9 @@ def main(argv=None) -> int:
         profile_dir=args.profile,
     )
     aligner = get_aligner(config)
+
+    if args.serve:
+        return _serve(args, config, aligner)
 
     out_file = None
     if not args.no_out:
@@ -238,6 +254,65 @@ def main(argv=None) -> int:
             f"{time.perf_counter() - t0:.3f}s",
             file=sys.stderr,
         )
+    return 0
+
+
+def _serve(args, config: AlignConfig, aligner) -> int:
+    """Long-running serve loop: one request per stdin line
+    ("QUERY.fa DB.fa", whitespace-separated; '#' comments skipped), one
+    JSON line per pair result + one summary line per request on stdout.
+    The aligner (and its compiled kernels) stays warm across requests;
+    per-request errors are reported as JSON and never kill the server --
+    the serving analog of the reference's per-pair isolation
+    (main.rs:68-76)."""
+    n_req = 0
+    for line in sys.stdin:
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        if len(parts) != 2:
+            print(
+                json.dumps(
+                    {"error": f"expected 'QUERY.fa DB.fa', got {line!r}"}
+                ),
+                flush=True,
+            )
+            continue
+        qpath, dpath = parts
+        t0 = time.perf_counter()
+        query = _load(qpath, "Query")
+        dbr = _load(dpath, "DB")
+        if query is None or dbr is None:
+            print(
+                json.dumps(
+                    {"request": n_req, "error": "fasta could not be opened"}
+                ),
+                flush=True,
+            )
+            n_req += 1
+            continue
+        n = n_err = 0
+        try:
+            for res in aligner.align_all_pairs(query, dbr, args.batch_size):
+                print(json.dumps(res.to_json()), flush=False)
+                n += 1
+                n_err += 0 if res.ok else 1
+        except Exception as e:  # isolation: a request must not kill the server
+            print(json.dumps({"request": n_req, "error": repr(e)}))
+        print(
+            json.dumps(
+                {
+                    "request": n_req,
+                    "done": True,
+                    "pairs": n,
+                    "errors": n_err,
+                    "elapsed_s": round(time.perf_counter() - t0, 6),
+                }
+            ),
+            flush=True,
+        )
+        n_req += 1
     return 0
 
 

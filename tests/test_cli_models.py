@@ -269,3 +269,39 @@ def test_cli_textbook_modes_streamed_route(tmp_path, capsys):
         single = al.align_pair(rec, d_seq)
         assert line["score"] == single.score, rec.name
         assert line["error"] is None
+
+
+def test_cli_serve_mode(fasta_files, capsys, monkeypatch):
+    """--serve: one JSON line per pair + a summary per request, per-request
+    error isolation, warm aligner reuse across requests."""
+    import io
+
+    q, d = fasta_files
+    monkeypatch.setattr(
+        "sys.stdin",
+        io.StringIO(
+            f"{q} {d}\n"
+            "# comment line\n"
+            "\n"
+            "nonexistent.fa also-missing.fa\n"
+            f"{q} {d}\n"
+        ),
+    )
+    rc = main(["--serve", "-a", "needleman-wunsch", "--first-only"])
+    assert rc == 0
+    out_lines = [
+        json.loads(line)
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    summaries = [o for o in out_lines if o.get("done")]
+    errors = [o for o in out_lines if "error" in o and "score" not in o]
+    results = [o for o in out_lines if "score" in o]
+    assert len(summaries) == 2  # two successful requests, both summarized
+    assert summaries[0]["pairs"] == summaries[1]["pairs"] == len(results) // 2
+    assert any("opened" in e["error"] for e in errors)  # isolation
+    assert all(r["cigar"] for r in results)
+
+
+def test_cli_requires_files_without_serve(capsys):
+    with pytest.raises(SystemExit):
+        main(["-a", "needleman-wunsch"])
