@@ -139,8 +139,14 @@ class WfaAligner(Aligner):
 
     # Penalty cap for the native leg of the auto route (divergence gate:
     # pairs needing more than this go to the divergence-independent banded
-    # kernel instead of paying WFA's O(penalty^2) on the host).
-    wfa_native_s_cap = 512
+    # kernel instead of paying WFA's O(penalty^2) on the host).  Tuned to
+    # the cost-crossover: the vectorized native fill measures
+    # ~0.8 ns * s^2 per pair single-core (10 kb pairs, 4/2/6 penalties;
+    # 0.22/1.10/3.25/8.39 ms at s = 400/1200/2000/3200), matching the
+    # banded route's ~1.09 ms/pair (919 pairs/s, config 3) at s ~ 1150 --
+    # so below this cap the host leg is the cheaper engine, and an
+    # escapee's wasted capped work (~0.86 ms) stays under one banded fill.
+    wfa_native_s_cap = 1024
 
     @staticmethod
     def _fill_rest(pairs, out, engine_fn):
