@@ -192,15 +192,17 @@ def main() -> int:
         )
         return results[label]
 
-    # fast4 (primary): self-tune over the known-good default and the armed
-    # sweep candidate (bt=32/chunk=64 -- the dirs-block VMEM model says it
-    # fits where bt=32/chunk=128 crashed Mosaic; expected ~+15%).  A
-    # candidate that fails to compile is skipped; the headline is the best
-    # measured configuration.
+    # fast4 (primary): self-tune over the known-good default and armed
+    # candidates.  chunk=64 was removed: the dirs block spec is
+    # (BT, chunk) and Pallas requires the last block dim % 128 == 0, so
+    # sub-128 chunks can never lower.  bt=32/chunk=128 is re-armed every
+    # round (compiles on newer Mosaics; skipped cleanly if it crashes).
+    # A candidate that fails to compile is skipped; the headline is the
+    # best measured configuration.
     fast4_candidates = (
         [
             ("bt16/chunk128", 16, 128, None),
-            ("bt32/chunk64", 32, 64, None),
+            ("bt32/chunk128", 32, 128, None),
             # int16 state: the ~2x dtype lever the moment the toolchain's
             # Mosaic compiles i16 vector ops (bit-pinned vs int32 in
             # tests/test_nw_stream.py; fails cleanly on a Mosaic that

@@ -17,6 +17,9 @@ import time
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 from sequencealigning_tpu.utils.compilecache import enable as _enable_cache
 
 _enable_cache()

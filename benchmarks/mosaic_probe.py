@@ -15,6 +15,9 @@ import sys
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 from sequencealigning_tpu.utils.compilecache import enable as _enable_cache
 
 _enable_cache()
@@ -53,8 +56,15 @@ def main() -> int:
     for dt, tag in ((jnp.int16, "i16"), (jnp.int8, "i8")):
         cases += [
             (f"{tag}_add", lambda x, jnp: x + x, dt),
+            # Derive the second operand from a roll so nothing constant-
+            # folds: the old `where(x >= 3, max(x, x), x)` form folded to
+            # `x` and reported a false OK on a Mosaic with no ordered
+            # i16 compare or max (observed 2026-08-18).
             (f"{tag}_max_cmp_select",
-             lambda x, jnp: jnp.where(x >= 3, jnp.maximum(x, x), x), dt),
+             lambda x, jnp: jnp.where(
+                 x >= jnp.roll(x, 1, axis=1),
+                 jnp.maximum(x, jnp.roll(x, 1, axis=1)), x), dt),
+            (f"{tag}_sub", lambda x, jnp: x - jnp.roll(x, 1, axis=1), dt),
             (f"{tag}_roll", lambda x, jnp: jnp.roll(x, 1, axis=1), dt),
         ]
     cases += [

@@ -18,6 +18,9 @@ cd "$(dirname "$0")/.."
 OUT="${1:-tpu_batch_out}"
 mkdir -p "$OUT"
 export JAX_COMPILATION_CACHE_DIR="${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}"
+# Do NOT export PYTHONPATH=repo-root here: it breaks axon PJRT plugin
+# discovery in this image (backend 'axon' vanishes from the known list).
+# Each benchmark script bootstraps sys.path itself instead.
 
 run() { # run <budget_s> <name> <cmd...>
   local budget="$1" name="$2"; shift 2

@@ -16,6 +16,9 @@ import sys
 import numpy as np
 
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+
 def main() -> int:
     import jax
     import jax.numpy as jnp

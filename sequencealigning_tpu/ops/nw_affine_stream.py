@@ -166,7 +166,10 @@ def stream_i16_supported() -> bool:
 
     def k(x_ref, o_ref):
         v = x_ref[...]
-        w = pltpu.roll(v, 1, axis=1) + jnp.asarray(1, jnp.int16)
+        # jnp.roll, matching the kernel's i16 path: this rig's remote
+        # Mosaic compiles i16 jnp.roll but crashes on i16 pltpu.roll
+        # (probed 2026-08-18; i32 keeps the measured-good pltpu.roll).
+        w = jnp.roll(v, 1, axis=1) + jnp.asarray(1, jnp.int16)
         o_ref[...] = jnp.where(v >= w, jnp.maximum(v, w), v)
 
     try:
@@ -448,7 +451,13 @@ def _stream_kernel(
     chunk = plan.chunk
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, P), 1)
     lane_0 = col_iota == 0
-    roll = lambda a: pltpu.roll(a, 1, axis=1)
+    # i16 state uses jnp.roll: this Mosaic crashes on i16 pltpu.roll
+    # while i32 pltpu.roll is the measured-good fast path.
+    roll = lambda a: (
+        jnp.roll(a, 1, axis=1)
+        if a.dtype == jnp.int16
+        else pltpu.roll(a, 1, axis=1)
+    )
 
     sdt = H2.dtype
 

@@ -198,7 +198,12 @@ def _stream_modes_kernel(
     chunk = plan.chunk
     col_iota = jax.lax.broadcasted_iota(jnp.int32, (BT, P), 1)
     lane_0 = col_iota == 0
-    roll = lambda a: pltpu.roll(a, 1, axis=1)
+    # i16 state uses jnp.roll (i16 pltpu.roll crashes this Mosaic).
+    roll = lambda a: (
+        jnp.roll(a, 1, axis=1)
+        if a.dtype == jnp.int16
+        else pltpu.roll(a, 1, axis=1)
+    )
     dirs_mode = "full" if with_dirs else False
 
     sdt = H2.dtype
