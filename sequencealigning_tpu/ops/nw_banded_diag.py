@@ -56,8 +56,14 @@ NEGBIG = -(2 ** 24)  # band-mask -inf (same convention as ops.nw_banded)
 
 # fori-loop iterations per kernel body (multiple of 4, divides chunk).
 # Each loop iteration carries a fixed state spill/reload cost (PERF.md);
-# sweep-tuned default.
-_DEFAULT_UNROLL = 4
+# sweep-tuned per dirs mode (benchmarks/diag_sweep.py, 2026-08-18:
+# fast4 30.1->32.8 GCUPS at unroll 8, full 27.9->29.5 at 16, score ~flat
+# with 8 best; unroll 32 regresses every mode).
+_DEFAULT_UNROLL = 4  # legacy fallback; see _default_unroll()
+
+
+def _default_unroll(want_dirs) -> int:
+    return 16 if want_dirs == "full" else 8
 
 
 def _norm_dirs(want_dirs):
@@ -685,7 +691,7 @@ def nw_banded_diag_batch(
     fn = _jitted_diag(
         backend, k_lo_even, L, n_iters, k_hi_eff, scheme, compat,
         wildcard, want_dirs, bt, chunk,
-        unroll if unroll is not None else _DEFAULT_UNROLL,
+        unroll if unroll is not None else _default_unroll(want_dirs),
     )
     finals, dirs = fn(
         jnp.asarray(np.asarray(query, np.int8)),
