@@ -70,14 +70,14 @@ def main() -> int:
                             with_dirs=args.with_dirs,
                             np_slots=max(1, min(128, args.pairs // 8)),
                         )
-                        return r.best_val  # already np
+                        return r.best  # already np (reduced on device)
                     r = nw_affine_modes_batch(
                         batch.query, batch.db,
                         batch.query_len, batch.db_len,
                         local=(mode == "local"),
                         with_dirs=args.with_dirs,
                     )
-                    return np.asarray(r.best_val)
+                    return np.asarray(r.best)
 
                 t0 = time.perf_counter()
                 run()

@@ -35,12 +35,29 @@ from sequencealigning_tpu.ops.nw_affine import _gotoh_step
 
 
 class ModesResult(NamedTuple):
-    """best_val/best_d: (B, P) per-lane running max and its diagonal.
+    """best/best_x/best_y: (B,) per-pair end cell (score, x, y), reduced
+    on device from the kernel's per-lane running-argmax buffers -- shipping
+    the raw (B, P) buffers to the host costs 2*B*P*4 bytes per fill and
+    dominates end-to-end time on any real interconnect.
     dirs: (D4, B, P) packed bytes (ops.dirbits layout + LSTART)."""
 
-    best_val: jax.Array
-    best_d: jax.Array
+    best: np.ndarray
+    best_x: np.ndarray
+    best_y: np.ndarray
     dirs: Optional[jax.Array]
+
+
+def modes_reduce(bv, bd):
+    """Device-side per-pair end cell from per-lane argmax buffers.
+
+    Returns (score, x, y) each (B,) int32.  Tie rule matches the former
+    host reduction exactly: smallest lane (jnp.argmax returns the first
+    maximum), then the lane's recorded earliest diagonal (the fills update
+    on strict > only)."""
+    best = jnp.max(bv, axis=1)
+    lane = jnp.argmax(bv, axis=1).astype(jnp.int32)
+    d = jnp.take_along_axis(bd, lane[:, None], axis=1)[:, 0]
+    return best, lane, d - lane
 
 
 @functools.partial(
@@ -263,12 +280,17 @@ def modes_fill_pallas(
 
 @functools.lru_cache(maxsize=64)
 def _jitted_modes_pallas(l1, l2, scheme, wildcard, local, with_dirs):
-    return jax.jit(
-        functools.partial(
-            modes_fill_pallas, l1=l1, l2=l2, scheme=scheme,
+    """Fill + per-pair argmax reduction as ONE jitted dispatch (the host
+    only ever needs each pair's end cell, never the per-lane buffers)."""
+
+    def run(seq1, s2v, n1v, n2v):
+        bv, bd, dirs = modes_fill_pallas(
+            seq1, s2v, n1v, n2v, l1=l1, l2=l2, scheme=scheme,
             wildcard=wildcard, local=local, with_dirs=with_dirs,
         )
-    )
+        return modes_reduce(bv, bd), dirs
+
+    return jax.jit(run)
 
 
 def nw_affine_modes_batch(
@@ -297,7 +319,7 @@ def nw_affine_modes_batch(
     n2v = jnp.asarray(db_len, jnp.int32)[:, None]
     if backend == "pallas":
         fn = _jitted_modes_pallas(L1, L2, scheme, wildcard, local, with_dirs)
-        bv, bd, dirs = fn(
+        (best, x, y), dirs = fn(
             jnp.asarray(query, jnp.int32), jnp.asarray(s2v), n1v, n2v
         )
     elif backend == "lax":
@@ -305,20 +327,20 @@ def nw_affine_modes_batch(
             jnp.asarray(query, jnp.int32), jnp.asarray(s2v), n1v, n2v,
             L1, L2, scheme, wildcard, local, with_dirs,
         )
+        best, x, y = modes_reduce(bv, bd)
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    return ModesResult(best_val=bv, best_d=bd, dirs=dirs)
+    return ModesResult(
+        best=np.asarray(best), best_x=np.asarray(x), best_y=np.asarray(y),
+        dirs=dirs,
+    )
 
 
 def modes_end_cell(
     result: ModesResult, b: int
 ) -> Tuple[int, int, int]:
-    """Host-side argmax: returns (score, x, y) of pair b's best end cell.
-    Ties resolve to the smallest lane (x), then smallest diagonal."""
-    bv = np.asarray(result.best_val[b])
-    bd = np.asarray(result.best_d[b])
-    score = int(bv.max())
-    lanes = np.nonzero(bv == score)[0]
-    x = int(lanes[0])
-    d = int(bd[x])
-    return score, x, d - x
+    """(score, x, y) of pair b's best end cell (reduced on device; ties
+    resolve to the smallest lane x, then smallest diagonal)."""
+    return (
+        int(result.best[b]), int(result.best_x[b]), int(result.best_y[b])
+    )

@@ -38,6 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sequencealigning_tpu.config import NEG_INF, ScoringScheme
+from sequencealigning_tpu.ops.nw_affine_modes import modes_reduce
 from sequencealigning_tpu.ops.nw_affine_stream import (
     StreamPlan,
     _STATE_LANE_BUDGET,
@@ -53,12 +54,14 @@ NEGBIG = -(2 ** 24)
 
 
 class StreamModesResult(NamedTuple):
-    """best_val/best_d: (B, P) per-lane running max of the mode's score
-    and its pair-local diagonal d = x + y (lane = x).  dirs: packed full
-    bytes in the streamed layout (word (k*S + x + y) // 4)."""
+    """best/best_x/best_y: (B,) per-pair end cell (score, x, y), reduced
+    on device (ops.nw_affine_modes.modes_reduce) from the kernel's
+    per-lane running-argmax buffers.  dirs: packed full bytes in the
+    streamed layout (word (k*S + x + y) // 4)."""
 
-    best_val: np.ndarray
-    best_d: np.ndarray
+    best: np.ndarray
+    best_x: np.ndarray
+    best_y: np.ndarray
     dirs: Optional[jax.Array]
     plan: StreamPlan
 
@@ -462,7 +465,9 @@ def _jitted_stream_modes(
             with_dirs=with_dirs, bt=bt, state_dtype=state_dtype,
         )
         bv, bd = stream_modes_lanes(outs, plan.np_slots)
-        return bv, bd, dirs
+        # Reduce to the per-pair end cell on device: the host never needs
+        # the (B, P) buffers, and fetching them dominates the fill time.
+        return modes_reduce(bv, bd), dirs
 
     return jax.jit(run)
 
@@ -510,7 +515,7 @@ def nw_affine_stream_modes_batch(
         fn = _jitted_stream_modes(
             plan, scheme, wildcard, mode, with_dirs, bt, state_dtype
         )
-        bv, bd, dirs = fn(
+        (best, x, y), dirs = fn(
             jnp.asarray(q_all), jnp.asarray(d_all),
             jnp.asarray(qlen), jnp.asarray(dlen),
         )
@@ -527,20 +532,20 @@ def nw_affine_stream_modes_batch(
         )
         bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
         bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
+        best, x, y = modes_reduce(bv, bd)
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
     return StreamModesResult(
-        best_val=np.asarray(bv)[:B], best_d=np.asarray(bd)[:B],
-        dirs=dirs, plan=plan,
+        best=np.asarray(best)[:B], best_x=np.asarray(x)[:B],
+        best_y=np.asarray(y)[:B], dirs=dirs, plan=plan,
     )
 
 
 def stream_modes_best(
     result: StreamModesResult, b: int
 ) -> Tuple[int, int, int]:
-    """Host-side argmax: (score, x, y) of pair b's best end cell."""
-    bv = result.best_val[b]
-    bd = result.best_d[b]
-    lane = int(np.argmax(bv))
-    return int(bv[lane]), lane, int(bd[lane]) - lane
+    """(score, x, y) of pair b's best end cell (reduced on device)."""
+    return (
+        int(result.best[b]), int(result.best_x[b]), int(result.best_y[b])
+    )

@@ -27,6 +27,7 @@ from sequencealigning_tpu.ops.nw_affine import (
     _gotoh_fill_lax,
     gotoh_fill_pallas,
 )
+from sequencealigning_tpu.ops.nw_affine_modes import modes_reduce
 from sequencealigning_tpu.ops.nw_affine_stream import (
     capture_params,
     gotoh_fill_stream_lax,
@@ -230,21 +231,26 @@ class DataParallelRunner:
                 )
                 bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
                 bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
+            # Per-pair end-cell reduction on device, per shard (each
+            # pair's lanes are shard-local) -- the gather/fetch then moves
+            # 3 ints per pair instead of 2 * P.
+            best, x, y = modes_reduce(bv, bd)
             if gather:
-                bv = jax.lax.all_gather(bv, "data", axis=0, tiled=True)
-                bd = jax.lax.all_gather(bd, "data", axis=0, tiled=True)
+                best = jax.lax.all_gather(best, "data", axis=0, tiled=True)
+                x = jax.lax.all_gather(x, "data", axis=0, tiled=True)
+                y = jax.lax.all_gather(y, "data", axis=0, tiled=True)
             if with_dirs:
                 # dirs stay row-sharded (huge); host fetches per batch.
-                return bv, bd, dirs
-            return bv, bd
+                return best, x, y, dirs
+            return best, x, y
 
         row = P("data")
         slot = P(None, "data")
         pair_spec = P() if gather else P("data")
         out_specs = (
-            (pair_spec, pair_spec, P(None, "data"))
+            (pair_spec, pair_spec, pair_spec, P(None, "data"))
             if with_dirs
-            else (pair_spec, pair_spec)
+            else (pair_spec, pair_spec, pair_spec)
         )
         fn = jax.jit(
             jax.shard_map(
@@ -260,10 +266,10 @@ class DataParallelRunner:
 
     def fill_modes(self, batch: PairBatch, mode: str, with_dirs: bool = True):
         """Semi-global/local streamed fill on the runner's mesh (textbook
-        semantics; ops.nw_affine_stream_modes).  Returns (best_val[:B],
-        best_d[:B], dirs, plan) -- per-lane running argmax buffers; recover
-        each pair's end cell with the host argmax (stream_modes_best
-        semantics) and walk dirs with d_offset = slot * plan.s."""
+        semantics; ops.nw_affine_stream_modes).  Returns (best[:B],
+        best_x[:B], best_y[:B], dirs, plan) -- each pair's end cell,
+        reduced on device; walk dirs from (x, y) with
+        d_offset = slot * plan.s."""
         if self.kernel != "stream":
             raise ValueError("fill_modes requires kernel='stream'")
         if mode not in ("semi", "local"):
@@ -271,10 +277,10 @@ class DataParallelRunner:
         args, plan, B = self._stream_args(batch)
         out = self._stream_modes_fn(plan, mode, with_dirs)(*args)
         if with_dirs:
-            bv, bd, dirs = out
+            best, x, y, dirs = out
         else:
-            (bv, bd), dirs = out, None
-        return bv[:B], bd[:B], dirs, plan
+            (best, x, y), dirs = out, None
+        return best[:B], x[:B], y[:B], dirs, plan
 
     def _stream_args(self, batch: PairBatch):
         """(device args, plan, B) for the streamed fill, sharded over the

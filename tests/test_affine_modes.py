@@ -201,8 +201,9 @@ def test_modes_pallas_matches_lax():
             batch.query, batch.db, batch.query_len, batch.db_len,
             local=local, backend="pallas",
         )
-        assert np.array_equal(np.asarray(rl.best_val), np.asarray(rp.best_val))
-        assert np.array_equal(np.asarray(rl.best_d), np.asarray(rp.best_d))
+        assert np.array_equal(rl.best, rp.best)
+        assert np.array_equal(rl.best_x, rp.best_x)
+        assert np.array_equal(rl.best_y, rp.best_y)
 
         # The pallas sweep pads diagonals to the chunk boundary; compare
         # per-byte up to the real diagonal count.

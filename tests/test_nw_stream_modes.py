@@ -57,8 +57,9 @@ def test_stream_modes_pallas_matches_lax_bitexact(mode):
         batch.query, batch.db, batch.query_len, batch.db_len, mode,
         backend="pallas", np_slots=2,
     )
-    assert np.array_equal(lax.best_val, pal.best_val)
-    assert np.array_equal(lax.best_d, pal.best_d)
+    assert np.array_equal(lax.best, pal.best)
+    assert np.array_equal(lax.best_x, pal.best_x)
+    assert np.array_equal(lax.best_y, pal.best_y)
     assert np.array_equal(np.asarray(lax.dirs), np.asarray(pal.dirs))
 
 
@@ -171,8 +172,9 @@ def test_stream_modes_int16_state_matches_int32(mode):
             batch.query, batch.db, batch.query_len, batch.db_len, mode,
             backend=backend, np_slots=2, state_dtype=jnp.int16,
         )
-        assert np.array_equal(r32.best_val, r16.best_val)
-        assert np.array_equal(r32.best_d, r16.best_d)
+        assert np.array_equal(r32.best, r16.best)
+        assert np.array_equal(r32.best_x, r16.best_x)
+        assert np.array_equal(r32.best_y, r16.best_y)
         d32 = np.asarray(r32.dirs)
         d16 = np.asarray(r16.dirs)
         for b, (s1, s2) in enumerate(pairs):

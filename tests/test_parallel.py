@@ -158,17 +158,17 @@ def test_runner_fill_modes_across_8_devices():
     batch = pack_batch(pairs, batch_size=16)
     runner = DataParallelRunner(backend="lax")
     for mode in ("semi", "local"):
-        bv, bd, dirs, plan = runner.fill_modes(batch, mode)
-        bv = np.asarray(bv)
-        bd = np.asarray(bd)
+        best, bx, by, dirs, plan = runner.fill_modes(batch, mode)
+        best = np.asarray(best)
+        bx = np.asarray(bx)
+        by = np.asarray(by)
         dirs = np.asarray(dirs)
         plain = nw_affine_modes_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             local=(mode == "local"),
         )
         for b, (s1, s2) in enumerate(pairs):
-            lane = int(np.argmax(bv[b]))
-            score, x, y = int(bv[b][lane]), lane, int(bd[b][lane]) - lane
+            score, x, y = int(best[b]), int(bx[b]), int(by[b])
             p_score, p_x, p_y = modes_end_cell(plain, b)
             assert (score, x, y) == (p_score, p_x, p_y), (mode, b, s1, s2)
             row, _slot, d_off = plan.pair_coords(b)
