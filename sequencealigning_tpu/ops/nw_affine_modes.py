@@ -53,8 +53,9 @@ def modes_reduce(bv, bd):
     Returns (score, x, y) each (B,) int32.  Tie rule matches the former
     host reduction exactly: smallest lane (jnp.argmax returns the first
     maximum), then the lane's recorded earliest diagonal (the fills update
-    on strict > only)."""
-    best = jnp.max(bv, axis=1)
+    on strict > only).  `best` is cast to int32 so the contract holds even
+    when the streamed engine fills with state_dtype=jnp.int16."""
+    best = jnp.max(bv, axis=1).astype(jnp.int32)
     lane = jnp.argmax(bv, axis=1).astype(jnp.int32)
     d = jnp.take_along_axis(bd, lane[:, None], axis=1)[:, 0]
     return best, lane, d - lane
@@ -307,6 +308,11 @@ def nw_affine_modes_batch(
     """Batched semi-global (local=False) or local (local=True) affine fill.
 
     backend: "auto" (pallas on TPU, lax elsewhere), "pallas", or "lax".
+
+    Eager host-level entry point (it stages inputs with NumPy): the
+    (B,) end-cell triple is fetched to the host in one device_get — a
+    12 bytes/pair blocking sync — while `dirs` stays on device.  Not
+    callable under an outer jit/trace.
     """
     B, L1 = query.shape
     _, L2 = db.shape
@@ -330,10 +336,8 @@ def nw_affine_modes_batch(
         best, x, y = modes_reduce(bv, bd)
     else:
         raise ValueError(f"unknown backend {backend!r}")
-    return ModesResult(
-        best=np.asarray(best), best_x=np.asarray(x), best_y=np.asarray(y),
-        dirs=dirs,
-    )
+    best, x, y = jax.device_get((best, x, y))
+    return ModesResult(best=best, best_x=x, best_y=y, dirs=dirs)
 
 
 def modes_end_cell(

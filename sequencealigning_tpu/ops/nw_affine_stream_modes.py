@@ -424,9 +424,10 @@ def gotoh_fill_stream_modes_pallas(
 
 
 def stream_modes_lanes(outs, np_slots: int) -> Tuple[jax.Array, jax.Array]:
-    """(best_val, best_d) each (R*np_slots, P) from the four parity
-    blocks, pair order row-major (pair b = slot b % np_slots of row
-    b // np_slots)."""
+    """(bv, bd) per-lane running argmax buffers, each (R*np_slots, P),
+    assembled from the four parity blocks; pair order row-major (pair
+    b = slot b % np_slots of row b // np_slots).  Feed to
+    nw_affine_modes.modes_reduce for the per-pair end cell."""
     bv_e, bd_e, bv_o, bd_o = outs
     idx = np.arange(np_slots)
     even = jnp.asarray((idx % 2 == 0)[:, None, None])
@@ -488,9 +489,14 @@ def nw_affine_stream_modes_batch(
     state_dtype=jnp.int32,
 ) -> StreamModesResult:
     """Streamed batched semi-global/local Gotoh fill.  mode in
-    ("semi", "local").  Returns per-lane running argmax buffers; use
-    stream_modes_best() for the (score, x, y) end cell per pair.
-    state_dtype: dtype or "i32"/"i16"/"auto" (resolve_stream_state)."""
+    ("semi", "local").  Use stream_modes_best() for the (score, x, y)
+    end cell per pair.
+    state_dtype: dtype or "i32"/"i16"/"auto" (resolve_stream_state).
+
+    Eager host-level entry point (it stages inputs with NumPy): the
+    (B,) end-cell triple is fetched to the host in one device_get — a
+    12 bytes/pair blocking sync — while `dirs` stays on device.  Not
+    callable under an outer jit/trace."""
     assert mode in ("semi", "local"), mode
     B, L1 = query.shape
     _, L2 = db.shape
@@ -536,9 +542,9 @@ def nw_affine_stream_modes_batch(
     else:
         raise ValueError(f"unknown backend {backend!r}")
 
+    best, x, y = jax.device_get((best, x, y))
     return StreamModesResult(
-        best=np.asarray(best)[:B], best_x=np.asarray(x)[:B],
-        best_y=np.asarray(y)[:B], dirs=dirs, plan=plan,
+        best=best[:B], best_x=x[:B], best_y=y[:B], dirs=dirs, plan=plan,
     )
 
 
