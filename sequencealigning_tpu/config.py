@@ -123,6 +123,14 @@ class AlignConfig:
     # fast4 direction layout (half the dirs memory, threaded native walker)
     # instead of the reference's full co-optimal enumeration.
     first_only: bool = False
+    # fast4 traceback walker: "auto" walks on device when the dirs tensor
+    # lives on a TPU (one gathered word per pair per step; fetches 2 bits
+    # per walk step instead of the 0.5 byte/cell dirs tensor -- ~4000x
+    # less device->host transfer at 2 kb pairs), "host" always fetches
+    # dirs and walks on the host (native C walker), "device" forces the
+    # device walk on any backend (tests).  Alignments are bit-identical
+    # (tests/test_traceback_device.py).
+    traceback: str = "auto"
     # Streamed-kernel score-state dtype: "i32", "i16" (2x VPU lane density;
     # requires the closed-form range certification to pass, see
     # ops.nw_affine_stream.stream_i16_neg), or "auto" (i16 iff certified

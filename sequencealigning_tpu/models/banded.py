@@ -43,12 +43,26 @@ class BandedAligner(Aligner):
                 wildcard=True,  # N matches anything (align.rs:298-304)
                 with_dirs="fast4",
             )
-            dirs = np.asarray(res.dirs)
-            finals = np.asarray(res.finals)
-            tbs = banded_diag_fast4_traceback_batch(
-                dirs, finals, [p[0] for p in pairs], [p[1] for p in pairs],
-                res.k_lo_even, compat=self.config.compat,
+            from sequencealigning_tpu.ops.traceback_device import (
+                banded_diag_device_tbs,
+                use_device_walk,
             )
+
+            finals = np.asarray(res.finals)
+            s1s = [p[0] for p in pairs]
+            s2s = [p[1] for p in pairs]
+            if use_device_walk(self.config):
+                # Walk on device: fetch 2-bit op codes, not the dirs
+                # tensor (tests pin equality with the host walker).
+                tbs = banded_diag_device_tbs(
+                    res.dirs, finals, s1s, s2s, res.k_lo_even,
+                    compat=self.config.compat,
+                )
+            else:
+                tbs = banded_diag_fast4_traceback_batch(
+                    np.asarray(res.dirs), finals, s1s, s2s,
+                    res.k_lo_even, compat=self.config.compat,
+                )
             out = []
             for r in tbs:
                 if isinstance(r, AlignerError):

@@ -87,12 +87,15 @@ class GotohAligner(Aligner):
                 scheme=self.config.scoring, compat=self.config.compat,
                 label="gotoh finals",
             )
-        tb = traceback_stream_batch(
-            np.asarray(res.dirs), res.finals,
-            [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
-            compat=self.config.compat,
-            dirs_mode="fast4" if first_only else "full",
-        )
+        if first_only and self._walk_on_device():
+            tb = self._traceback_device(res, pairs)
+        else:
+            tb = traceback_stream_batch(
+                np.asarray(res.dirs), res.finals,
+                [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+                compat=self.config.compat,
+                dirs_mode="fast4" if first_only else "full",
+            )
         out = []
         for r in tb:
             if isinstance(r, AlignerError):
@@ -110,6 +113,46 @@ class GotohAligner(Aligner):
                     alignments=alns,
                 )
             )
+        return out
+
+    def _walk_on_device(self) -> bool:
+        """fast4 traceback routing (config.traceback): walk the dirs
+        tensor on device -- fetching 2-bit op codes instead of the whole
+        0.5 byte/cell dirs tensor -- when it lives on a TPU."""
+        from sequencealigning_tpu.ops.traceback_device import use_device_walk
+
+        return use_device_walk(self.config)
+
+    def _traceback_device(self, res, pairs):
+        """Batched on-device fast4 walk (ops.traceback_device); a pair
+        whose walk fails validation (never observed with a healthy fill)
+        falls back to fetching its single dirs row and host-walking."""
+        from sequencealigning_tpu.ops.traceback import (
+            fast4_traceback_pair,
+        )
+        from sequencealigning_tpu.ops.traceback_device import (
+            fast4_stream_align_device,
+        )
+
+        alns, scores = fast4_stream_align_device(
+            res.dirs, res.finals,
+            [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
+        )
+        out = []
+        for b, (s1, s2) in enumerate(pairs):
+            if alns[b] is None:
+                row, _slot, off = res.plan.pair_coords(b)
+                try:
+                    out.append(
+                        fast4_traceback_pair(
+                            np.asarray(res.dirs[:, row, :]), res.finals[b],
+                            s1, s2, compat=self.config.compat, d_offset=off,
+                        )
+                    )
+                except AlignmentError as e:
+                    out.append(e)
+                continue
+            out.append((int(scores[b]), [alns[b]]))
         return out
 
     # HBM budget for the direction tensor of one streamed fill; beyond it
@@ -203,25 +246,49 @@ class GotohAligner(Aligner):
                 compat=self.config.compat, with_dirs="fast4",
             )
             bf = np.asarray(res.finals)[:n]
-            dirs = None
-            still = []
-            for b in pending:
-                if int(bf[b].max()) != int(scores[b]):
-                    still.append(b)
-                    continue
-                if dirs is None:
-                    dirs = np.asarray(res.dirs)  # one device fetch per round
-                try:
-                    score, alns = banded_diag_fast4_traceback_pair(
-                        dirs[:, b, :], bf[b], pairs[b][0], pairs[b][1],
-                        res.k_lo_even, compat=self.config.compat,
-                    )
-                    out[b] = dict(
-                        score=score, aligned_query=alns[0][0],
-                        aligned_db=alns[0][1], alignments=alns,
-                    )
-                except AlignerError as e:
-                    out[b] = e
+            resolved = [
+                b for b in pending if int(bf[b].max()) == int(scores[b])
+            ]
+            still = [
+                b for b in pending if int(bf[b].max()) != int(scores[b])
+            ]
+            if resolved and self._walk_on_device():
+                # Device walk of just the resolved slots: fetches 2-bit
+                # op codes instead of the whole band dirs tensor.
+                from sequencealigning_tpu.ops.traceback_device import (
+                    banded_diag_device_tbs,
+                )
+
+                tbs = banded_diag_device_tbs(
+                    res.dirs, bf,
+                    [pairs[b][0] for b in resolved],
+                    [pairs[b][1] for b in resolved],
+                    res.k_lo_even, compat=self.config.compat,
+                    pair_idx=np.asarray(resolved, np.int32),
+                )
+                for b, r in zip(resolved, tbs):
+                    if isinstance(r, AlignerError):
+                        out[b] = r
+                    else:
+                        score, alns = r
+                        out[b] = dict(
+                            score=score, aligned_query=alns[0][0],
+                            aligned_db=alns[0][1], alignments=alns,
+                        )
+            elif resolved:
+                dirs = np.asarray(res.dirs)  # one device fetch per round
+                for b in resolved:
+                    try:
+                        score, alns = banded_diag_fast4_traceback_pair(
+                            dirs[:, b, :], bf[b], pairs[b][0], pairs[b][1],
+                            res.k_lo_even, compat=self.config.compat,
+                        )
+                        out[b] = dict(
+                            score=score, aligned_query=alns[0][0],
+                            aligned_db=alns[0][1], alignments=alns,
+                        )
+                    except AlignerError as e:
+                        out[b] = e
             pending = still
             band *= 2
         for b in pending:

@@ -250,25 +250,59 @@ class WfaAligner(Aligner):
                 )
                 f1 = np.asarray(res.finals)
                 f2 = np.asarray(chk.finals)
-                dirs = None
-                for j, i in enumerate(chunk):
-                    if int(f1[j].max()) != int(f2[j].max()):
-                        still.append(i)
+                certified = [
+                    (j, i)
+                    for j, i in enumerate(chunk)
+                    if int(f1[j].max()) == int(f2[j].max())
+                ]
+                still.extend(
+                    i
+                    for j, i in enumerate(chunk)
+                    if int(f1[j].max()) != int(f2[j].max())
+                )
+                if not certified:
+                    continue
+                from sequencealigning_tpu.ops.traceback_device import (
+                    banded_diag_device_tbs,
+                    use_device_walk,
+                )
+
+                if use_device_walk(self.config):
+                    # Device walk of the certified slots (2-bit op fetch
+                    # instead of the band dirs tensor).
+                    tbs = banded_diag_device_tbs(
+                        res.dirs, f1,
+                        [pairs[i][0] for _j, i in certified],
+                        [pairs[i][1] for _j, i in certified],
+                        res.k_lo_even, compat=False,
+                        pair_idx=np.asarray(
+                            [j for j, _i in certified], np.int32
+                        ),
+                    )
+                else:
+                    dirs = np.asarray(res.dirs)  # one fetch per chunk
+                    tbs = []
+                    for j, i in certified:
+                        try:
+                            tbs.append(
+                                banded_diag_fast4_traceback_pair(
+                                    dirs[:, j, :], f1[j],
+                                    pairs[i][0], pairs[i][1],
+                                    res.k_lo_even, compat=False,
+                                )
+                            )
+                        except AlignerError as e:
+                            tbs.append(e)
+                for (_j, i), r in zip(certified, tbs):
+                    if isinstance(r, AlignerError):
+                        out[i] = r
                         continue
-                    if dirs is None:
-                        dirs = np.asarray(res.dirs)  # one fetch per chunk
-                    try:
-                        score, alns = banded_diag_fast4_traceback_pair(
-                            dirs[:, j, :], f1[j], pairs[i][0], pairs[i][1],
-                            res.k_lo_even, compat=False,
-                        )
-                        out[i] = dict(
-                            score=-score,
-                            aligned_query=alns[0][0],
-                            aligned_db=alns[0][1],
-                        )
-                    except AlignerError as e:
-                        out[i] = e
+                    score, alns = r
+                    out[i] = dict(
+                        score=-score,
+                        aligned_query=alns[0][0],
+                        aligned_db=alns[0][1],
+                    )
             pending = still
             # Escalate past both this round's fill AND its certificate
             # width (the +128 keeps the next lane count strictly larger).

@@ -117,6 +117,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.walk_decode_batch.restype = None
+    lib.walk_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.c_int,
+    ]
     lib.wfa_textbook_align_batch.restype = None
     lib.wfa_textbook_align_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
@@ -474,3 +484,53 @@ def wfa_textbook_traceback_native(
     if n < 0:
         return None
     return a1.raw[:n].decode("latin-1"), a2.raw[:n].decode("latin-1")
+
+
+def walk_decode_batch_native(
+    packed: np.ndarray,
+    s1p: np.ndarray,
+    s2p: np.ndarray,
+    n1s: np.ndarray,
+    n2s: np.ndarray,
+    n_threads: int = 8,
+):
+    """Threaded decode of the device traceback walker's packed 2-bit op
+    codes (ops.traceback_device) straight to aligned string pairs.
+    Returns a list of (aligned1, aligned2) with None per inconsistent
+    pair, or None overall if the library is missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    packed = np.ascontiguousarray(packed, np.uint32)
+    s1p = np.ascontiguousarray(s1p, np.uint8)
+    s2p = np.ascontiguousarray(s2p, np.uint8)
+    n1s = np.ascontiguousarray(n1s, np.int64)
+    n2s = np.ascontiguousarray(n2s, np.int64)
+    b_total, t16 = packed.shape
+    cap = int(n1s.max() + n2s.max() + 8) if b_total else 8
+    out1 = ctypes.create_string_buffer(b_total * cap)
+    out2 = ctypes.create_string_buffer(b_total * cap)
+    lens = np.zeros(b_total, np.int64)
+    lib.walk_decode_batch(
+        packed.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), t16,
+        s1p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s1p.shape[1],
+        s2p.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), s2p.shape[1],
+        n1s.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        n2s.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        b_total, out1, out2, cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)), n_threads,
+    )
+    r1, r2 = out1.raw, out2.raw
+    results = []
+    for b in range(b_total):
+        n = int(lens[b])
+        if n < 0:
+            results.append(None)
+        else:
+            results.append(
+                (
+                    r1[b * cap : b * cap + n].decode("latin-1"),
+                    r2[b * cap : b * cap + n].decode("latin-1"),
+                )
+            )
+    return results

@@ -1339,3 +1339,116 @@ void wfa_textbook_align_batch(const uint8_t *buf1, const long *off1,
     for (int k = 0; k < started; k++)
         if (running[k]) pthread_join(tids[k], NULL);
 }
+
+/* ------------------------------------- packed walk-code decode ------------
+ * Decode the on-device traceback walker's output (ops/traceback_device.py):
+ * 2-bit op codes (0 stop, 1 M, 2 I, 3 D), 16 per u32 word little-endian in
+ * step, emitted in walk order (alignment end -> start).  Builds the two
+ * aligned strings in forward order.  Returns the aligned length, or -1 when
+ * the code stream is inconsistent (codes after the stop, or it does not
+ * consume exactly n1/n2 characters) -- the caller falls back to a host
+ * walk for that pair. */
+static long walk_decode_one(const uint32_t *pk, long t16,
+                            const uint8_t *s1, long n1,
+                            const uint8_t *s2, long n2,
+                            char *o1, char *o2, long cap) {
+    long T = t16 * 16;
+    long n = T;
+    for (long w = 0; w < t16; w++) {
+        uint32_t v = pk[w];
+        for (int j = 0; j < 16; j++) {
+            if (((v >> (2 * j)) & 3u) == 0) { n = w * 16 + j; goto found; }
+        }
+    }
+found:
+    if (n == 0 || n > cap) return -1;
+    /* everything after the stop must be zero */
+    {
+        long w0 = n >> 4;
+        uint32_t mask_hi = ~((n & 15) ? ((1u << (2 * (n & 15))) - 1u) : 0u);
+        if ((n & 15) && (pk[w0] & mask_hi)) return -1;
+        for (long w = w0 + ((n & 15) ? 1 : 0); w < t16; w++)
+            if (pk[w]) return -1;
+    }
+    long i1 = n1, i2 = n2;
+    for (long t = 0; t < n; t++) {
+        int c = (int)((pk[t >> 4] >> (2 * (t & 15))) & 3u);
+        char a1, a2;
+        if (c == 1) {
+            if (i1 <= 0 || i2 <= 0) return -1;
+            a1 = (char)s1[--i1];
+            a2 = (char)s2[--i2];
+        } else if (c == 2) {
+            if (i1 <= 0) return -1;
+            a1 = (char)s1[--i1];
+            a2 = '-';
+        } else {
+            if (i2 <= 0) return -1;
+            a1 = '-';
+            a2 = (char)s2[--i2];
+        }
+        o1[n - 1 - t] = a1;
+        o2[n - 1 - t] = a2;
+    }
+    if (i1 != 0 || i2 != 0) return -1;
+    return n;
+}
+
+typedef struct {
+    const uint32_t *packed;
+    long t16;
+    const uint8_t *s1p, *s2p;
+    long l1, l2;
+    const long *n1s, *n2s;
+    char *out1, *out2;
+    long cap;
+    long *lens;
+    long b_lo, b_hi;
+} WDTask;
+
+static void *wd_worker(void *arg) {
+    WDTask *t = (WDTask *)arg;
+    for (long b = t->b_lo; b < t->b_hi; b++) {
+        t->lens[b] = walk_decode_one(
+            t->packed + b * t->t16, t->t16,
+            t->s1p + b * t->l1, t->n1s[b],
+            t->s2p + b * t->l2, t->n2s[b],
+            t->out1 + b * t->cap, t->out2 + b * t->cap, t->cap);
+    }
+    return NULL;
+}
+
+/* packed: (B, t16) u32; s1p/s2p: (B, l1)/(B, l2) padded sequence bytes;
+ * out1/out2: (B, cap) char matrices (forward aligned strings); lens[b] =
+ * aligned length or -1. */
+void walk_decode_batch(const uint32_t *packed, long t16,
+                       const uint8_t *s1p, long l1,
+                       const uint8_t *s2p, long l2,
+                       const long *n1s, const long *n2s, long b_total,
+                       char *out1, char *out2, long cap,
+                       long *lens, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > b_total) n_threads = (int)(b_total > 0 ? b_total : 1);
+    pthread_t tids[64];
+    int running[64] = {0};
+    WDTask tasks[64];
+    long per = (b_total + n_threads - 1) / n_threads;
+    int started = 0;
+    for (int k = 0; k < n_threads; k++) {
+        long lo = k * per, hi = lo + per;
+        if (lo >= b_total) break;
+        if (hi > b_total) hi = b_total;
+        tasks[k] = (WDTask){packed, t16, s1p, s2p, l1, l2, n1s, n2s,
+                            out1, out2, cap, lens, lo, hi};
+        if (pthread_create(&tids[k], NULL, wd_worker, &tasks[k]) != 0) {
+            wd_worker(&tasks[k]);
+            started = k + 1;
+            continue;
+        }
+        running[k] = 1;
+        started = k + 1;
+    }
+    for (int k = 0; k < started; k++)
+        if (running[k]) pthread_join(tids[k], NULL);
+}

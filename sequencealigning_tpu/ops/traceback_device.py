@@ -1,0 +1,447 @@
+"""On-device first-path traceback over the fast4 dirs layout.
+
+The production fill emits 4 direction bits per DP cell (ops.dirbits
+"fast4": H-argmax plane code + the two extend flags).  The host walkers
+(ops.traceback.fast4_traceback_pair, the native C batch walker) need the
+whole dirs tensor on the host first -- 0.5 byte/cell, ~8.6 GB at the
+bench headline shape (4096 x 2 kb pairs), which makes device->host
+transfer the dominant end-to-end alignment cost on any interconnect
+(PERF.md "host fetches").
+
+This module walks the traceback ON DEVICE instead: a lax.scan over walk
+steps where every step gathers one dirs word per pair (XLA gather,
+~14 ns/element) and updates the (x, y, plane) walk state with branchless
+selects, emitting 2-bit op codes.  The packed op tensor fetched to the
+host is 2 bits per WALK STEP (<= (l1+l2)/4 bytes/pair), a ~4000x
+transfer reduction at 2 kb pairs: 8.6 GB -> ~4 MB.
+
+Walk semantics are bit-identical to ops.traceback.fast4_traceback_pair
+(same plane priority M > I > D, same boundary row/column chains, same
+extend-bit rules); tests/test_traceback_device.py pins equality pairwise
+on fuzzed batches.  The reference's co-optimal LIFO enumeration
+(needleman_wunsch_affine.rs:281-329) stays a host concern on the 7-bit
+"full" layout -- this walker returns ONE exact optimal alignment per
+pair, the production contract.
+
+The only data-dependent access per step is the dirs-word gather; the
+M-plane case needs the NEXT cell's plane code, which the scalar walker
+reads with a second lookup -- here the plane state instead goes to a
+PENDING value that the following step resolves from its own (single)
+gather, so every step costs exactly one gathered element per pair.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+# Plane encoding inside the walk (matches the fast4 code values where
+# applicable): 0 = M, 1 = I, 2 = D, 3 = PENDING (plane comes from the
+# next step's gathered nibble -- only ever set after a diagonal move).
+_PEND = 3
+
+# Emitted 2-bit op codes (0 terminates; ops run end->start, reverse on
+# the host).
+_OP_NONE, _OP_M, _OP_I, _OP_D = 0, 1, 2, 3
+
+_OP_LUT = np.frombuffer(b"\x00MID", dtype=np.uint8)
+
+
+def _plane_step(nib, x, y, plane):
+    """One walk step given each pair's current-cell fast4 nibble:
+    (op code, x', y', plane').  Bit-exact vectorization of the host
+    walkers' shared loop body (ops.traceback.fast4_traceback_pair /
+    _banded_fast4_walk)."""
+    # Resolve a pending plane from this cell's H-argmax code (clamp
+    # code 3 to D exactly like the host walkers).
+    plane = jnp.where(plane == _PEND, jnp.minimum(nib & 3, 2), plane)
+    at_x0 = x == 0
+    at_y0 = y == 0
+    done = at_x0 & at_y0
+    # Boundary chains first (host walker order): x == 0 forces I
+    # (consume seq1), then y == 0 forces D (consume seq2).
+    eff = jnp.where(at_x0, 1, jnp.where(at_y0, 2, plane))
+    op = jnp.where(done, _OP_NONE, eff + 1).astype(jnp.uint8)
+    step_x = (~done) & ((eff == 0) | (eff == 2))
+    step_y = (~done) & ((eff == 0) | (eff == 1))
+    nxt = jnp.where(
+        eff == 0,
+        _PEND,
+        jnp.where(
+            eff == 1,
+            jnp.where((nib & 4) != 0, 1, 0),
+            jnp.where((nib & 8) != 0, 2, 0),
+        ),
+    )
+    plane = jnp.where(done, plane, nxt)
+    x = x - step_x.astype(jnp.int32)
+    y = y - step_y.astype(jnp.int32)
+    return op, x, y, plane
+
+
+def _pack_ops(ops, t_steps: int):
+    """(T, B) uint8 op codes -> (B, ceil(T/16)) uint32, 2 bits per step,
+    little-endian in step."""
+    t16 = -(-t_steps // 16)
+    ops = jnp.pad(ops.astype(jnp.uint32), ((0, t16 * 16 - t_steps), (0, 0)))
+    shift = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, :, None]
+    return (
+        (ops.reshape(t16, 16, -1) << shift).sum(axis=1, dtype=jnp.uint32)
+    ).transpose(1, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_steps", "unroll")
+)
+def _walk_fast4(
+    dirs, x0, y0, plane0, rowp, off, t_steps: int, unroll: int = 8
+):
+    """Batched fast4 walk over the stream layout.  dirs: (W, R, P) uint32
+    (8 nibbles per word, nibble d & 7 of word d >> 3 at [d >> 3, row, x]);
+    x0/y0/plane0/rowp/off: (B,) int32 seeds.  Returns ((x, y) final,
+    packed (B, ceil(T/16)) uint32 op codes, 2 bits per step in walk
+    order)."""
+
+    def step(carry, _):
+        x, y, plane = carry
+        d = x + y + off
+        w = dirs[d >> 3, rowp, x]  # one gathered element per pair
+        nib = ((w >> ((d & 7).astype(jnp.uint32) * 4)) & 0xF).astype(
+            jnp.int32
+        )
+        op, x, y, plane = _plane_step(nib, x, y, plane)
+        return (x, y, plane), op
+
+    (x, y, _), ops = lax.scan(
+        step, (x0, y0, plane0), None, length=t_steps, unroll=unroll
+    )
+    return (x, y), _pack_ops(ops, t_steps)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("t_steps", "unroll")
+)
+def _walk_banded_diag(
+    dirs, x0, y0, plane0, bidx, k_lo_even, t_steps: int, unroll: int = 8
+):
+    """Batched fast4 walk over ops.nw_banded_diag's wavefront layout:
+    cell (x, y) of pair bidx[i] lives at word dirs[(x+y-1) >> 3, bidx[i],
+    ((y-x) - k_lo_even) >> 1], shift 4*((x+y-1) & 7); out-of-band reads
+    are 0 (exactly ops.traceback.banded_diag_fast4_traceback_pair).
+    bidx selects which dirs batch slots to walk (a subset is fine)."""
+    W, _, L = dirs.shape
+
+    def step(carry, _):
+        x, y, plane = carry
+        a = x + y - 1
+        l = (y - x - k_lo_even) >> 1
+        valid = (l >= 0) & (l < L) & (a >= 0) & ((a >> 3) < W)
+        w = dirs[
+            jnp.clip(a >> 3, 0, W - 1), bidx, jnp.clip(l, 0, L - 1)
+        ]
+        nib = ((w >> ((a & 7).astype(jnp.uint32) * 4)) & 0xF).astype(
+            jnp.int32
+        )
+        nib = jnp.where(valid, nib, 0)
+        op, x, y, plane = _plane_step(nib, x, y, plane)
+        return (x, y, plane), op
+
+    (x, y, _), ops = lax.scan(
+        step, (x0, y0, plane0), None, length=t_steps, unroll=unroll
+    )
+    return (x, y), _pack_ops(ops, t_steps)
+
+
+def seed_planes(finals: np.ndarray) -> np.ndarray:
+    """(B,) plane seeds from (B, 3) M/I/D corner finals, priority
+    M > I > D (ops.traceback.fast4_traceback_pair's seed rule)."""
+    finals = np.asarray(finals)
+    score = finals.max(axis=1, keepdims=True)
+    is_m = finals[:, 0:1] == score
+    is_i = finals[:, 1:2] == score
+    return np.where(is_m[:, 0], 0, np.where(is_i[:, 0], 1, 2)).astype(
+        np.int32
+    )
+
+
+def decode_packed_ops(
+    packed: np.ndarray, n1s: np.ndarray, n2s: np.ndarray
+) -> List[Optional[str]]:
+    """Packed (B, T16) uint32 walk codes -> forward op strings ('M'/'I'/
+    'D', start->end).  A pair whose op count is not n1+n2 - #M (i.e. the
+    walk did not consume exactly its sequences) decodes to None."""
+    packed = np.asarray(packed)
+    B, t16 = packed.shape
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    codes = ((packed[:, :, None] >> shifts) & 3).reshape(B, t16 * 16)
+    chars = _OP_LUT[codes]  # (B, T) bytes, 0 = stop
+    n_ops = (codes != 0).sum(axis=1)
+    out: List[Optional[str]] = []
+    for b in range(B):
+        n = int(n_ops[b])
+        ops_rev = chars[b, :n].tobytes()
+        # Ops are emitted end->start; a valid walk consumes seq1 exactly
+        # n1 times (M+I) and seq2 exactly n2 times (M+D).
+        n_m = ops_rev.count(b"M")
+        n_i = ops_rev.count(b"I")
+        n_d = ops_rev.count(b"D")
+        if n_m + n_i != int(n1s[b]) or n_m + n_d != int(n2s[b]):
+            out.append(None)
+            continue
+        out.append(ops_rev[::-1].decode("ascii"))
+    return out
+
+
+def decode_packed_alignments(
+    packed: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+) -> List[Optional[Tuple[str, str]]]:
+    """Packed walk codes -> aligned (seq1, seq2) string pairs.  Routes to
+    the threaded native decoder (native.walk_decode_batch_native) when the
+    C runtime is available, else one vectorized NumPy pass over the (B, T)
+    code matrix (the per-pair _apply_ops walk costs ~0.3 ms/pair at 2 kb,
+    ~6x the NumPy pass, ~40x the native decode).  A pair whose walk did
+    not consume exactly its sequences decodes to None (caller falls
+    back)."""
+    import os
+
+    packed = np.asarray(packed)
+    B, t16 = packed.shape
+    T = t16 * 16
+    n1s = np.asarray([len(s) for s in seqs1], np.int32)
+    n2s = np.asarray([len(s) for s in seqs2], np.int32)
+    l1 = max(1, int(n1s.max()) if B else 1)
+    l2 = max(1, int(n2s.max()) if B else 1)
+    s1p = np.zeros((B, l1), np.uint8)
+    s2p = np.zeros((B, l2), np.uint8)
+    for b in range(B):
+        s1p[b, : n1s[b]] = np.frombuffer(seqs1[b], np.uint8)
+        s2p[b, : n2s[b]] = np.frombuffer(seqs2[b], np.uint8)
+    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+        try:
+            from sequencealigning_tpu import native
+
+            out = native.walk_decode_batch_native(packed, s1p, s2p, n1s, n2s)
+            if out is not None:
+                return out
+        except Exception:
+            pass
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    codes = ((packed[:, :, None] >> shifts) & 3).astype(np.uint8).reshape(
+        B, T
+    )
+    live = codes != 0
+    takes1 = (codes == _OP_M) | (codes == _OP_I)  # consumes seq1
+    takes2 = (codes == _OP_M) | (codes == _OP_D)  # consumes seq2
+    c1 = np.cumsum(takes1, axis=1, dtype=np.int32)
+    c2 = np.cumsum(takes2, axis=1, dtype=np.int32)
+    # Walk order is end->start: the t-th op consumes char n - (running
+    # count through t) of its sequence.
+    rows = np.arange(B, dtype=np.intp)[:, None]
+    gap = np.uint8(ord("-"))
+    a1 = np.where(
+        takes1, s1p[rows, np.clip(n1s[:, None] - c1, 0, l1 - 1)], gap
+    )
+    a2 = np.where(
+        takes2, s2p[rows, np.clip(n2s[:, None] - c2, 0, l2 - 1)], gap
+    )
+    # Vectorized validation: ops must be a contiguous front run that
+    # consumes each sequence exactly (zeros strictly after the stop).
+    n_ops = live.sum(axis=1, dtype=np.int32)
+    has_zero = n_ops < T
+    first_zero = np.argmax(~live, axis=1).astype(np.int32)
+    contiguous = ~has_zero | (first_zero == n_ops)
+    ok = (
+        (n_ops > 0)
+        & contiguous
+        & (c1[:, -1] == n1s)
+        & (c2[:, -1] == n2s)
+    )
+    out: List[Optional[Tuple[str, str]]] = []
+    for b in range(B):
+        if not ok[b]:
+            out.append(None)
+            continue
+        n = int(n_ops[b])
+        out.append(
+            (
+                a1[b, :n][::-1].tobytes().decode("latin-1"),
+                a2[b, :n][::-1].tobytes().decode("latin-1"),
+            )
+        )
+    return out
+
+
+def fast4_stream_walk_device(
+    dirs: jax.Array,
+    finals: np.ndarray,
+    n1s: np.ndarray,
+    n2s: np.ndarray,
+    plan,
+    unroll: int = 8,
+) -> Tuple[List[Optional[str]], np.ndarray]:
+    """Device walk over an ops.nw_affine_stream fast4 dirs tensor
+    ((t_total/8, n_rows, P) uint32, pair b = slot b % np_slots of row
+    b // np_slots, diagonal offset slot*s).
+
+    Returns (op strings start->end, one per pair -- None where the walk
+    failed validation -- and the (B,) scores).  Only the packed 2-bit op
+    tensor crosses the device boundary."""
+    B = len(n1s)
+    n1s = np.asarray(n1s, np.int32)
+    n2s = np.asarray(n2s, np.int32)
+    finals = np.asarray(finals)[:B]
+    bs = np.arange(B)
+    rowp = (bs // plan.np_slots).astype(np.int32)
+    off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
+    t_steps = int(plan.l1 + plan.l2)
+    (xf, yf), packed = _walk_fast4(
+        dirs,
+        jnp.asarray(n2s),
+        jnp.asarray(n1s),
+        jnp.asarray(seed_planes(finals)),
+        jnp.asarray(rowp),
+        jnp.asarray(off),
+        t_steps=t_steps,
+        unroll=unroll,
+    )
+    packed, xf, yf = jax.device_get((packed, xf, yf))
+    ops = decode_packed_ops(packed, n1s, n2s)
+    ended = (xf == 0) & (yf == 0)
+    ops = [o if ended[b] else None for b, o in enumerate(ops)]
+    return ops, finals.max(axis=1)
+
+
+def use_device_walk(config) -> bool:
+    """Shared fast4-traceback routing (config.traceback): walk on device
+    -- fetching 2-bit op codes instead of the dirs tensor -- when "auto"
+    and the fill ran on a TPU; "device"/"host" force."""
+    choice = getattr(config, "traceback", "auto")
+    if choice == "device":
+        return True
+    if choice == "host":
+        return False
+    return jax.default_backend() == "tpu"
+
+
+def banded_diag_device_tbs(
+    dirs: jax.Array,
+    finals: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    k_lo_even: int,
+    compat: bool = True,
+    pair_idx: Optional[np.ndarray] = None,
+):
+    """Device walk over a banded-diag fast4 fill in the host batch
+    walkers' result format: a list of (score, [(a1, a2)]) /
+    AlignmentError per pair.  A pair whose device walk fails validation
+    falls back to fetching its single dirs slice and host-walking
+    (ops.traceback.banded_diag_fast4_traceback_pair)."""
+    from sequencealigning_tpu.errors import AlignmentError
+    from sequencealigning_tpu.ops.traceback import (
+        banded_diag_fast4_traceback_pair,
+    )
+
+    if pair_idx is None:
+        pair_idx = np.arange(len(seqs1), dtype=np.int32)
+    alns, scores = banded_diag_align_device(
+        dirs, finals, seqs1, seqs2, k_lo_even, pair_idx=pair_idx
+    )
+    finals = np.asarray(finals)
+    out = []
+    for b in range(len(seqs1)):
+        if alns[b] is None:
+            slot = int(pair_idx[b])
+            try:
+                out.append(
+                    banded_diag_fast4_traceback_pair(
+                        np.asarray(dirs[:, slot, :]), finals[slot],
+                        seqs1[b], seqs2[b], k_lo_even, compat=compat,
+                    )
+                )
+            except AlignmentError as e:
+                out.append(e)
+            continue
+        out.append((int(scores[b]), [alns[b]]))
+    return out
+
+
+def banded_diag_align_device(
+    dirs: jax.Array,
+    finals: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    k_lo_even: int,
+    unroll: int = 8,
+    pair_idx: Optional[np.ndarray] = None,
+) -> Tuple[List[Optional[Tuple[str, str]]], np.ndarray]:
+    """Device walk over an ops.nw_banded_diag fast4 dirs tensor
+    ((Aw, B, L) uint32 wavefront-packed).  Returns (alignments, scores);
+    None where the walk failed validation (e.g. the optimum escaped the
+    band -- same signal the host walker's rescoring gate gives).
+    pair_idx: dirs batch slot per sequence (default 0..B-1); pass a
+    subset to walk only some slots (the band-doubling long-pair route)."""
+    B = len(seqs1)
+    n1s = np.asarray([len(s) for s in seqs1], np.int32)
+    n2s = np.asarray([len(s) for s in seqs2], np.int32)
+    if pair_idx is None:
+        pair_idx = np.arange(B, dtype=np.int32)
+    finals = np.asarray(finals)[np.asarray(pair_idx)]
+    t_steps = int((n1s + n2s).max()) if B else 1
+    (xf, yf), packed = _walk_banded_diag(
+        dirs,
+        jnp.asarray(n2s),
+        jnp.asarray(n1s),
+        jnp.asarray(seed_planes(finals)),
+        jnp.asarray(np.asarray(pair_idx, np.int32)),
+        jnp.int32(k_lo_even),
+        t_steps=t_steps,
+        unroll=unroll,
+    )
+    packed, xf, yf = jax.device_get((packed, xf, yf))
+    alns = decode_packed_alignments(packed, seqs1, seqs2)
+    ended = (xf == 0) & (yf == 0)
+    alns = [a if ended[b] else None for b, a in enumerate(alns)]
+    return alns, finals.max(axis=1)
+
+
+def fast4_stream_align_device(
+    dirs: jax.Array,
+    finals: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    plan,
+    unroll: int = 8,
+) -> Tuple[List[Optional[Tuple[str, str]]], np.ndarray]:
+    """fast4_stream_walk_device + vectorized decode straight to aligned
+    string pairs.  Returns (alignments, (B,) scores); a None alignment
+    means the walk failed validation (caller falls back per pair)."""
+    B = len(seqs1)
+    n1s = np.asarray([len(s) for s in seqs1], np.int32)
+    n2s = np.asarray([len(s) for s in seqs2], np.int32)
+    finals = np.asarray(finals)[:B]
+    bs = np.arange(B)
+    rowp = (bs // plan.np_slots).astype(np.int32)
+    off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
+    (xf, yf), packed = _walk_fast4(
+        dirs,
+        jnp.asarray(n2s),
+        jnp.asarray(n1s),
+        jnp.asarray(seed_planes(finals)),
+        jnp.asarray(rowp),
+        jnp.asarray(off),
+        t_steps=int(plan.l1 + plan.l2),
+        unroll=unroll,
+    )
+    packed, xf, yf = jax.device_get((packed, xf, yf))
+    alns = decode_packed_alignments(packed, seqs1, seqs2)
+    ended = (xf == 0) & (yf == 0)
+    alns = [a if ended[b] else None for b, a in enumerate(alns)]
+    return alns, finals.max(axis=1)
