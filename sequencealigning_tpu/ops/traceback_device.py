@@ -95,17 +95,15 @@ def _pack_ops(ops, t_steps: int):
     ).transpose(1, 0)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("t_steps", "unroll")
-)
-def _walk_fast4(
+def _walk_fast4_impl(
     dirs, x0, y0, plane0, rowp, off, t_steps: int, unroll: int = 8
 ):
-    """Batched fast4 walk over the stream layout.  dirs: (W, R, P) uint32
-    (8 nibbles per word, nibble d & 7 of word d >> 3 at [d >> 3, row, x]);
-    x0/y0/plane0/rowp/off: (B,) int32 seeds.  Returns ((x, y) final,
-    packed (B, ceil(T/16)) uint32 op codes, 2 bits per step in walk
-    order)."""
+    """Batched fast4 walk over the stream layout (unjitted body, also
+    used per shard under jax.shard_map by the data-parallel runner).
+    dirs: (W, R, P) uint32 (8 nibbles per word, nibble d & 7 of word
+    d >> 3 at [d >> 3, row, x]); x0/y0/plane0/rowp/off: (B,) int32 seeds.
+    Returns ((x, y) final, packed (B, ceil(T/16)) uint32 op codes, 2 bits
+    per step in walk order)."""
 
     def step(carry, _):
         x, y, plane = carry
@@ -121,6 +119,11 @@ def _walk_fast4(
         step, (x0, y0, plane0), None, length=t_steps, unroll=unroll
     )
     return (x, y), _pack_ops(ops, t_steps)
+
+
+_walk_fast4 = jax.jit(
+    _walk_fast4_impl, static_argnames=("t_steps", "unroll")
+)
 
 
 @functools.partial(

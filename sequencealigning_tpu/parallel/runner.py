@@ -75,6 +75,7 @@ class DataParallelRunner:
         np_slots: int = 32,
         bt: int = 16,
         state_dtype="i32",
+        traceback: str = "auto",
     ):
         self.mesh = mesh if mesh is not None else make_mesh()
         self.scheme = scheme
@@ -92,6 +93,10 @@ class DataParallelRunner:
         # "i32" | "i16" | "auto" | dtype, resolved per plan at fn-build
         # time (ops.nw_affine_stream.resolve_stream_state).
         self.state_dtype = state_dtype
+        # fast4 traceback routing for the streaming cigars path:
+        # "auto" (device walk when the fill ran on TPU) / "host" /
+        # "device" (ops.traceback_device.use_device_walk).
+        self.traceback = traceback
         self._fn_cache = {}
 
     @property
@@ -324,6 +329,82 @@ class DataParallelRunner:
         args, plan, B = self._stream_args(batch)
         finals = self._stream_fn(plan)(*args)
         return finals[:B]
+
+    def device_walk_fast4(self, dirs, plan, finals, seqs1, seqs2):
+        """On-device fast4 traceback over the runner's row-sharded dirs
+        tensor (fill_with_dirs output): each device walks exactly the
+        pairs whose rows it holds (shard_map over 'data'; pair order is
+        row-major, so pair blocks align with row shards), and only the
+        2-bit packed op codes cross the device boundary (~(l1+l2)/4
+        bytes/pair vs the 0.5 byte/cell dirs fetch of the host path).
+
+        Returns a traceback_stream_batch-shaped list: (score, [(a1, a2)])
+        or AlignmentError per pair; a pair whose device walk fails
+        validation falls back to fetching its single dirs row."""
+        from sequencealigning_tpu.errors import AlignmentError
+        from sequencealigning_tpu.ops import traceback_device as tbd
+        from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
+
+        finals = np.asarray(finals)
+        B = len(seqs1)
+        nd = self.n_devices
+        NP, R = plan.np_slots, plan.n_rows
+        Bp = NP * R
+        n1 = np.ones(Bp, np.int32)
+        n2 = np.ones(Bp, np.int32)
+        n1[:B] = [len(s) for s in seqs1]
+        n2[:B] = [len(s) for s in seqs2]
+        p0 = np.zeros(Bp, np.int32)
+        p0[:B] = tbd.seed_planes(finals[:B])
+        bs = np.arange(Bp)
+        rowloc = ((bs // NP) % (R // nd)).astype(np.int32)  # shard-local
+        off = ((bs % NP) * plan.s).astype(np.int32)
+        t_steps = int(plan.l1 + plan.l2)
+
+        key = ("walk", plan)
+        if key not in self._fn_cache:
+
+            def per_shard(dirs_l, x0, y0, pl0, rowp, offp):
+                return tbd._walk_fast4_impl(
+                    dirs_l, x0, y0, pl0, rowp, offp, t_steps=t_steps
+                )
+
+            pb = P("data")
+            self._fn_cache[key] = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(P(None, "data", None), pb, pb, pb, pb, pb),
+                    out_specs=((pb, pb), P("data", None)),
+                    check_vma=False,
+                )
+            )
+        shard = NamedSharding(self.mesh, P("data"))
+        args = [
+            jax.device_put(a, shard)
+            for a in (n2, n1, p0, rowloc, off)  # x walks db, y walks query
+        ]
+        (xf, yf), packed = self._fn_cache[key](dirs, *args)
+        packed, xf, yf = jax.device_get((packed[:B], xf[:B], yf[:B]))
+        alns = tbd.decode_packed_alignments(packed, seqs1, seqs2)
+        ended = (xf == 0) & (yf == 0)
+        out = []
+        for b in range(B):
+            if alns[b] is None or not ended[b]:
+                row, _slot, doff = plan.pair_coords(b)
+                try:
+                    out.append(
+                        fast4_traceback_pair(
+                            np.asarray(dirs[:, row, :]), finals[b],
+                            seqs1[b], seqs2[b], compat=self.compat,
+                            d_offset=doff,
+                        )
+                    )
+                except AlignmentError as e:
+                    out.append(e)
+                continue
+            out.append((int(finals[b].max()), [alns[b]]))
+        return out
 
     def fill_with_dirs(self, batch: PairBatch, dirs_mode: str = "fast4"):
         """Streamed fill WITH direction words, on the runner's mesh (the

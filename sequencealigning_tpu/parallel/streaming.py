@@ -68,14 +68,26 @@ def stream_align(
             on_result(idx, scores[:n])
         if extra is not None and on_alignments is not None:
             dirs, plan, seqs1, seqs2 = extra
-            from sequencealigning_tpu.ops.traceback import (
-                traceback_stream_batch,
+            from sequencealigning_tpu.ops.traceback_device import (
+                use_device_walk,
             )
 
-            tbs = traceback_stream_batch(
-                np.asarray(dirs), scores, seqs1, seqs2, plan,
-                compat=runner.compat, dirs_mode="fast4",
-            )
+            if use_device_walk(runner):
+                # Walk on device, sharded like the fill (each device
+                # walks its own rows' pairs); only 2-bit op codes are
+                # fetched instead of the dirs tensor.
+                tbs = runner.device_walk_fast4(
+                    dirs, plan, scores, seqs1, seqs2
+                )
+            else:
+                from sequencealigning_tpu.ops.traceback import (
+                    traceback_stream_batch,
+                )
+
+                tbs = traceback_stream_batch(
+                    np.asarray(dirs), scores, seqs1, seqs2, plan,
+                    compat=runner.compat, dirs_mode="fast4",
+                )
             on_alignments(idx, tbs)
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp"

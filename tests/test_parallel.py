@@ -196,3 +196,53 @@ def test_runner_int16_state_matches_int32():
         ).scores(batch)
     )
     np.testing.assert_array_equal(f32, f16)
+
+
+def test_device_walk_matches_host_walk_on_mesh():
+    """The sharded on-device fast4 walk (runner.device_walk_fast4) equals
+    the host traceback across an explicit 8-device mesh."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pairs = _pairs(29, 24)
+    runner = DataParallelRunner(mesh=mesh, backend="lax", np_slots=2)
+    batch = pack_batch(pairs, batch_size=len(pairs))
+    finals, dirs, plan = runner.fill_with_dirs(batch)
+    finals = np.asarray(finals)
+    s1s = [p[0] for p in pairs]
+    s2s = [p[1] for p in pairs]
+    got = runner.device_walk_fast4(dirs, plan, finals, s1s, s2s)
+    want = traceback_stream_batch(
+        np.asarray(dirs), finals, s1s, s2s, plan,
+        compat=runner.compat, dirs_mode="fast4",
+    )
+    assert len(got) == len(want) == len(pairs)
+    for b, (g, w) in enumerate(zip(got, want)):
+        assert not isinstance(g, Exception), (b, g)
+        assert g[0] == w[0], b
+        assert g[1][0] == w[1][0], (b, pairs[b])
+
+
+def test_streaming_cigars_device_walk_route():
+    """stream_align(cigars=True) with runner.traceback='device' produces
+    the same alignments as the host route."""
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pairs = _pairs(53, 16)
+    outs = {}
+    for route in ("device", "host"):
+        runner = DataParallelRunner(
+            mesh=mesh, backend="lax", np_slots=2, traceback=route
+        )
+        got = {}
+        stream_align(
+            pairs, runner=runner, batch_size=8, cigars=True,
+            on_alignments=lambda idx, tbs: got.__setitem__(idx, tbs),
+        )
+        outs[route] = [t for idx in sorted(got) for t in got[idx]]
+    for b, (d, h) in enumerate(zip(outs["device"], outs["host"])):
+        assert not isinstance(d, Exception), (b, d)
+        assert d[0] == h[0] and d[1][0] == h[1][0], b
