@@ -324,11 +324,20 @@ def main() -> int:
         art = {}
         with open(_art) as f:
             for r in json.load(f)["results"]:
-                if r["config"].startswith("3-wfa"):
+                if r["config"].startswith("2-gotoh"):
+                    # fast4 fill + ON-DEVICE traceback walk (2-bit op
+                    # fetch instead of the dirs tensor).
+                    art["gotoh_e2e_alignments_per_s"] = r.get(
+                        "alignments_per_s"
+                    )
+                elif r["config"].startswith("3-wfa"):
                     art["wfa_routed_pairs_per_s"] = r.get("pairs_per_s")
                 elif r["config"].startswith("4-banded"):
                     art["banded_diag_fast4_gcups"] = r.get(
                         "band_gcups_fast4"
+                    )
+                    art["banded_e2e_alignments_per_s"] = r.get(
+                        "alignments_per_s"
                     )
                 elif r["config"].startswith("5-streaming"):
                     art["streaming_pairs_per_s"] = r.get("pairs_per_s")

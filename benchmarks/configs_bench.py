@@ -93,7 +93,6 @@ def config2_gotoh(on_tpu):
     from sequencealigning_tpu.io.encode import pack_batch, trim_for_stream
     from sequencealigning_tpu.ops import oracle_gotoh
     from sequencealigning_tpu.ops.nw_affine_stream import nw_affine_stream_batch
-    from sequencealigning_tpu.ops.traceback import traceback_stream_batch
     from sequencealigning_tpu.utils.cigar import cigar_from_pair
 
     n, length = (64, 2046) if on_tpu else (16, 96)
@@ -101,37 +100,54 @@ def config2_gotoh(on_tpu):
     pairs = _mkpairs(rng, n, length)
     batch = trim_for_stream(pack_batch(pairs, batch_size=n))
 
-    kw = dict(with_dirs=True, np_slots=8 if on_tpu else 2)
-    nw_affine_stream_batch(
+    from sequencealigning_tpu.ops.traceback_device import (
+        fast4_stream_align_device,
+    )
+
+    s1s = [p[0] for p in pairs]
+    s2s = [p[1] for p in pairs]
+    # Production first-path contract: fast4 fill + ON-DEVICE walk (the
+    # dirs tensor never crosses the device boundary -- the old host walk
+    # fetched ~300 MB here and dominated elapsed_s at ~29 s on the
+    # tunneled rig).
+    kw = dict(with_dirs="fast4", np_slots=8 if on_tpu else 2)
+    res = nw_affine_stream_batch(
         batch.query, batch.db, batch.query_len, batch.db_len, **kw
-    )  # compile warmup
+    )  # compile warmup (fill)
+    fast4_stream_align_device(
+        res.dirs, res.finals, s1s, s2s, res.plan
+    )  # compile warmup (walk)
     t0 = time.perf_counter()
     res = nw_affine_stream_batch(
         batch.query, batch.db, batch.query_len, batch.db_len, **kw
     )
     np.asarray(res.finals)
     fills_done = time.perf_counter()
-    tbs = traceback_stream_batch(
-        np.asarray(res.dirs), res.finals,
-        [p[0] for p in pairs], [p[1] for p in pairs], res.plan,
-        first_only=True,
+    alns, walk_scores = fast4_stream_align_device(
+        res.dirs, res.finals, s1s, s2s, res.plan
     )
     dt_all = time.perf_counter() - t0
+    tbs = [
+        None if a is None else (int(walk_scores[b]), [a])
+        for b, a in enumerate(alns)
+    ]
 
-    n_aligned = sum(1 for t in tbs if not isinstance(t, Exception))
+    n_aligned = sum(1 for t in tbs if t is not None)
     # Sample-verify exact scores vs the scalar oracle.
     ok = True
     for b in rng.choice(n, size=2, replace=False):
         exp = oracle_gotoh.gotoh_score(pairs[b][0], pairs[b][1])
         ok &= int(res.finals[b].max()) == exp
-        if not isinstance(tbs[b], Exception):
-            score_b, alns = tbs[b]
-            a1, a2 = alns[0]
+        if tbs[b] is not None:
+            score_b, alns_b = tbs[b]
+            a1, a2 = alns_b[0]
             ok &= _score_alignment(a1, a2) == score_b
     gcups = _cells(batch) / (fills_done - t0) / 1e9
     return {
         "config": "2-gotoh-64x2kb",
         "fill_gcups": round(gcups, 3),
+        "e2e_gcups": round(_cells(batch) / dt_all / 1e9, 3),
+        "alignments_per_s": round(n / dt_all, 1),
         "tracebacks_ok": n_aligned,
         "elapsed_s": round(dt_all, 4),
         "correct_vs_oracle": bool(ok),
@@ -325,6 +341,37 @@ def config4_banded(on_tpu):
     )
     ok &= bool(alns) and score0 == int(finals[0].max())
 
+    # Production alignment path: fast4 fill + on-device batch walk (the
+    # band dirs tensor never crosses the device boundary).
+    from sequencealigning_tpu.ops.traceback_device import (
+        banded_diag_align_device,
+    )
+
+    res_f4 = nw_banded_diag_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=band, with_dirs="fast4",
+    )
+    s1s = [p[0] for p in pairs]
+    s2s = [p[1] for p in pairs]
+    banded_diag_align_device(
+        res_f4.dirs, np.asarray(res_f4.finals), s1s, s2s, res_f4.k_lo_even
+    )  # compile warmup (walk)
+    t0 = time.perf_counter()
+    res_f4 = nw_banded_diag_batch(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        band=band, with_dirs="fast4",
+    )
+    f4_finals = np.asarray(res_f4.finals)
+    alns_dev, _sc = banded_diag_align_device(
+        res_f4.dirs, f4_finals, s1s, s2s, res_f4.k_lo_even
+    )
+    dt_e2e_aln = time.perf_counter() - t0
+    n_aln = sum(a is not None for a in alns_dev)
+    ok &= n_aln == n
+    for i in idx:
+        if alns_dev[i] is not None:
+            ok &= _score_alignment(*alns_dev[i]) == int(f4_finals[i].max())
+
     # Credit the lanes the kernel actually computes: the band is padded to
     # the batch's length-diff spread and rounded up to 128 lanes.
     diff = batch.query_len.astype(np.int64) - batch.db_len.astype(np.int64)
@@ -340,6 +387,8 @@ def config4_banded(on_tpu):
         "band_gcups_score_only": round(diag_cells / dt_diag_sc / 1e9, 3),
         "band_gcups_row_full": round(band_cells / dt_row_full / 1e9, 3),
         "band_gcups_e2e": round(band_cells / dt / 1e9, 3),
+        "alignments_per_s": round(n / dt_e2e_aln, 1),
+        "device_walks_ok": n_aln,
         "band_lanes": K,
         "band_lanes_diag": diag_lanes,
         "elapsed_s": round(dt, 4),

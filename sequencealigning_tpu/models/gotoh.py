@@ -336,26 +336,51 @@ class GotohAligner(Aligner):
                 "local" if local else "semi", scheme=self.config.scoring,
                 state_dtype=getattr(self.config, "stream_state", "i32"),
             )
-            dirs = np.asarray(sres.dirs)
+            coords = [sres.plan.pair_coords(b) for b in range(len(pairs))]
+            dirs_dev = sres.dirs
+            rowp = np.asarray([c[0] for c in coords], np.int32)
+            d_offs = np.asarray([c[2] for c in coords], np.int32)
+            t_steps = int(sres.plan.l1 + sres.plan.l2)
+            end_xs, end_ys = sres.best_x, sres.best_y
 
             def end_cell(b):
                 return stream_modes_best(sres, b)
 
             def dirs_of(b):
                 row, _slot, d_off = sres.plan.pair_coords(b)
-                return dirs[:, row, :], d_off
+                return np.asarray(dirs_dev[:, row, :]), d_off
         else:
             res = nw_affine_modes_batch(
                 batch.query, batch.db, batch.query_len, batch.db_len,
                 local=local, scheme=self.config.scoring,
             )
-            dirs = np.asarray(res.dirs)
+            dirs_dev = res.dirs
+            rowp = np.arange(len(pairs), dtype=np.int32)
+            d_offs = np.zeros(len(pairs), np.int32)
+            t_steps = int(batch.query.shape[1] + batch.db.shape[1])
+            end_xs, end_ys = res.best_x, res.best_y
 
             def end_cell(b):
                 return modes_end_cell(res, b)
 
             def dirs_of(b):
-                return dirs[:, b, :], 0
+                return np.asarray(dirs_dev[:, b, :]), 0
+
+        walked = None
+        if self._walk_on_device():
+            # On-device batch walk of the full-byte modes layout: only
+            # the 2-bit op codes cross the device boundary; failures
+            # fall back to the per-pair host walker below.
+            from sequencealigning_tpu.ops.traceback_device import (
+                modes_walk_device,
+            )
+
+            walked = modes_walk_device(
+                dirs_dev, end_xs[: len(pairs)], end_ys[: len(pairs)],
+                rowp, d_offs,
+                [p[0] for p in pairs], [p[1] for p in pairs],
+                local, t_steps,
+            )
 
         out = []
         for b, (s1, s2) in enumerate(pairs):
@@ -377,12 +402,29 @@ class GotohAligner(Aligner):
                 continue
             try:
                 score, x, y = end_cell(b)
-                dirs_b, d_off = dirs_of(b)
-                if local:
+                if walked is not None and walked[b] is not None:
+                    mid1, mid2, sx, sy = walked[b]
+                    if local:
+                        a1, a2 = mid1, mid2
+                    else:
+                        # Free end gaps around the walked segment
+                        # (semi_global_traceback_pair's lead/trail).
+                        n1, n2 = len(s1), len(s2)
+                        a1 = (
+                            s1[:sy].decode("latin-1") + "-" * sx + mid1
+                            + s1[y:].decode("latin-1") + "-" * (n2 - x)
+                        )
+                        a2 = (
+                            "-" * sy + s2[:sx].decode("latin-1") + mid2
+                            + "-" * (n1 - y) + s2[x:].decode("latin-1")
+                        )
+                elif local:
+                    dirs_b, d_off = dirs_of(b)
                     a1, a2, sy, sx = local_affine_traceback_pair(
                         dirs_b, x, y, s1, s2, d_offset=d_off
                     )
                 else:
+                    dirs_b, d_off = dirs_of(b)
                     a1, a2 = semi_global_traceback_pair(
                         dirs_b, x, y, s1, s2, d_offset=d_off
                     )

@@ -321,6 +321,130 @@ def fast4_stream_walk_device(
     return ops, finals.max(axis=1)
 
 
+_BROKEN = 4  # modes walk: parent byte had no H-plane bit (invalid fill)
+
+
+def _walk_modes_impl(
+    dirs, x0, y0, rowp, off, local: bool, t_steps: int, unroll: int = 8
+):
+    """Batched semi-global/local walk over the FULL 7-bit byte layout
+    (ops.dirbits: 4 bytes/word, byte d & 3 of word d >> 2 at
+    [d >> 2, row, x]).  Starts at each pair's end cell with the plane
+    resolved from that cell's H-argmax bits (priority M > I > D, exactly
+    ops.traceback._walk_from); stops at a boundary (semi) or at an
+    M-plane LSTART restart cell (local).  Returns ((x, y, state) finals,
+    packed op codes); state 1 = stopped cleanly, 2 = broken parent bits
+    or out-of-range (caller falls back to the host walker)."""
+    W, R, Pl = dirs.shape
+
+    def step(carry, _):
+        x, y, plane, st = carry
+        d = x + y + off
+        w = dirs[
+            jnp.clip(d >> 2, 0, W - 1), rowp, jnp.clip(x, 0, Pl - 1)
+        ]
+        byte = ((w >> ((d & 3).astype(jnp.uint32) * 8)) & 0xFF).astype(
+            jnp.int32
+        )
+        resolved = jnp.where(
+            (byte & 1) != 0,
+            0,
+            jnp.where((byte & 2) != 0, 1, jnp.where((byte & 4) != 0, 2, _BROKEN)),
+        )
+        plane = jnp.where(plane == _PEND, resolved, plane)
+        if local:
+            stop_now = (plane == 0) & ((byte & 128) != 0)  # LSTART
+        else:
+            stop_now = (x == 0) | (y == 0)
+        broken = (plane == _BROKEN) | (x < 0) | (y < 0)
+        st = jnp.where(
+            st != 0, st, jnp.where(stop_now, 1, jnp.where(broken, 2, 0))
+        )
+        active = st == 0
+        op = jnp.where(active, plane + 1, 0).astype(jnp.uint8)
+        step_x = active & ((plane == 0) | (plane == 2))
+        step_y = active & ((plane == 0) | (plane == 1))
+        nxt = jnp.where(
+            plane == 0,
+            _PEND,
+            jnp.where(
+                plane == 1,
+                jnp.where((byte & 8) != 0, 1, 0),    # IEXT
+                jnp.where((byte & 32) != 0, 2, 0),   # DEXT
+            ),
+        )
+        plane = jnp.where(active, nxt, plane)
+        x = x - step_x.astype(jnp.int32)
+        y = y - step_y.astype(jnp.int32)
+        return (x, y, plane, st), op
+
+    pend = jnp.full_like(x0, _PEND)
+    st0 = jnp.zeros_like(x0)
+    (x, y, _, st), ops = lax.scan(
+        step, (x0, y0, pend, st0), None, length=t_steps, unroll=unroll
+    )
+    # A walk still running after t_steps (possible only on a corrupt
+    # local fill with no LSTART on the path) is invalid.
+    st = jnp.where(st == 0, 2, st)
+    return (x, y, st), _pack_ops(ops, t_steps)
+
+
+_walk_modes = jax.jit(
+    _walk_modes_impl, static_argnames=("local", "t_steps", "unroll")
+)
+
+
+def modes_walk_device(
+    dirs: jax.Array,
+    end_x: np.ndarray,
+    end_y: np.ndarray,
+    rowp: np.ndarray,
+    off: np.ndarray,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    local: bool,
+    t_steps: int,
+    unroll: int = 8,
+):
+    """Device walk for the textbook modes (full-byte dirs layout, plain
+    (D4, B, P) with rowp=b/off=0 or streamed (T4, R, P) with the plan's
+    row/offset).  Returns a list, per pair, of
+    (mid_aligned1, mid_aligned2, stop_x, stop_y) -- the walked segment
+    between the stop cell and the end cell, exactly
+    ops.traceback._walk_from's output -- or None where the device walk
+    failed validation (caller falls back to the host walker)."""
+    B = len(seqs1)
+    end_x = np.asarray(end_x, np.int32)
+    end_y = np.asarray(end_y, np.int32)
+    (xf, yf, st), packed = _walk_modes(
+        dirs,
+        jnp.asarray(end_x),
+        jnp.asarray(end_y),
+        jnp.asarray(np.asarray(rowp, np.int32)),
+        jnp.asarray(np.asarray(off, np.int32)),
+        local=local,
+        t_steps=t_steps,
+        unroll=unroll,
+    )
+    packed, xf, yf, st = jax.device_get((packed, xf, yf, st))
+    # Decode against the walked substrings: ops consume exactly
+    # seq1[stop_y:end_y] / seq2[stop_x:end_x].
+    subs1 = [
+        seqs1[b][int(yf[b]) : int(end_y[b])] for b in range(B)
+    ]
+    subs2 = [
+        seqs2[b][int(xf[b]) : int(end_x[b])] for b in range(B)
+    ]
+    alns = decode_packed_alignments(packed, subs1, subs2)
+    out = []
+    for b in range(B):
+        if st[b] != 1 or alns[b] is None:
+            out.append(None)
+            continue
+        out.append((alns[b][0], alns[b][1], int(xf[b]), int(yf[b])))
+    return out
+
+
 def use_device_walk(config) -> bool:
     """Shared fast4-traceback routing (config.traceback): walk on device
     -- fetching 2-bit op codes instead of the dirs tensor -- when "auto"

@@ -326,3 +326,28 @@ def test_banded_diag_device_pair_idx_subset():
             res.k_lo_even, compat=False,
         )
         assert r[0] == want[0] and r[1][0] == want[1][0], i
+
+
+@pytest.mark.parametrize("mode_name", ["semi", "local"])
+@pytest.mark.parametrize("n_pairs", [10, 36])  # plain kernel / streamed
+def test_modes_device_route_matches_host(mode_name, n_pairs):
+    from sequencealigning_tpu.config import AlignConfig, Mode
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    mode = Mode.SEMI_GLOBAL if mode_name == "semi" else Mode.LOCAL
+    pairs = _random_pairs(17 + n_pairs, n_pairs=n_pairs, lo=3, hi=28)
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    outs = {}
+    for route in ("device", "host"):
+        a = GotohAligner(
+            AlignConfig(mode=mode, compat=False, traceback=route)
+        )
+        outs[route] = a.align_batch(recs)
+    for b, (rd, rh) in enumerate(zip(outs["device"], outs["host"])):
+        assert rd.score == rh.score, (b, pairs[b])
+        assert rd.aligned_query == rh.aligned_query, (b, pairs[b])
+        assert rd.aligned_db == rh.aligned_db, (b, pairs[b])
