@@ -103,6 +103,13 @@ def build_parser() -> argparse.ArgumentParser:
         "process stays warm (compiled kernels are reused across requests)",
     )
     p.add_argument(
+        "--traceback", default="auto", choices=["auto", "device", "host"],
+        help="fast4/modes traceback route: device walks the direction "
+        "tensor on the TPU and fetches 2-bit op codes (~4000x less "
+        "transfer than the dirs tensor); auto = device when the fill "
+        "ran on TPU; alignments are bit-identical either way",
+    )
+    p.add_argument(
         "--stream-state", default="i32", choices=["i32", "i16", "auto"],
         help="Streamed-kernel score-state dtype: i16 doubles VPU lane "
         "density when the scheme x shape certifies and the backend "
@@ -217,6 +224,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         bucket=args.bucket,
         first_only=args.first_only,
+        traceback=args.traceback,
         stream_state=args.stream_state,
         debug=args.debug,
         profile_dir=args.profile,

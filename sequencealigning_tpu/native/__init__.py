@@ -117,6 +117,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
     ]
+    lib.astar_align_native.restype = ctypes.c_long
+    lib.astar_align_native.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.walk_decode_batch.restype = None
     lib.walk_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
@@ -534,3 +543,58 @@ def walk_decode_batch_native(
                 )
             )
     return results
+
+
+def astar_align_native(
+    seq1: bytes,
+    seq2: bytes,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    epsilon: float,
+    semi_global: bool = False,
+    max_expansions: int = 5_000_000,
+):
+    """Native weighted-A* search, bit-identical to ops.oracle_astar
+    (incl. Rust BinaryHeap pop order).  Returns (score, aligned1,
+    aligned2), raises AlignmentError with the oracle's message on
+    non-convergence / expansion cap, or returns None if the library is
+    missing (caller falls back to the Python oracle)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from sequencealigning_tpu.errors import AlignmentError
+
+    n1, n2 = len(seq1), len(seq2)
+    if n1 == 0 or n2 == 0:
+        raise AlignmentError(
+            "One of the provided sequences was empty. Alignment is skipped"
+        )
+    cap = n1 + n2 + 8
+    out1 = ctypes.create_string_buffer(cap)
+    out2 = ctypes.create_string_buffer(cap)
+    out_len = ctypes.c_long(0)
+    out_score = ctypes.c_int32(0)
+    s1 = np.frombuffer(seq1, np.uint8)
+    s2 = np.frombuffer(seq2, np.uint8)
+    rc = lib.astar_align_native(
+        s1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n1,
+        s2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), n2,
+        match, mismatch, gap_open, gap_extend,
+        float(epsilon), int(bool(semi_global)), max_expansions,
+        out1, out2, cap,
+        ctypes.byref(out_len), ctypes.byref(out_score),
+    )
+    if rc == -1:
+        raise AlignmentError("Alignment did not converge")
+    if rc == -2:
+        raise AlignmentError("A* exceeded max_expansions")
+    if rc < 0:
+        return None  # allocation failure: fall back to the Python oracle
+    n = out_len.value
+    return (
+        int(out_score.value),
+        out1.raw[:n].decode("latin-1"),
+        out2.raw[:n].decode("latin-1"),
+    )

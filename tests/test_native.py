@@ -352,3 +352,62 @@ def test_native_wfa_textbook_traceback_matches_python():
         finally:
             del os.environ["SEQALIGN_NO_NATIVE"]
         assert got == exp, b
+
+
+def test_astar_native_matches_python_oracle():
+    """The C weighted-A* must be byte-identical to the Python oracle --
+    same score AND same alignment, i.e. the same Rust-BinaryHeap pop
+    order (ties resolved by the parent-chain Ord)."""
+    import random
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.oracle_astar import astar_align
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    sch = ScoringScheme()
+    rng = random.Random(7)
+    n_checked = 0
+    for trial in range(60):
+        n1 = rng.randint(1, 28)
+        n2 = rng.randint(1, 28)
+        s1 = bytes(rng.choice(b"ACGTN") for _ in range(n1))
+        if trial % 3 == 0:
+            s2 = bytes(rng.choice(b"ACGTN") for _ in range(n2))
+        else:
+            s2 = bytearray(s1)
+            for _ in range(rng.randint(0, 3)):
+                s2[rng.randrange(n1)] = rng.choice(b"ACGT")
+            s2 = bytes(s2)
+        semi = trial % 4 == 0
+        want = astar_align(s1, s2, scheme=sch, semi_global=semi)
+        got = native.astar_align_native(
+            s1, s2, sch.match_, sch.mismatch, sch.gap_open,
+            sch.gap_extend, sch.epsilon, semi_global=semi,
+        )
+        assert got == want, (trial, s1, s2, semi, got, want)
+        n_checked += 1
+    assert n_checked == 60
+
+
+def test_astar_native_error_parity():
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.errors import AlignmentError
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    from sequencealigning_tpu.config import ScoringScheme
+
+    sch = ScoringScheme()
+    with pytest.raises(AlignmentError, match="empty"):
+        native.astar_align_native(
+            b"", b"ACGT", sch.match_, sch.mismatch, sch.gap_open,
+            sch.gap_extend, sch.epsilon,
+        )
+    with pytest.raises(AlignmentError, match="max_expansions"):
+        native.astar_align_native(
+            b"ACGT" * 8, b"TTTTGGGG" * 4, sch.match_, sch.mismatch,
+            sch.gap_open, sch.gap_extend, sch.epsilon,
+            max_expansions=10,
+        )
