@@ -47,11 +47,36 @@ class AStarAligner(Aligner):
             semi = False  # main.rs:64 hardcodes local=false
         else:
             semi = self.config.mode is Mode.SEMI_GLOBAL
+        results = self._batch_native(pairs, semi)
         out = []
-        for s1, s2 in pairs:
+        for b, (s1, s2) in enumerate(pairs):
+            r = results[b] if results is not None else None
             try:
-                score, a1, a2 = self._astar_one(s1, s2, semi)
+                if isinstance(r, str):
+                    raise AlignmentError(r)
+                if r is None:
+                    r = self._astar_one(s1, s2, semi)
+                score, a1, a2 = r
                 out.append(dict(score=score, aligned_query=a1, aligned_db=a2))
             except AlignerError as e:
                 out.append(e)
         return out
+
+    def _batch_native(self, pairs, semi: bool):
+        """Threaded native batch (the pair loop is embarrassingly
+        parallel, per-pair isolation like src/main.rs:61-78); None =
+        library missing, per-pair None = allocation anomaly (falls back
+        pair-wise), per-pair str = the oracle's AlignmentError message."""
+        if os.environ.get("SEQALIGN_NO_NATIVE") or len(pairs) < 2:
+            return None
+        try:
+            from sequencealigning_tpu import native
+
+            sch = self.config.scoring
+            return native.astar_align_batch_native(
+                [p[0] for p in pairs], [p[1] for p in pairs],
+                sch.match_, sch.mismatch, sch.gap_open, sch.gap_extend,
+                sch.epsilon, semi_global=semi,
+            )
+        except Exception:
+            return None

@@ -126,6 +126,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
         ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.astar_align_batch.restype = None
+    lib.astar_align_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_long),
+        ctypes.c_long,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_int, ctypes.c_long,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_long,
+        ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int,
+    ]
     lib.walk_decode_batch.restype = None
     lib.walk_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_uint32), ctypes.c_long,
@@ -598,3 +609,76 @@ def astar_align_native(
         out1.raw[:n].decode("latin-1"),
         out2.raw[:n].decode("latin-1"),
     )
+
+
+def astar_align_batch_native(
+    seqs1,
+    seqs2,
+    match: int,
+    mismatch: int,
+    gap_open: int,
+    gap_extend: int,
+    epsilon: float,
+    semi_global: bool = False,
+    max_expansions: int = 5_000_000,
+    n_threads: int = 8,
+):
+    """Threaded batch of native weighted-A* searches (per-pair isolation
+    like the reference driver's pair loop).  Returns a list per pair:
+    (score, aligned1, aligned2), or the oracle's AlignmentError message
+    string on a search failure; or None overall if the library is
+    missing."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b_total = len(seqs1)
+    off1 = np.zeros(b_total + 1, np.int64)
+    off2 = np.zeros(b_total + 1, np.int64)
+    for b in range(b_total):
+        off1[b + 1] = off1[b] + len(seqs1[b])
+        off2[b + 1] = off2[b] + len(seqs2[b])
+    buf1 = np.frombuffer(b"".join(seqs1), np.uint8) if off1[-1] else np.zeros(1, np.uint8)
+    buf2 = np.frombuffer(b"".join(seqs2), np.uint8) if off2[-1] else np.zeros(1, np.uint8)
+    lens1 = np.diff(off1)
+    lens2 = np.diff(off2)
+    cap = int((lens1.max() if b_total else 0) + (lens2.max() if b_total else 0) + 8)
+    out1 = ctypes.create_string_buffer(b_total * cap)
+    out2 = ctypes.create_string_buffer(b_total * cap)
+    lens = np.zeros(b_total, np.int64)
+    scores = np.zeros(b_total, np.int32)
+    lib.astar_align_batch(
+        buf1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        off1.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        buf2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        off2.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        b_total, match, mismatch, gap_open, gap_extend,
+        float(epsilon), int(bool(semi_global)), max_expansions,
+        out1, out2, cap,
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n_threads,
+    )
+    r1, r2 = out1.raw, out2.raw
+    results = []
+    for b in range(b_total):
+        n = int(lens[b])
+        if n == -1:
+            results.append("Alignment did not converge")
+        elif n == -2:
+            results.append("A* exceeded max_expansions")
+        elif n == -4:
+            results.append(
+                "One of the provided sequences was empty. "
+                "Alignment is skipped"
+            )
+        elif n < 0:
+            results.append(None)  # allocation failure: caller falls back
+        else:
+            results.append(
+                (
+                    int(scores[b]),
+                    r1[b * cap : b * cap + n].decode("latin-1"),
+                    r2[b * cap : b * cap + n].decode("latin-1"),
+                )
+            )
+    return results

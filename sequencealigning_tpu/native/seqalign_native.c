@@ -1703,3 +1703,72 @@ done:
     free(c.heap);
     return rc;
 }
+
+/* Threaded batch wrapper over astar_align_native: the reference driver's
+ * db x query pair loop is embarrassingly parallel (per-pair isolation,
+ * src/main.rs:61-78).  lens[b] = aligned length, or the per-pair rc
+ * (-1 no-converge, -2 max_expansions, -3 alloc, -4 empty input). */
+typedef struct {
+    const uint8_t *buf1;
+    const long *off1;
+    const uint8_t *buf2;
+    const long *off2;
+    int match, mismatch, open_, ext;
+    double eps;
+    int semi;
+    long max_exp;
+    char *out1, *out2;
+    long cap;
+    long *lens;
+    int32_t *scores;
+    long b_lo, b_hi;
+} ATask;
+
+static void *astar_worker(void *arg) {
+    ATask *t = (ATask *)arg;
+    for (long b = t->b_lo; b < t->b_hi; b++) {
+        long n1 = t->off1[b + 1] - t->off1[b];
+        long n2 = t->off2[b + 1] - t->off2[b];
+        long out_len = 0;
+        long rc = astar_align_native(
+            t->buf1 + t->off1[b], n1, t->buf2 + t->off2[b], n2,
+            t->match, t->mismatch, t->open_, t->ext, t->eps, t->semi,
+            t->max_exp, t->out1 + b * t->cap, t->out2 + b * t->cap,
+            t->cap, &out_len, &t->scores[b]);
+        t->lens[b] = rc == 0 ? out_len : rc;
+    }
+    return NULL;
+}
+
+void astar_align_batch(const uint8_t *buf1, const long *off1,
+                       const uint8_t *buf2, const long *off2, long b_total,
+                       int match, int mismatch, int open_, int ext,
+                       double eps, int semi, long max_exp,
+                       char *out1, char *out2, long cap,
+                       long *lens, int32_t *scores, int n_threads) {
+    if (n_threads < 1) n_threads = 1;
+    if (n_threads > 64) n_threads = 64;
+    if (n_threads > b_total) n_threads = (int)(b_total > 0 ? b_total : 1);
+    pthread_t tids[64];
+    int running[64] = {0};
+    ATask tasks[64];
+    long per = (b_total + n_threads - 1) / n_threads;
+    int started = 0;
+    for (int k = 0; k < n_threads; k++) {
+        long lo = k * per, hi = lo + per;
+        if (lo >= b_total) break;
+        if (hi > b_total) hi = b_total;
+        tasks[k] = (ATask){buf1, off1, buf2, off2, match, mismatch, open_,
+                           ext, eps, semi, max_exp, out1, out2, cap,
+                           lens, scores, lo, hi};
+        if (pthread_create(&tids[k], NULL, astar_worker, &tasks[k]) != 0) {
+            astar_worker(&tasks[k]);
+            started = k + 1;
+            continue;
+        }
+        running[k] = 1;
+        started = k + 1;
+    }
+    for (int k = 0; k < started; k++)
+        if (running[k]) pthread_join(tids[k], NULL);
+}

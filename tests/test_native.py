@@ -411,3 +411,33 @@ def test_astar_native_error_parity():
             sch.gap_open, sch.gap_extend, sch.epsilon,
             max_expansions=10,
         )
+
+
+def test_astar_batch_native_matches_singles():
+    import random
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.config import ScoringScheme
+    from sequencealigning_tpu.ops.oracle_astar import astar_align
+
+    if not native.available():
+        pytest.skip("native runtime unavailable")
+    sch = ScoringScheme()
+    rng = random.Random(31)
+    s1s, s2s = [], []
+    for _ in range(24):
+        n = rng.randint(1, 30)
+        s1s.append(bytes(rng.choice(b"ACGTN") for _ in range(n)))
+        s2s.append(bytes(rng.choice(b"ACGTN") for _ in range(rng.randint(1, 30))))
+    s1s.append(b"")  # empty-input parity
+    s2s.append(b"ACGT")
+    got = native.astar_align_batch_native(
+        s1s, s2s, sch.match_, sch.mismatch, sch.gap_open,
+        sch.gap_extend, sch.epsilon,
+    )
+    for b in range(24):
+        want = astar_align(s1s[b], s2s[b], scheme=sch)
+        assert got[b] == want, (b, s1s[b], s2s[b])
+    assert got[24] == (
+        "One of the provided sequences was empty. Alignment is skipped"
+    )
