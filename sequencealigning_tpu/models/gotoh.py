@@ -323,6 +323,7 @@ class GotohAligner(Aligner):
 
     def _modes_batch(self, pairs: List[Tuple[bytes, bytes]]):
         local = self.config.mode is Mode.LOCAL
+        dirs_host: dict = {}  # host route's one-fetch cache (dirs_of)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
         # Large batches ride the streamed-pair engine (~2x lane occupancy
         # + batch-scale amortization, ops.nw_affine_stream_modes); small
@@ -347,7 +348,15 @@ class GotohAligner(Aligner):
                 return stream_modes_best(sres, b)
 
             def dirs_of(b):
+                # Host route (walked is None): ONE whole-tensor fetch,
+                # cached -- np_slots pairs share each row.  Device route:
+                # dirs_of only serves rare per-pair fallbacks, so fetch
+                # just that pair's row.
                 row, _slot, d_off = sres.plan.pair_coords(b)
+                if walked is None:
+                    if "all" not in dirs_host:
+                        dirs_host["all"] = np.asarray(dirs_dev)
+                    return dirs_host["all"][:, row, :], d_off
                 return np.asarray(dirs_dev[:, row, :]), d_off
         else:
             res = nw_affine_modes_batch(
@@ -364,6 +373,10 @@ class GotohAligner(Aligner):
                 return modes_end_cell(res, b)
 
             def dirs_of(b):
+                if walked is None:
+                    if "all" not in dirs_host:
+                        dirs_host["all"] = np.asarray(dirs_dev)
+                    return dirs_host["all"][:, b, :], 0
                 return np.asarray(dirs_dev[:, b, :]), 0
 
         walked = None

@@ -1361,7 +1361,10 @@ static long walk_decode_one(const uint32_t *pk, long t16,
         }
     }
 found:
-    if (n == 0 || n > cap) return -1;
+    /* a zero-op walk is valid exactly when there is nothing to consume
+     * (modes walks over empty stop..end substrings) */
+    if (n == 0) return (n1 == 0 && n2 == 0) ? 0 : -1;
+    if (n > cap) return -1;
     /* everything after the stop must be zero */
     {
         long w0 = n >> 4;

@@ -260,8 +260,10 @@ def decode_packed_alignments(
     has_zero = n_ops < T
     first_zero = np.argmax(~live, axis=1).astype(np.int32)
     contiguous = ~has_zero | (first_zero == n_ops)
+    # A zero-op walk is valid exactly when there is nothing to consume
+    # (modes walks over empty stop..end substrings).
     ok = (
-        (n_ops > 0)
+        ((n_ops > 0) | ((n1s == 0) & (n2s == 0)))
         & contiguous
         & (c1[:, -1] == n1s)
         & (c2[:, -1] == n2s)
@@ -279,6 +281,28 @@ def decode_packed_alignments(
             )
         )
     return out
+
+
+def _stream_walk_fetch(dirs, finals, n1s, n2s, plan, unroll):
+    """Shared walk setup + dispatch + fetch for the stream fast4 layout
+    (the coordinate mapping lives here ONCE for both decoders): returns
+    (packed op codes, per-pair ended-at-origin mask), both host-side."""
+    B = len(n1s)
+    bs = np.arange(B)
+    rowp = (bs // plan.np_slots).astype(np.int32)
+    off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
+    (xf, yf), packed = _walk_fast4(
+        dirs,
+        jnp.asarray(n2s),
+        jnp.asarray(n1s),
+        jnp.asarray(seed_planes(finals)),
+        jnp.asarray(rowp),
+        jnp.asarray(off),
+        t_steps=int(plan.l1 + plan.l2),
+        unroll=unroll,
+    )
+    packed, xf, yf = jax.device_get((packed, xf, yf))
+    return packed, (xf == 0) & (yf == 0)
 
 
 def fast4_stream_walk_device(
@@ -300,23 +324,8 @@ def fast4_stream_walk_device(
     n1s = np.asarray(n1s, np.int32)
     n2s = np.asarray(n2s, np.int32)
     finals = np.asarray(finals)[:B]
-    bs = np.arange(B)
-    rowp = (bs // plan.np_slots).astype(np.int32)
-    off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
-    t_steps = int(plan.l1 + plan.l2)
-    (xf, yf), packed = _walk_fast4(
-        dirs,
-        jnp.asarray(n2s),
-        jnp.asarray(n1s),
-        jnp.asarray(seed_planes(finals)),
-        jnp.asarray(rowp),
-        jnp.asarray(off),
-        t_steps=t_steps,
-        unroll=unroll,
-    )
-    packed, xf, yf = jax.device_get((packed, xf, yf))
+    packed, ended = _stream_walk_fetch(dirs, finals, n1s, n2s, plan, unroll)
     ops = decode_packed_ops(packed, n1s, n2s)
-    ended = (xf == 0) & (yf == 0)
     ops = [o if ended[b] else None for b, o in enumerate(ops)]
     return ops, finals.max(axis=1)
 
@@ -454,7 +463,11 @@ def use_device_walk(config) -> bool:
         return True
     if choice == "host":
         return False
-    return jax.default_backend() == "tpu"
+    # Any accelerator backend: the walk is plain XLA gather/scan, and on
+    # a device the dirs fetch it replaces is the expensive side.  (Keying
+    # on != "cpu" rather than == "tpu" keeps renamed/wrapped TPU platforms
+    # and GPUs on the device route.)
+    return jax.default_backend() != "cpu"
 
 
 def banded_diag_device_tbs(
@@ -547,28 +560,15 @@ def fast4_stream_align_device(
     plan,
     unroll: int = 8,
 ) -> Tuple[List[Optional[Tuple[str, str]]], np.ndarray]:
-    """fast4_stream_walk_device + vectorized decode straight to aligned
-    string pairs.  Returns (alignments, (B,) scores); a None alignment
-    means the walk failed validation (caller falls back per pair)."""
+    """fast4_stream_walk_device + decode straight to aligned string
+    pairs (native C decoder when available).  Returns (alignments, (B,)
+    scores); a None alignment means the walk failed validation (caller
+    falls back per pair)."""
     B = len(seqs1)
     n1s = np.asarray([len(s) for s in seqs1], np.int32)
     n2s = np.asarray([len(s) for s in seqs2], np.int32)
     finals = np.asarray(finals)[:B]
-    bs = np.arange(B)
-    rowp = (bs // plan.np_slots).astype(np.int32)
-    off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
-    (xf, yf), packed = _walk_fast4(
-        dirs,
-        jnp.asarray(n2s),
-        jnp.asarray(n1s),
-        jnp.asarray(seed_planes(finals)),
-        jnp.asarray(rowp),
-        jnp.asarray(off),
-        t_steps=int(plan.l1 + plan.l2),
-        unroll=unroll,
-    )
-    packed, xf, yf = jax.device_get((packed, xf, yf))
+    packed, ended = _stream_walk_fetch(dirs, finals, n1s, n2s, plan, unroll)
     alns = decode_packed_alignments(packed, seqs1, seqs2)
-    ended = (xf == 0) & (yf == 0)
     alns = [a if ended[b] else None for b, a in enumerate(alns)]
     return alns, finals.max(axis=1)

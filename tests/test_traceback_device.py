@@ -351,3 +351,53 @@ def test_modes_device_route_matches_host(mode_name, n_pairs):
         assert rd.score == rh.score, (b, pairs[b])
         assert rd.aligned_query == rh.aligned_query, (b, pairs[b])
         assert rd.aligned_db == rh.aligned_db, (b, pairs[b])
+
+
+def test_decode_empty_walk_valid_only_when_nothing_to_consume(monkeypatch):
+    # A zero-op stream is a VALID walk iff both substrings are empty
+    # (semi-global end cell on the grid boundary) -- both decoders.
+    from sequencealigning_tpu.ops.traceback_device import (
+        decode_packed_alignments,
+    )
+
+    packed = np.zeros((2, 1), np.uint32)
+    for native_off in (False, True):
+        if native_off:
+            monkeypatch.setenv("SEQALIGN_NO_NATIVE", "1")
+        got = decode_packed_alignments(packed, [b"", b"A"], [b"", b"T"])
+        assert got[0] == ("", ""), native_off
+        assert got[1] is None, native_off
+
+
+@pytest.mark.parametrize("mode_name", ["semi", "local"])
+def test_modes_device_route_extreme_pairs(mode_name):
+    """Tiny / all-mismatch / boundary-end-cell pairs: device == host."""
+    from sequencealigning_tpu.config import AlignConfig, Mode
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    mode = Mode.SEMI_GLOBAL if mode_name == "semi" else Mode.LOCAL
+    pairs = [
+        (b"A", b"T"),
+        (b"A", b"A"),
+        (b"AC", b"GT"),
+        (b"ACGT", b"TTTT"),
+        (b"T", b"ACGTACGT"),
+        (b"ACGTACGT", b"G"),
+        (b"AAAA", b"TTTTTTTT"),
+        (b"ACACAC", b"ACACAC"),
+    ]
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    outs = {}
+    for route in ("device", "host"):
+        a = GotohAligner(
+            AlignConfig(mode=mode, compat=False, traceback=route)
+        )
+        outs[route] = a.align_batch(recs)
+    for b, (rd, rh) in enumerate(zip(outs["device"], outs["host"])):
+        assert rd.score == rh.score, (b, pairs[b])
+        assert rd.aligned_query == rh.aligned_query, (b, pairs[b])
+        assert rd.aligned_db == rh.aligned_db, (b, pairs[b])
