@@ -32,21 +32,25 @@ from sequencealigning_tpu.utils.compilecache import enable as _enable
 _enable()
 
 
-def _pair_stream(n_total: int, length: int, chunk: int, seed: int = 9):
-    """Yield (mut, ref) byte pairs; ~1% substitutions, chunked synthesis."""
+def _batch_stream(n_total: int, length: int, batch: int, seed: int = 9):
+    """Yield pre-packed PairBatch objects (~1% substitutions): the whole
+    input path is vectorized NumPy (io.encode.pack_arrays), no per-pair
+    Python loop anywhere between synthesis and the device."""
+    from sequencealigning_tpu.io.encode import pack_arrays
+
     rng = np.random.default_rng(seed)
     alpha = np.frombuffer(b"ACGT", np.uint8)
     done = 0
     while done < n_total:
-        n = min(chunk, n_total - done)
+        n = min(batch, n_total - done)
         refs = alpha[rng.integers(0, 4, (n, length))]
         muts = refs.copy()
         n_mut = max(1, length // 100)
         rows = np.repeat(np.arange(n), n_mut)
         cols = rng.integers(0, length, n * n_mut)
         muts[rows, cols] = alpha[rng.integers(0, 4, n * n_mut)]
-        for i in range(n):
-            yield muts[i].tobytes(), refs[i].tobytes()
+        lens = np.full(n, length, np.int32)
+        yield pack_arrays(muts, refs, lens, lens, batch_size=batch)
         done += n
 
 
@@ -78,7 +82,7 @@ def main() -> int:
 
     # Warm compile outside the timed run.
     stream_align(
-        _pair_stream(batch, args.length, batch), runner=runner,
+        _batch_stream(batch, args.length, batch), runner=runner,
         batch_size=batch,
     )
 
@@ -87,14 +91,14 @@ def main() -> int:
     n_first = (n_total // batch) // 4 * batch
     t0 = time.perf_counter()
     stream_align(
-        _pair_stream(n_first, args.length, batch), runner=runner,
+        _batch_stream(n_first, args.length, batch), runner=runner,
         batch_size=batch, checkpoint_path=ckpt, on_result=on_result,
     )
     with open(ckpt) as f:
         resumed_from = json.load(f)["next_batch"]
     # Leg 2: resume over the FULL stream; already-done batches skip.
     stream_align(
-        _pair_stream(n_total, args.length, batch), runner=runner,
+        _batch_stream(n_total, args.length, batch), runner=runner,
         batch_size=batch, checkpoint_path=ckpt, on_result=on_result,
     )
     dt = time.perf_counter() - t0

@@ -26,11 +26,12 @@ from sequencealigning_tpu.io import (
     PairBatch,
     Record,
     Records,
+    pack_arrays,
     pack_batch,
     parse_fasta,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "AlignConfig",
@@ -46,6 +47,7 @@ __all__ = [
     "PairBatch",
     "Record",
     "Records",
+    "pack_arrays",
     "pack_batch",
     "parse_fasta",
     "__version__",

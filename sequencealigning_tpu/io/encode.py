@@ -105,6 +105,57 @@ def pack_batch(
     return PairBatch(query=query, db=db, query_len=qlen, db_len=dlen, valid=valid)
 
 
+def pack_arrays(
+    query: np.ndarray,
+    db: np.ndarray,
+    query_len: np.ndarray,
+    db_len: np.ndarray,
+    batch_size: int = 0,
+    len_multiple: int = 128,
+) -> PairBatch:
+    """Vectorized pack for callers whose input is already array-shaped:
+    (B, L) uint8 ASCII matrices + true lengths -> PairBatch, with no
+    per-pair Python loop (pack_batch costs ~5-10 us/pair; at 1M-pair
+    streaming scale that is seconds of pure host overhead).
+
+    Columns beyond each row's true length may hold anything; they are
+    masked to PAD.  Raises ValueError on invalid characters inside the
+    valid region, exactly like encode_seq."""
+    query = np.ascontiguousarray(query, np.uint8)
+    db = np.ascontiguousarray(db, np.uint8)
+    query_len = np.asarray(query_len, np.int32)
+    db_len = np.asarray(db_len, np.int32)
+    n = query.shape[0]
+    b = max(batch_size, n) if batch_size else n
+
+    def enc(arr, lens, label):
+        live = np.arange(arr.shape[1])[None, :] < lens[:, None]
+        codes = _ENCODE_LUT[arr]
+        bad = (codes == 0) & live
+        if bad.any():
+            chars = sorted({chr(c) for c in np.unique(arr[bad])})
+            raise ValueError(
+                f"invalid {label} characters {chars}; allowed: A,C,G,T,N"
+            )
+        lq = round_up(max(int(lens.max()) if n else 1, 1), len_multiple)
+        out = np.zeros((b, lq), np.int32)
+        w = min(arr.shape[1], lq)
+        out[:n, :w] = np.where(live, codes, PAD)[:, :w]
+        return out
+
+    qlen = np.zeros(b, np.int32)
+    dlen = np.zeros(b, np.int32)
+    qlen[:n] = query_len
+    dlen[:n] = db_len
+    valid = np.zeros(b, bool)
+    valid[:n] = True
+    return PairBatch(
+        query=enc(query, query_len, "query"),
+        db=enc(db, db_len, "db"),
+        query_len=qlen, db_len=dlen, valid=valid,
+    )
+
+
 def trim_for_stream(batch: PairBatch) -> PairBatch:
     """Trim padded sequence columns so the streamed kernel's lane width
     P = round_up(Ld + 2, 128) doesn't spill a whole extra 128-lane block

@@ -35,6 +35,12 @@ def stream_align(
 ) -> int:
     """Stream pairs through the runner.  Returns the number of pairs aligned.
 
+    ``pairs`` is either an iterable of (query, db) byte tuples (chunked
+    and packed here, ~5-10 us/pair of host work) or an iterable of
+    pre-packed PairBatch objects (io.encode.pack_arrays -- the
+    vectorized fast path for array-shaped input; scores only, since the
+    cigar traceback needs the raw byte sequences).
+
     on_result(batch_index, scores) is called per completed batch (scores:
     (B, 3) finals).  If checkpoint_path is given, completed-batch indices
     are persisted and already-completed batches are skipped on resume
@@ -95,10 +101,39 @@ def stream_align(
                 json.dump({"next_batch": idx + 1}, f)
             os.replace(tmp, checkpoint_path)
 
-    for i, batch_pairs in enumerate(_chunks(pairs, batch_size)):
+    from sequencealigning_tpu.io.encode import PairBatch
+
+    def _batches():
+        """Yield (index, PairBatch, pair bytes or None).  Callers whose
+        input is already array-shaped can yield PairBatch objects
+        directly (built with io.encode.pack_arrays -- no per-pair Python
+        loop); byte-pair input is chunked and packed here."""
+        it = iter(pairs)
+        first = next(it, None)
+        if first is None:
+            return
+        if isinstance(first, PairBatch):
+            import itertools
+
+            for i, b in enumerate(itertools.chain([first], it)):
+                yield i, b, None
+            return
+        import itertools
+
+        for i, bp in enumerate(
+            _chunks(itertools.chain([first], it), batch_size)
+        ):
+            yield i, pack_batch(bp, batch_size=batch_size), bp
+
+    for i, batch, batch_pairs in _batches():
         if i < start_batch:
             continue
-        batch = pack_batch(batch_pairs, batch_size=batch_size)
+        if batch_pairs is None and cigars:
+            raise ValueError(
+                "cigars=True requires byte pairs (the traceback needs "
+                "the raw sequences); stream (query, db) tuples instead "
+                "of PairBatch objects"
+            )
         n_valid = int(batch.valid.sum())
         if cigars:
             finals, dirs, plan = runner.fill_with_dirs(batch)  # async

@@ -39,3 +39,42 @@ def test_pack_batch_shapes_and_masks():
     # Padding is PAD everywhere past the true length.
     assert (batch.query[0, 4:] == PAD).all()
     np.testing.assert_array_equal(batch.query[0, :4], encode_seq(b"ACGT"))
+
+
+def test_pack_arrays_matches_pack_batch():
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_arrays, pack_batch
+
+    rng = np.random.default_rng(3)
+    alpha = np.frombuffer(b"ACGTN", np.uint8)
+    n, lmax = 9, 37
+    arrs_q = alpha[rng.integers(0, 5, (n, lmax))]
+    arrs_d = alpha[rng.integers(0, 5, (n, lmax))]
+    qlen = rng.integers(1, lmax + 1, n).astype(np.int32)
+    dlen = rng.integers(1, lmax + 1, n).astype(np.int32)
+    pairs = [
+        (arrs_q[i, : qlen[i]].tobytes(), arrs_d[i, : dlen[i]].tobytes())
+        for i in range(n)
+    ]
+    a = pack_arrays(arrs_q, arrs_d, qlen, dlen, batch_size=16)
+    b = pack_batch(pairs, batch_size=16)
+    np.testing.assert_array_equal(a.query, b.query)
+    np.testing.assert_array_equal(a.db, b.db)
+    np.testing.assert_array_equal(a.query_len, b.query_len)
+    np.testing.assert_array_equal(a.db_len, b.db_len)
+    np.testing.assert_array_equal(a.valid, b.valid)
+
+
+def test_pack_arrays_rejects_invalid_in_valid_region_only():
+    import numpy as np
+    import pytest
+
+    from sequencealigning_tpu.io.encode import pack_arrays
+
+    q = np.frombuffer(b"ACGTXXXX", np.uint8).reshape(1, 8).copy()
+    d = np.frombuffer(b"ACGTACGT", np.uint8).reshape(1, 8).copy()
+    # X beyond the true length is padding garbage: allowed.
+    pack_arrays(q, d, np.array([4]), np.array([8]))
+    with pytest.raises(ValueError, match="invalid query"):
+        pack_arrays(q, d, np.array([6]), np.array([8]))

@@ -246,3 +246,48 @@ def test_streaming_cigars_device_walk_route():
     for b, (d, h) in enumerate(zip(outs["device"], outs["host"])):
         assert not isinstance(d, Exception), (b, d)
         assert d[0] == h[0] and d[1][0] == h[1][0], b
+
+
+def test_stream_align_prepacked_batches():
+    """stream_align accepts pre-packed PairBatch objects (pack_arrays
+    fast path) and produces the same scores as the byte-pair path."""
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_arrays
+
+    pairs = _pairs(71, 24)
+    lens1 = np.array([len(a) for a, _ in pairs], np.int32)
+    lens2 = np.array([len(b) for _, b in pairs], np.int32)
+    l1 = int(lens1.max())
+    l2 = int(lens2.max())
+    q = np.zeros((24, l1), np.uint8)
+    d = np.zeros((24, l2), np.uint8)
+    q[:] = ord("A")
+    d[:] = ord("A")
+    for i, (a, b) in enumerate(pairs):
+        q[i, : len(a)] = np.frombuffer(a, np.uint8)
+        d[i, : len(b)] = np.frombuffer(b, np.uint8)
+
+    def batches():
+        for lo in range(0, 24, 8):
+            yield pack_arrays(
+                q[lo : lo + 8], d[lo : lo + 8],
+                lens1[lo : lo + 8], lens2[lo : lo + 8], batch_size=8,
+            )
+
+    runner = DataParallelRunner(backend="lax", np_slots=1)
+    got = {}
+    n = stream_align(
+        batches(), runner=runner, batch_size=8,
+        on_result=lambda i, s: got.__setitem__(i, s),
+    )
+    assert n == 24
+    scores = np.concatenate([got[i] for i in sorted(got)])
+    want = {}
+    stream_align(
+        pairs, runner=runner, batch_size=8,
+        on_result=lambda i, s: want.__setitem__(i, s),
+    )
+    np.testing.assert_array_equal(
+        scores, np.concatenate([want[i] for i in sorted(want)])
+    )
