@@ -159,17 +159,23 @@ class GotohAligner(Aligner):
     # the batch fills in sub-batches drained sequentially.
     dirs_hbm_budget = 9 * 2 ** 30
 
-    def _dirs_chunks(self, batch, n_pairs: int) -> int:
+    def _dirs_chunks(self, batch, n_pairs: int, per_byte=None) -> int:
         """Number of fill-and-drain sub-batches needed to keep the dirs
         tensor under budget.  Per pair the streamed layout stores ~s * P
-        bytes (1 byte/cell full mode, 1/2 byte fast4)."""
+        bytes (1 byte/cell full mode, 1/2 byte fast4; the textbook-modes
+        layouts are always full-byte, per_byte=1)."""
         from sequencealigning_tpu.io.encode import round_up
 
         l1 = batch.query.shape[1]
         l2 = batch.db.shape[1]
         s = round_up(max(l1, l2) + 1, 128)
         p = round_up(l2 + 2, 128)
-        per_byte = 1.0 if not getattr(self.config, "first_only", False) else 0.5
+        if per_byte is None:
+            per_byte = (
+                1.0
+                if not getattr(self.config, "first_only", False)
+                else 0.5
+            )
         total = n_pairs * s * p * per_byte
         return max(1, int(-(-total // self.dirs_hbm_budget)))
 
@@ -325,6 +331,16 @@ class GotohAligner(Aligner):
         local = self.config.mode is Mode.LOCAL
         dirs_host: dict = {}  # host route's one-fetch cache (dirs_of)
         batch = pack_batch(pairs, batch_size=max(8, -(-len(pairs) // 8) * 8))
+        # The modes dirs layouts are full-byte: a 4096 x 2 kb batch's dirs
+        # tensor alone is ~17 GB.  Fill-and-drain in sub-batches exactly
+        # like the global co-optimal path.
+        n_sub = self._dirs_chunks(batch, len(pairs), per_byte=1.0)
+        if n_sub > 1:
+            out: List = []
+            per = -(-len(pairs) // n_sub)
+            for lo in range(0, len(pairs), per):
+                out.extend(self._modes_batch(pairs[lo : lo + per]))
+            return out
         # Large batches ride the streamed-pair engine (~2x lane occupancy
         # + batch-scale amortization, ops.nw_affine_stream_modes); small
         # ones keep the plain per-pair kernel (lighter compile/dispatch).

@@ -216,3 +216,40 @@ def test_modes_pallas_matches_lax():
             diag_bytes(np.asarray(rl.dirs), d_total),
             diag_bytes(np.asarray(rp.dirs), d_total),
         )
+
+
+def test_modes_chunked_drain_equals_unchunked(monkeypatch):
+    """A modes batch over the dirs-HBM budget fills in drained
+    sub-batches with identical results (the textbook-modes analog of the
+    global path's co-optimal chunking)."""
+    import random
+
+    from sequencealigning_tpu.config import AlignConfig, Mode
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    rng = random.Random(5)
+    pairs = [
+        (
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(4, 20))),
+            bytes(rng.choice(b"ACGT") for _ in range(rng.randint(4, 20))),
+        )
+        for _ in range(12)
+    ]
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    cfg = AlignConfig(mode=Mode.SEMI_GLOBAL, compat=False)
+    want = GotohAligner(cfg).align_batch(recs)
+    monkeypatch.setattr(GotohAligner, "dirs_hbm_budget", 200_000)
+    a = GotohAligner(cfg)
+    # sanity: the tiny budget actually forces multiple sub-batches
+    from sequencealigning_tpu.io.encode import pack_batch
+
+    assert a._dirs_chunks(pack_batch(pairs, 16), 12, per_byte=1.0) > 1
+    got = a.align_batch(recs)
+    for g, w in zip(got, want):
+        assert g.score == w.score
+        assert g.aligned_query == w.aligned_query
+        assert g.aligned_db == w.aligned_db
