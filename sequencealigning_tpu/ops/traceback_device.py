@@ -436,8 +436,17 @@ def modes_walk_device(
         unroll=unroll,
     )
     packed, xf, yf, st = jax.device_get((packed, xf, yf, st))
-    # Decode against the walked substrings: ops consume exactly
-    # seq1[stop_y:end_y] / seq2[stop_x:end_x].
+    return decode_modes_walk(
+        packed, xf, yf, st, end_x, end_y, seqs1, seqs2
+    )
+
+
+def decode_modes_walk(packed, xf, yf, st, end_x, end_y, seqs1, seqs2):
+    """Host tail shared by the single-device and sharded modes walks:
+    decode against the walked substrings (ops consume exactly
+    seq1[stop_y:end_y] / seq2[stop_x:end_x]) and return per pair
+    (mid1, mid2, stop_x, stop_y) or None on validation failure."""
+    B = len(seqs1)
     subs1 = [
         seqs1[b][int(yf[b]) : int(end_y[b])] for b in range(B)
     ]

@@ -406,6 +406,62 @@ class DataParallelRunner:
             out.append((int(finals[b].max()), [alns[b]]))
         return out
 
+    def device_walk_modes(
+        self, dirs, plan, best_x, best_y, seqs1, seqs2, mode: str
+    ):
+        """Sharded on-device walk over fill_modes' row-sharded full-byte
+        dirs (mirrors device_walk_fast4).  Returns, per pair, the walked
+        segment (mid1, mid2, stop_x, stop_y) -- the caller assembles the
+        free end gaps (semi) or start coordinates (local) -- or None
+        where the walk failed validation (fall back to the host walkers
+        on a fetched dirs row)."""
+        from sequencealigning_tpu.ops import traceback_device as tbd
+
+        local = mode == "local"
+        B = len(seqs1)
+        nd = self.n_devices
+        NP, R = plan.np_slots, plan.n_rows
+        Bp = NP * R
+        x0 = np.zeros(Bp, np.int32)
+        y0 = np.zeros(Bp, np.int32)
+        x0[:B] = np.asarray(best_x[:B], np.int32)
+        y0[:B] = np.asarray(best_y[:B], np.int32)
+        bs = np.arange(Bp)
+        rowloc = ((bs // NP) % (R // nd)).astype(np.int32)
+        off = ((bs % NP) * plan.s).astype(np.int32)
+        t_steps = int(plan.l1 + plan.l2)
+
+        key = ("walk_modes", plan, local)
+        if key not in self._fn_cache:
+
+            def per_shard(dirs_l, x_, y_, rowp_, off_):
+                return tbd._walk_modes_impl(
+                    dirs_l, x_, y_, rowp_, off_, local=local,
+                    t_steps=t_steps,
+                )
+
+            pb = P("data")
+            self._fn_cache[key] = jax.jit(
+                jax.shard_map(
+                    per_shard,
+                    mesh=self.mesh,
+                    in_specs=(P(None, "data", None), pb, pb, pb, pb),
+                    out_specs=((pb, pb, pb), P("data", None)),
+                    check_vma=False,
+                )
+            )
+        shard = NamedSharding(self.mesh, P("data"))
+        args = [
+            jax.device_put(a, shard) for a in (x0, y0, rowloc, off)
+        ]
+        (xf, yf, st), packed = self._fn_cache[key](dirs, *args)
+        packed, xf, yf, st = jax.device_get(
+            (packed[:B], xf[:B], yf[:B], st[:B])
+        )
+        return tbd.decode_modes_walk(
+            packed, xf, yf, st, x0[:B], y0[:B], seqs1, seqs2
+        )
+
     def fill_with_dirs(self, batch: PairBatch, dirs_mode: str = "fast4"):
         """Streamed fill WITH direction words, on the runner's mesh (the
         round-1 cigars path silently ran single-device): returns

@@ -291,3 +291,55 @@ def test_stream_align_prepacked_batches():
     np.testing.assert_array_equal(
         scores, np.concatenate([want[i] for i in sorted(want)])
     )
+
+
+def test_runner_device_walk_modes_matches_host():
+    """The sharded modes walk equals the host modes walkers across the
+    8-device mesh (both textbook modes)."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.traceback import (
+        local_affine_traceback_pair,
+        semi_global_traceback_pair,
+    )
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pairs = _pairs(37, 16)
+    runner = DataParallelRunner(mesh=mesh, backend="lax", np_slots=2)
+    batch = pack_batch(pairs, batch_size=len(pairs))
+    for mode in ("semi", "local"):
+        best, bx, by, dirs, plan = runner.fill_modes(batch, mode)
+        bx = np.asarray(bx)
+        by = np.asarray(by)
+        walked = runner.device_walk_modes(
+            dirs, plan, bx, by,
+            [p[0] for p in pairs], [p[1] for p in pairs], mode,
+        )
+        dirs_host = np.asarray(dirs)
+        for b, (s1, s2) in enumerate(pairs):
+            assert walked[b] is not None, (mode, b)
+            mid1, mid2, sx, sy = walked[b]
+            row, _slot, d_off = plan.pair_coords(b)
+            if mode == "local":
+                a1, a2, wsy, wsx = local_affine_traceback_pair(
+                    dirs_host[:, row, :], int(bx[b]), int(by[b]), s1, s2,
+                    d_offset=d_off,
+                )
+                assert (mid1, mid2, sx, sy) == (a1, a2, wsx, wsy), (mode, b)
+            else:
+                want = semi_global_traceback_pair(
+                    dirs_host[:, row, :], int(bx[b]), int(by[b]), s1, s2,
+                    d_offset=d_off,
+                )
+                # Assemble the free end gaps around the walked segment.
+                n1, n2 = len(s1), len(s2)
+                x, y = int(bx[b]), int(by[b])
+                a1 = (
+                    s1[:sy].decode() + "-" * sx + mid1
+                    + s1[y:].decode() + "-" * (n2 - x)
+                )
+                a2 = (
+                    "-" * sy + s2[:sx].decode() + mid2
+                    + "-" * (n1 - y) + s2[x:].decode()
+                )
+                assert (a1, a2) == want, (mode, b)
