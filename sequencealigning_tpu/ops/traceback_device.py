@@ -95,6 +95,47 @@ def _pack_ops(ops, t_steps: int):
     ).transpose(1, 0)
 
 
+# Walk steps per early-exit check.  t_steps must cover the all-indel
+# worst case (l1 + l2), but a high-identity walk finishes in ~max(n1, n2)
+# steps -- checking an all-pairs-done flag every _CHUNK steps cuts the
+# gather traffic nearly in half on the production distribution.
+_CHUNK = 512
+
+
+def _chunked_walk(step_fn, carry0, done_fn, b: int, t_steps: int,
+                  unroll: int):
+    """Run step_fn (carry -> (carry, (B,) uint8 op)) for up to t_steps
+    steps as _CHUNK-step scans under a while_loop that exits once
+    done_fn(carry) holds for every pair.  Returns (carry, packed
+    (B, ceil(t_steps/_CHUNK)*_CHUNK/16) uint32 codes, n_chunks_used);
+    the tail beyond the exit stays zero, which the decoders treat as
+    valid padding -- single-device callers fetch only the used prefix
+    (packed[:, :n_chunks_used * _CHUNK // 16])."""
+    n_chunks = -(-t_steps // _CHUNK)
+    wpc = _CHUNK // 16
+    packed0 = jnp.zeros((b, n_chunks * wpc), jnp.uint32)
+
+    def cond(state):
+        i, carry, _ = state
+        return (i < n_chunks) & jnp.any(~done_fn(carry))
+
+    def body(state):
+        i, carry, packed = state
+        carry, ops = lax.scan(
+            lambda c, _: step_fn(c), carry, None, length=_CHUNK,
+            unroll=unroll,
+        )
+        packed = lax.dynamic_update_slice(
+            packed, _pack_ops(ops, _CHUNK), (0, i * wpc)
+        )
+        return i + 1, carry, packed
+
+    n_used, carry, packed = lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, packed0)
+    )
+    return carry, packed, n_used
+
+
 def _walk_fast4_impl(
     dirs, x0, y0, plane0, rowp, off, t_steps: int, unroll: int = 8
 ):
@@ -105,7 +146,7 @@ def _walk_fast4_impl(
     Returns ((x, y) final, packed (B, ceil(T/16)) uint32 op codes, 2 bits
     per step in walk order)."""
 
-    def step(carry, _):
+    def step(carry):
         x, y, plane = carry
         d = x + y + off
         w = dirs[d >> 3, rowp, x]  # one gathered element per pair
@@ -115,10 +156,11 @@ def _walk_fast4_impl(
         op, x, y, plane = _plane_step(nib, x, y, plane)
         return (x, y, plane), op
 
-    (x, y, _), ops = lax.scan(
-        step, (x0, y0, plane0), None, length=t_steps, unroll=unroll
+    (x, y, _), packed, n_used = _chunked_walk(
+        step, (x0, y0, plane0), lambda c: (c[0] == 0) & (c[1] == 0),
+        x0.shape[0], t_steps, unroll,
     )
-    return (x, y), _pack_ops(ops, t_steps)
+    return (x, y), packed, n_used
 
 
 _walk_fast4 = jax.jit(
@@ -139,7 +181,7 @@ def _walk_banded_diag(
     bidx selects which dirs batch slots to walk (a subset is fine)."""
     W, _, L = dirs.shape
 
-    def step(carry, _):
+    def step(carry):
         x, y, plane = carry
         a = x + y - 1
         l = (y - x - k_lo_even) >> 1
@@ -154,10 +196,11 @@ def _walk_banded_diag(
         op, x, y, plane = _plane_step(nib, x, y, plane)
         return (x, y, plane), op
 
-    (x, y, _), ops = lax.scan(
-        step, (x0, y0, plane0), None, length=t_steps, unroll=unroll
+    (x, y, _), packed, n_used = _chunked_walk(
+        step, (x0, y0, plane0), lambda c: (c[0] == 0) & (c[1] == 0),
+        x0.shape[0], t_steps, unroll,
     )
-    return (x, y), _pack_ops(ops, t_steps)
+    return (x, y), packed, n_used
 
 
 def seed_planes(finals: np.ndarray) -> np.ndarray:
@@ -291,7 +334,7 @@ def _stream_walk_fetch(dirs, finals, n1s, n2s, plan, unroll):
     bs = np.arange(B)
     rowp = (bs // plan.np_slots).astype(np.int32)
     off = ((bs % plan.np_slots) * plan.s).astype(np.int32)
-    (xf, yf), packed = _walk_fast4(
+    (xf, yf), packed, n_used = _walk_fast4(
         dirs,
         jnp.asarray(n2s),
         jnp.asarray(n1s),
@@ -301,6 +344,10 @@ def _stream_walk_fetch(dirs, finals, n1s, n2s, plan, unroll):
         t_steps=int(plan.l1 + plan.l2),
         unroll=unroll,
     )
+    # Fetch only the used prefix: the early exit leaves the tail all
+    # zeros, and on a slow interconnect the packed fetch rivals the walk.
+    wpc = _CHUNK // 16
+    packed = packed[:, : max(int(n_used), 1) * wpc]
     packed, xf, yf = jax.device_get((packed, xf, yf))
     return packed, (xf == 0) & (yf == 0)
 
@@ -346,7 +393,7 @@ def _walk_modes_impl(
     or out-of-range (caller falls back to the host walker)."""
     W, R, Pl = dirs.shape
 
-    def step(carry, _):
+    def step(carry):
         x, y, plane, st = carry
         d = x + y + off
         w = dirs[
@@ -389,13 +436,14 @@ def _walk_modes_impl(
 
     pend = jnp.full_like(x0, _PEND)
     st0 = jnp.zeros_like(x0)
-    (x, y, _, st), ops = lax.scan(
-        step, (x0, y0, pend, st0), None, length=t_steps, unroll=unroll
+    (x, y, _, st), packed, n_used = _chunked_walk(
+        step, (x0, y0, pend, st0), lambda c: c[3] != 0,
+        x0.shape[0], t_steps, unroll,
     )
     # A walk still running after t_steps (possible only on a corrupt
     # local fill with no LSTART on the path) is invalid.
     st = jnp.where(st == 0, 2, st)
-    return (x, y, st), _pack_ops(ops, t_steps)
+    return (x, y, st), packed, n_used
 
 
 _walk_modes = jax.jit(
@@ -425,7 +473,7 @@ def modes_walk_device(
     B = len(seqs1)
     end_x = np.asarray(end_x, np.int32)
     end_y = np.asarray(end_y, np.int32)
-    (xf, yf, st), packed = _walk_modes(
+    (xf, yf, st), packed, n_used = _walk_modes(
         dirs,
         jnp.asarray(end_x),
         jnp.asarray(end_y),
@@ -435,6 +483,7 @@ def modes_walk_device(
         t_steps=t_steps,
         unroll=unroll,
     )
+    packed = packed[:, : max(int(n_used), 1) * (_CHUNK // 16)]
     packed, xf, yf, st = jax.device_get((packed, xf, yf, st))
     return decode_modes_walk(
         packed, xf, yf, st, end_x, end_y, seqs1, seqs2
@@ -544,7 +593,7 @@ def banded_diag_align_device(
         pair_idx = np.arange(B, dtype=np.int32)
     finals = np.asarray(finals)[np.asarray(pair_idx)]
     t_steps = int((n1s + n2s).max()) if B else 1
-    (xf, yf), packed = _walk_banded_diag(
+    (xf, yf), packed, n_used = _walk_banded_diag(
         dirs,
         jnp.asarray(n2s),
         jnp.asarray(n1s),
@@ -554,6 +603,7 @@ def banded_diag_align_device(
         t_steps=t_steps,
         unroll=unroll,
     )
+    packed = packed[:, : max(int(n_used), 1) * (_CHUNK // 16)]
     packed, xf, yf = jax.device_get((packed, xf, yf))
     alns = decode_packed_alignments(packed, seqs1, seqs2)
     ended = (xf == 0) & (yf == 0)

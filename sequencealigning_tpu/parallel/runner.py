@@ -365,9 +365,13 @@ class DataParallelRunner:
         if key not in self._fn_cache:
 
             def per_shard(dirs_l, x0, y0, pl0, rowp, offp):
-                return tbd._walk_fast4_impl(
+                # Drop the per-shard n_chunks_used scalar (shards may
+                # exit at different chunks; the full packed buffer is
+                # gathered either way).
+                (x, y), packed, _n = tbd._walk_fast4_impl(
                     dirs_l, x0, y0, pl0, rowp, offp, t_steps=t_steps
                 )
+                return (x, y), packed
 
             pb = P("data")
             self._fn_cache[key] = jax.jit(
@@ -435,10 +439,11 @@ class DataParallelRunner:
         if key not in self._fn_cache:
 
             def per_shard(dirs_l, x_, y_, rowp_, off_):
-                return tbd._walk_modes_impl(
+                (x, y, st), packed, _n = tbd._walk_modes_impl(
                     dirs_l, x_, y_, rowp_, off_, local=local,
                     t_steps=t_steps,
                 )
+                return (x, y, st), packed
 
             pb = P("data")
             self._fn_cache[key] = jax.jit(

@@ -206,7 +206,7 @@ def test_native_decode_matches_numpy(monkeypatch):
     )
 
     bs = np.arange(len(pairs))
-    (xf, yf), packed = _walk_fast4(
+    (xf, yf), packed, _n_used = _walk_fast4(
         res.dirs, jnp.asarray(n2s.astype(np.int32)),
         jnp.asarray(n1s.astype(np.int32)),
         jnp.asarray(seed_planes(res.finals[: len(pairs)])),
