@@ -33,10 +33,11 @@ _enable()
 
 
 def _batch_stream(n_total: int, length: int, batch: int, seed: int = 9):
-    """Yield pre-packed PairBatch objects (~1% substitutions): the whole
-    input path is vectorized NumPy (io.encode.pack_arrays), no per-pair
-    Python loop anywhere between synthesis and the device."""
-    from sequencealigning_tpu.io.encode import pack_arrays
+    """Yield pre-packed WireBatch objects (~1% substitutions): the whole
+    input path is vectorized NumPy (io.encode.pack_wire, fused ASCII ->
+    2-bit wire), no per-pair Python loop anywhere between synthesis and
+    the device."""
+    from sequencealigning_tpu.io.encode import pack_wire
 
     rng = np.random.default_rng(seed)
     alpha = np.frombuffer(b"ACGT", np.uint8)
@@ -50,7 +51,7 @@ def _batch_stream(n_total: int, length: int, batch: int, seed: int = 9):
         cols = rng.integers(0, length, n * n_mut)
         muts[rows, cols] = alpha[rng.integers(0, 4, n * n_mut)]
         lens = np.full(n, length, np.int32)
-        yield pack_arrays(muts, refs, lens, lens, batch_size=batch)
+        yield pack_wire(muts, refs, lens, lens, batch_size=batch)
         done += n
 
 

@@ -413,8 +413,11 @@ def _walk_modes_impl(
         else:
             stop_now = (x == 0) | (y == 0)
         broken = (plane == _BROKEN) | (x < 0) | (y < 0)
+        # broken takes priority over stop_now: a boundary cell with no
+        # H-plane bits must fall back to the host walker (which raises
+        # 'broken parent bits'), not report a clean stop (ADVICE r3).
         st = jnp.where(
-            st != 0, st, jnp.where(stop_now, 1, jnp.where(broken, 2, 0))
+            st != 0, st, jnp.where(broken, 2, jnp.where(stop_now, 1, 0))
         )
         active = st == 0
         op = jnp.where(active, plane + 1, 0).astype(jnp.uint8)

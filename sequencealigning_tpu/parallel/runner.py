@@ -43,6 +43,28 @@ from sequencealigning_tpu.ops.nw_affine_stream_modes import (
 from sequencealigning_tpu.parallel.mesh import make_mesh
 
 
+def _unpack_wire(p2, nm, lens, L, has_n: bool):
+    """Device-side unpack of the 2-bit wire format (io.encode.wire_pack_codes):
+    (R_loc, NP, ceil(L/4)) uint8 packed bases [+ (R_loc, NP, ceil(L/8))
+    uint8 N bitmask] + (R_loc, NP) int32 true lengths -> (R_loc, NP, L)
+    int32 one-hot nibble codes, bit-identical to the unpacked host layout
+    (PAD=0 beyond each slot's true length, N=15 where the mask is set).
+    Pure elementwise work XLA fuses into the stream build; it cuts
+    host->device sequence bytes 4x, the binding cost of the streaming
+    path on slow links (benchmarks/stream_profile)."""
+    p = p2.astype(jnp.int32)
+    k = jnp.stack([(p >> (2 * i)) & 3 for i in range(4)], axis=-1)
+    codes = (jnp.int32(1) << k).reshape(p2.shape[:-1] + (p2.shape[-1] * 4,))
+    codes = codes[..., :L]
+    if has_n:
+        nb = nm.astype(jnp.int32)
+        bits = jnp.stack([(nb >> i) & 1 for i in range(8)], axis=-1)
+        nbit = bits.reshape(nm.shape[:-1] + (nm.shape[-1] * 8,))[..., :L]
+        codes = jnp.where(nbit != 0, 15, codes)
+    pos = jax.lax.broadcasted_iota(jnp.int32, codes.shape, codes.ndim - 1)
+    return jnp.where(pos < lens[..., None], codes, 0)
+
+
 def _mk_streams(q_r, d_r, plan):
     """Per-row code streams from the compact (R_loc, NP, L) int8 batch,
     built on device (host->device traffic = 1 byte/char)."""
@@ -144,20 +166,25 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
-    def _stream_fn(self, plan, dirs_mode=False):
+    def _stream_fn(self, plan, dirs_mode=False, has_n=False):
         from sequencealigning_tpu.ops.nw_affine_stream import (
             resolve_stream_state,
         )
 
         sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
-        key = ("stream", plan, self.gather, dirs_mode, jnp.dtype(sdt).name)
+        key = (
+            "stream", plan, self.gather, dirs_mode, jnp.dtype(sdt).name,
+            has_n,
+        )
         if key in self._fn_cache:
             return self._fn_cache[key]
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
         backend, bt, gather = self.backend, self.bt, self.gather
         NP = plan.np_slots
 
-        def per_shard(q_r, d_r, dsy, n2y, dso, n2o):
+        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
+            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
+            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
             qstream, dstream = _mk_streams(q_r, d_r, plan)
             if backend == "pallas":
                 outs, dirs = gotoh_fill_stream_pallas(
@@ -185,6 +212,7 @@ class DataParallelRunner:
             return finals
 
         row = P("data")
+        nspec = row if has_n else P()
         slot = P(None, "data")
         out_specs = (
             ((P() if gather else P("data")), P(None, "data"))
@@ -195,7 +223,10 @@ class DataParallelRunner:
             jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(row, row, slot, slot, slot, slot),
+                in_specs=(
+                    row, row, nspec, nspec, row, row,
+                    slot, slot, slot, slot,
+                ),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -203,7 +234,7 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
-    def _stream_modes_fn(self, plan, mode: str, with_dirs: bool):
+    def _stream_modes_fn(self, plan, mode: str, with_dirs: bool, has_n=False):
         from sequencealigning_tpu.ops.nw_affine_stream import (
             resolve_stream_state,
         )
@@ -211,7 +242,7 @@ class DataParallelRunner:
         sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
         key = (
             "stream_modes", plan, self.gather, mode, with_dirs,
-            jnp.dtype(sdt).name,
+            jnp.dtype(sdt).name, has_n,
         )
         if key in self._fn_cache:
             return self._fn_cache[key]
@@ -219,7 +250,9 @@ class DataParallelRunner:
         backend, bt, gather = self.backend, self.bt, self.gather
         NP = plan.np_slots
 
-        def per_shard(q_r, d_r, dsy, n2y, dso, n2o):
+        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
+            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
+            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
             qstream, dstream = _mk_streams(q_r, d_r, plan)
             if backend == "pallas":
                 outs, dirs = gotoh_fill_stream_modes_pallas(
@@ -250,6 +283,7 @@ class DataParallelRunner:
             return best, x, y
 
         row = P("data")
+        nspec = row if has_n else P()
         slot = P(None, "data")
         pair_spec = P() if gather else P("data")
         out_specs = (
@@ -261,7 +295,10 @@ class DataParallelRunner:
             jax.shard_map(
                 per_shard,
                 mesh=self.mesh,
-                in_specs=(row, row, slot, slot, slot, slot),
+                in_specs=(
+                    row, row, nspec, nspec, row, row,
+                    slot, slot, slot, slot,
+                ),
                 out_specs=out_specs,
                 check_vma=False,
             )
@@ -279,55 +316,105 @@ class DataParallelRunner:
             raise ValueError("fill_modes requires kernel='stream'")
         if mode not in ("semi", "local"):
             raise ValueError(f"unknown mode {mode!r}")
-        args, plan, B = self._stream_args(batch)
-        out = self._stream_modes_fn(plan, mode, with_dirs)(*args)
+        args, plan, B, has_n = self._stream_args(batch)
+        out = self._stream_modes_fn(plan, mode, with_dirs, has_n=has_n)(*args)
         if with_dirs:
             best, x, y, dirs = out
         else:
             (best, x, y), dirs = out, None
         return best[:B], x[:B], y[:B], dirs, plan
 
-    def _stream_args(self, batch: PairBatch):
-        """(device args, plan, B) for the streamed fill, sharded over the
-        mesh's data axis."""
+    def _stream_args_host(self, batch: PairBatch):
+        """Host half of _stream_args: trim/pad/wire-pack/capture_params,
+        no device traffic.  Returns (host arrays tuple, plan, B, has_n).
+        Split out so the streaming pipeline can run it on a producer
+        thread that overlaps device execution (and so profiling can
+        attribute host prep vs H2D separately).
+
+        Sequences ship 2-bit packed (io.encode.wire_pack_codes) and are
+        unpacked on device (_unpack_wire): 4x less H2D traffic at
+        bit-identical fill inputs."""
+        from sequencealigning_tpu.io.encode import WireBatch, wire_pack_codes
+
         nd = self.n_devices
-        batch = trim_for_stream(batch)
-        B = batch.query.shape[0]
-        L1 = batch.query.shape[1]
-        L2 = batch.db.shape[1]
+        if isinstance(batch, WireBatch):
+            B = batch.size
+            L1, L2 = batch.l1, batch.l2
+            q2, qn = batch.q2, batch.qn
+            d2, dn = batch.d2, batch.dn
+            qlen_in = batch.query_len
+            dlen_in = batch.db_len
+        else:
+            batch = trim_for_stream(batch)
+            B = batch.query.shape[0]
+            L1 = batch.query.shape[1]
+            L2 = batch.db.shape[1]
+            q2, qn = wire_pack_codes(np.asarray(batch.query))
+            d2, dn = wire_pack_codes(np.asarray(batch.db))
+            qlen_in = np.asarray(batch.query_len, np.int32)
+            dlen_in = np.asarray(batch.db_len, np.int32)
         NP = max(1, min(self.np_slots, B // (8 * nd)))
         Bp = round_up(max(B, NP * 8 * nd), NP * 8 * nd)
         plan = plan_stream(Bp, L1, L2, np_slots=NP)
         assert plan.n_rows % (8 * nd) == 0, (plan, nd)
 
-        def pad(a, fill):
+        def padb(a, w):
+            if a.shape[0] == Bp and a.shape[1] == w:
+                return np.ascontiguousarray(a, np.uint8)
+            out = np.zeros((Bp, w), dtype=np.uint8)
+            out[:B] = a
+            return out
+
+        def pad32(a, fill):
             out = np.full((Bp,) + a.shape[1:], fill, dtype=np.int32)
             out[:B] = a
             return out
 
         R = plan.n_rows
-        q_all = pad(np.asarray(batch.query, np.int32), 0).astype(np.int8)
-        d_all = pad(np.asarray(batch.db, np.int32), 0).astype(np.int8)
-        qlen = pad(np.asarray(batch.query_len, np.int32), 1)
-        dlen = pad(np.asarray(batch.db_len, np.int32), 1)
-        q_r = q_all.reshape(R, NP, L1)
-        d_r = d_all.reshape(R, NP, L2)
+        has_n = qn is not None or dn is not None
+        q2 = padb(q2, q2.shape[1]).reshape(R, NP, -1)
+        d2 = padb(d2, d2.shape[1]).reshape(R, NP, -1)
+        if has_n:
+            w_q, w_d = -(-L1 // 8), -(-L2 // 8)
+            qn = (
+                padb(qn, w_q) if qn is not None else np.zeros((Bp, w_q), np.uint8)
+            ).reshape(R, NP, -1)
+            dn = (
+                padb(dn, w_d) if dn is not None else np.zeros((Bp, w_d), np.uint8)
+            ).reshape(R, NP, -1)
+        else:
+            qn = dn = np.zeros((1,), np.uint8)
+        qlen = pad32(qlen_in, 1)
+        dlen = pad32(dlen_in, 1)
+        qll = qlen.reshape(R, NP)
+        dll = dlen.reshape(R, NP)
         dsy, n2y, dso, n2o = capture_params(qlen, dlen, plan)
+        return (
+            (q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o), plan, B, has_n,
+        )
 
+    def _put_stream_args(self, host_args, has_n: bool):
+        """device_put the _stream_args_host tuple with the stream shardings."""
         row = NamedSharding(self.mesh, P("data"))
+        nshard = row if has_n else NamedSharding(self.mesh, P())
         slot = NamedSharding(self.mesh, P(None, "data"))
-        args = [
+        return [
             jax.device_put(a, s)
             for a, s in zip(
-                (q_r, d_r, dsy, n2y, dso, n2o),
-                (row, row, slot, slot, slot, slot),
+                host_args,
+                (row, row, nshard, nshard, row, row, slot, slot, slot, slot),
             )
         ]
-        return args, plan, B
+
+    def _stream_args(self, batch: PairBatch):
+        """(device args, plan, B, has_n) for the streamed fill, sharded
+        over the mesh's data axis."""
+        host_args, plan, B, has_n = self._stream_args_host(batch)
+        return self._put_stream_args(host_args, has_n), plan, B, has_n
 
     def _scores_stream(self, batch: PairBatch):
-        args, plan, B = self._stream_args(batch)
-        finals = self._stream_fn(plan)(*args)
+        args, plan, B, has_n = self._stream_args(batch)
+        finals = self._stream_fn(plan, has_n=has_n)(*args)
         return finals[:B]
 
     def device_walk_fast4(self, dirs, plan, finals, seqs1, seqs2):
@@ -475,8 +562,25 @@ class DataParallelRunner:
         ops.traceback.traceback_stream_batch(np.asarray(dirs), ...)."""
         if self.kernel != "stream":
             raise ValueError("fill_with_dirs requires kernel='stream'")
-        args, plan, B = self._stream_args(batch)
-        finals, dirs = self._stream_fn(plan, dirs_mode=dirs_mode)(*args)
+        args, plan, B, has_n = self._stream_args(batch)
+        finals, dirs = self._stream_fn(plan, dirs_mode=dirs_mode, has_n=has_n)(
+            *args
+        )
+        return finals[:B], dirs, plan
+
+    def scores_from_stream_args(self, args, plan, B: int, has_n: bool):
+        """Dispatch the streamed score fill on args already device_put
+        (producer-thread pipeline: parallel.streaming overlaps the host
+        prep + H2D of batch k+1 with the device execution of batch k)."""
+        return self._stream_fn(plan, has_n=has_n)(*args)[:B]
+
+    def fill_with_dirs_from_stream_args(
+        self, args, plan, B: int, has_n: bool, dirs_mode: str = "fast4"
+    ):
+        """fill_with_dirs on args already device_put (see scores_from_stream_args)."""
+        finals, dirs = self._stream_fn(plan, dirs_mode=dirs_mode, has_n=has_n)(
+            *args
+        )
         return finals[:B], dirs, plan
 
     def scores(self, batch: PairBatch):

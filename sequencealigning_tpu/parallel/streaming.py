@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Callable, Iterable, List, Optional, Tuple
 
 import numpy as np
@@ -101,49 +103,115 @@ def stream_align(
                 json.dump({"next_batch": idx + 1}, f)
             os.replace(tmp, checkpoint_path)
 
-    from sequencealigning_tpu.io.encode import PairBatch
+    from sequencealigning_tpu.io.encode import PairBatch, WireBatch
 
     def _batches():
-        """Yield (index, PairBatch, pair bytes or None).  Callers whose
-        input is already array-shaped can yield PairBatch objects
+        """Yield (index, PairBatch or None, pair bytes or None).  Callers
+        whose input is already array-shaped can yield PairBatch objects
         directly (built with io.encode.pack_arrays -- no per-pair Python
-        loop); byte-pair input is chunked and packed here."""
+        loop); byte-pair input is chunked here and packed by the caller
+        AFTER the resume skip (so resumed runs don't re-pack
+        already-completed batches)."""
         it = iter(pairs)
         first = next(it, None)
         if first is None:
             return
-        if isinstance(first, PairBatch):
-            import itertools
-
-            for i, b in enumerate(itertools.chain([first], it)):
-                yield i, b, None
-            return
         import itertools
 
-        for i, bp in enumerate(
-            _chunks(itertools.chain([first], it), batch_size)
-        ):
-            yield i, pack_batch(bp, batch_size=batch_size), bp
+        chained = itertools.chain([first], it)
+        if isinstance(first, (PairBatch, WireBatch)):
+            for i, b in enumerate(chained):
+                yield i, b, None
+            return
+        for i, bp in enumerate(_chunks(chained, batch_size)):
+            yield i, None, bp
 
-    for i, batch, batch_pairs in _batches():
-        if i < start_batch:
-            continue
+    # Three-stage pipeline: [prep thread: pack + host CPU work] ->
+    # [put thread: device_put (tunnel/PCIe I/O, GIL-free)] -> [this
+    # thread: dispatch + drain].  The host timeline was the binding cost
+    # of this loop (benchmarks/stream_profile: pack+prep+H2D ~= 5-10x the
+    # kernel time through a slow host link); splitting CPU work from the
+    # transfer lets both overlap device execution even on a single host
+    # core.  Bounded queues keep backpressure identical to max_in_flight.
+    stream_kernel = runner.kernel == "stream"
+    depth = max(1, max_in_flight)
+    q_prep: "queue.Queue" = queue.Queue(maxsize=depth)
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def prep():
+        try:
+            for i, batch, batch_pairs in _batches():
+                if i < start_batch:
+                    continue
+                if batch is None:
+                    batch = pack_batch(batch_pairs, batch_size=batch_size)
+                n_valid = int(batch.valid.sum())
+                if stream_kernel:
+                    host_args, plan, B, has_n = runner._stream_args_host(
+                        batch
+                    )
+                    q_prep.put(("host", i, host_args, plan, B, has_n,
+                                n_valid, batch_pairs))
+                else:
+                    q_prep.put(("batch", i, batch, n_valid, batch_pairs))
+            q_prep.put(("done",))
+        except BaseException as e:  # propagate downstream
+            q_prep.put(("error", e))
+
+    def put():
+        while True:
+            item = q_prep.get()
+            if item[0] == "host":
+                _, i, host_args, plan, B, has_n, n_valid, batch_pairs = item
+                try:
+                    args = runner._put_stream_args(host_args, has_n)
+                except BaseException as e:
+                    q.put(("error", e))
+                    return
+                q.put(("args", i, args, plan, B, has_n, n_valid,
+                       batch_pairs))
+            else:
+                q.put(item)  # batch / done / error pass through
+                if item[0] in ("done", "error"):
+                    return
+
+    threading.Thread(target=prep, daemon=True).start()
+    threading.Thread(target=put, daemon=True).start()
+
+    while True:
+        item = q.get()
+        kind = item[0]
+        if kind == "done":
+            break
+        if kind == "error":
+            raise item[1]
+        if kind == "args":
+            _, i, args, plan, B, has_n, n_valid, batch_pairs = item
+        else:
+            _, i, batch, n_valid, batch_pairs = item
         if batch_pairs is None and cigars:
             raise ValueError(
                 "cigars=True requires byte pairs (the traceback needs "
                 "the raw sequences); stream (query, db) tuples instead "
                 "of PairBatch objects"
             )
-        n_valid = int(batch.valid.sum())
         if cigars:
-            finals, dirs, plan = runner.fill_with_dirs(batch)  # async
+            if kind == "args":
+                finals, dirs, plan = runner.fill_with_dirs_from_stream_args(
+                    args, plan, len(batch_pairs), has_n
+                )
+            else:
+                finals, dirs, plan = runner.fill_with_dirs(batch)  # async
             extra = (
                 dirs, plan,
                 [p[0] for p in batch_pairs], [p[1] for p in batch_pairs],
             )
             in_flight.append((i, finals, len(batch_pairs), extra))
         else:
-            scores = runner.scores(batch)  # async dispatch
+            if kind == "args":
+                scores = runner.scores_from_stream_args(args, plan, B, has_n)
+            else:
+                scores = runner.scores(batch)  # async dispatch
             in_flight.append((i, scores, n_valid, None))
         while len(in_flight) >= max_in_flight:
             drain_one()

@@ -343,3 +343,102 @@ def test_runner_device_walk_modes_matches_host():
                     + "-" * (n1 - y) + s2[x:].decode()
                 )
                 assert (a1, a2) == want, (mode, b)
+
+
+def test_stream_align_wirebatch_matches_bytes():
+    """WireBatch input (fused ASCII -> 2-bit wire pack) produces the same
+    scores as the byte-pair path, including N wildcards (the has_n wire
+    variant) and ragged lengths."""
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_wire
+
+    rng = random.Random(5)
+    pairs = []
+    for _ in range(24):
+        n1 = rng.randint(3, 24)
+        n2 = rng.randint(3, 24)
+        pairs.append(
+            (
+                bytes(rng.choice(b"ACGTN") for _ in range(n1)),
+                bytes(rng.choice(b"ACGTN") for _ in range(n2)),
+            )
+        )
+    lens1 = np.array([len(a) for a, _ in pairs], np.int32)
+    lens2 = np.array([len(b) for _, b in pairs], np.int32)
+    q = np.full((24, int(lens1.max())), ord("A"), np.uint8)
+    d = np.full((24, int(lens2.max())), ord("A"), np.uint8)
+    for i, (a, b) in enumerate(pairs):
+        q[i, : len(a)] = np.frombuffer(a, np.uint8)
+        d[i, : len(b)] = np.frombuffer(b, np.uint8)
+
+    def batches():
+        for lo in range(0, 24, 8):
+            yield pack_wire(
+                q[lo : lo + 8], d[lo : lo + 8],
+                lens1[lo : lo + 8], lens2[lo : lo + 8], batch_size=8,
+            )
+
+    runner = DataParallelRunner(backend="lax", np_slots=1, wildcard=True)
+    got = {}
+    n = stream_align(
+        batches(), runner=runner, batch_size=8,
+        on_result=lambda i, s: got.__setitem__(i, s),
+    )
+    assert n == 24
+    scores = np.concatenate([got[i] for i in sorted(got)])
+    want = {}
+    stream_align(
+        pairs, runner=runner, batch_size=8,
+        on_result=lambda i, s: want.__setitem__(i, s),
+    )
+    np.testing.assert_array_equal(
+        scores, np.concatenate([want[i] for i in sorted(want)])
+    )
+
+
+def test_pack_wire_rejects_invalid_unless_unvalidated():
+    import numpy as np
+    import pytest
+
+    from sequencealigning_tpu.io.encode import pack_wire
+
+    q = np.frombuffer(b"ACGTXXXX", np.uint8).reshape(1, 8).copy()
+    d = np.frombuffer(b"ACGTACGT", np.uint8).reshape(1, 8).copy()
+    # X beyond the true length is padding garbage: allowed.
+    pack_wire(q, d, np.array([4]), np.array([8]))
+    with pytest.raises(ValueError, match="invalid query"):
+        pack_wire(q, d, np.array([6]), np.array([8]))
+    # validate=False skips the scan; the device-side length mask still
+    # guarantees the invalid region never scores.
+    wb = pack_wire(q, d, np.array([4]), np.array([8]), validate=False)
+    assert wb.q2.shape[0] == 1
+
+
+def test_stream_resume_skips_packing(tmp_path, monkeypatch):
+    """Resumed runs must not re-pack already-completed byte batches
+    (ADVICE r3): the pack happens after the checkpoint-cursor skip."""
+    import json
+
+    import sequencealigning_tpu.parallel.streaming as streaming
+
+    pairs = _pairs(9, 16)
+    runner = DataParallelRunner(backend="lax", np_slots=1)
+    ckpt = tmp_path / "cursor.json"
+    ckpt.write_text(json.dumps({"next_batch": 3}))
+    calls = []
+    real = streaming.pack_batch
+
+    def counting(bp, **kw):
+        calls.append(len(bp))
+        return real(bp, **kw)
+
+    monkeypatch.setattr(streaming, "pack_batch", counting)
+    got = {}
+    stream_align(
+        pairs, runner=runner, batch_size=4,
+        checkpoint_path=str(ckpt),
+        on_result=lambda i, s: got.__setitem__(i, s),
+    )
+    assert len(calls) == 1  # only batch 3 of 0..3 packed
+    assert sorted(got) == [3]
