@@ -159,18 +159,24 @@ def main() -> int:
     # --- pipelined loop (the real streaming path) ---------------------------
     from sequencealigning_tpu.parallel.streaming import stream_align
 
-    def gen(n_batches):
+    from sequencealigning_tpu.io.encode import pack_wire
+
+    def gen(n_batches, wire):
         rng2 = np.random.default_rng(11)
+        pk = pack_wire if wire else pack_arrays
         for _ in range(n_batches):
             m, r, l = synth(rng2, B, L)
-            yield pack_arrays(m, r, l, l, batch_size=B)
+            yield pk(m, r, l, l, batch_size=B)
 
     n_batches = max(iters, 4)
-    stream_align(gen(2), runner=runner, batch_size=B)  # warm
-    t0 = time.perf_counter()
-    n = stream_align(gen(n_batches), runner=runner, batch_size=B)
-    dt = time.perf_counter() - t0
-    pipelined_ms = dt / n_batches * 1e3
+    pipe = {}
+    for wire in (False, True):
+        stream_align(gen(2, wire), runner=runner, batch_size=B)  # warm
+        t0 = time.perf_counter()
+        n = stream_align(gen(n_batches, wire), runner=runner, batch_size=B)
+        dt = time.perf_counter() - t0
+        pipe["wire" if wire else "pairbatch"] = dt / n_batches * 1e3
+    pipelined_ms = pipe["wire"]
 
     cells = B * L * L
     result = {
@@ -181,6 +187,7 @@ def main() -> int:
         "h2d": h2d,
         "d2h": d2h,
         "stage_ms": med,
+        "pipelined_ms_per_batch_pairbatch": round(pipe["pairbatch"], 2),
         "pipelined_ms_per_batch": round(pipelined_ms, 2),
         "pipelined_pairs_per_s": round(B / (pipelined_ms / 1e3), 1),
         "pipelined_gcups": round(cells / (pipelined_ms / 1e3) / 1e9, 2),

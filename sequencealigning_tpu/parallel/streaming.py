@@ -34,6 +34,7 @@ def stream_align(
     on_result: Optional[Callable[[int, np.ndarray], None]] = None,
     cigars: bool = False,
     on_alignments: Optional[Callable[[int, list], None]] = None,
+    first_batch_index: int = 0,
 ) -> int:
     """Stream pairs through the runner.  Returns the number of pairs aligned.
 
@@ -48,6 +49,11 @@ def stream_align(
     are persisted and already-completed batches are skipped on resume
     (at-least-once delivery: the batch in flight when a run is interrupted
     is re-delivered, so callbacks must be idempotent).
+
+    first_batch_index declares that ``pairs`` already starts at that
+    batch index (production resume: the reader seeks past completed
+    input instead of regenerating it; batch i of the stream is numbered
+    first_batch_index + i for callbacks and the checkpoint cursor).
 
     With cigars=True each batch also runs the fast4 direction fill and a
     host first-path traceback; on_alignments(batch_index, results) receives
@@ -120,10 +126,12 @@ def stream_align(
 
         chained = itertools.chain([first], it)
         if isinstance(first, (PairBatch, WireBatch)):
-            for i, b in enumerate(chained):
+            for i, b in enumerate(chained, start=first_batch_index):
                 yield i, b, None
             return
-        for i, bp in enumerate(_chunks(chained, batch_size)):
+        for i, bp in enumerate(
+            _chunks(chained, batch_size), start=first_batch_index
+        ):
             yield i, None, bp
 
     # Three-stage pipeline: [prep thread: pack + host CPU work] ->

@@ -442,3 +442,28 @@ def test_stream_resume_skips_packing(tmp_path, monkeypatch):
     )
     assert len(calls) == 1  # only batch 3 of 0..3 packed
     assert sorted(got) == [3]
+
+
+def test_stream_first_batch_index_resume():
+    """Production-style resume: the input reader seeks past completed
+    batches and declares the stream's starting index; batch numbering,
+    checkpoint cursor, and callbacks line up with the full run."""
+    import json
+
+    pairs = _pairs(13, 16)
+    runner = DataParallelRunner(backend="lax", np_slots=1)
+    want = {}
+    stream_align(
+        pairs, runner=runner, batch_size=4,
+        on_result=lambda i, s: want.__setitem__(i, s),
+    )
+    got = {}
+    n = stream_align(
+        pairs[8:], runner=runner, batch_size=4,
+        first_batch_index=2,
+        on_result=lambda i, s: got.__setitem__(i, s),
+    )
+    assert n == 8
+    assert sorted(got) == [2, 3]
+    for i in (2, 3):
+        np.testing.assert_array_equal(got[i], want[i])
