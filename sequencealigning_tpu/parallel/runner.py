@@ -337,6 +337,7 @@ class DataParallelRunner:
         from sequencealigning_tpu.io.encode import WireBatch, wire_pack_codes
 
         nd = self.n_devices
+        nproc = jax.process_count()
         if isinstance(batch, WireBatch):
             B = batch.size
             L1, L2 = batch.l1, batch.l2
@@ -353,10 +354,24 @@ class DataParallelRunner:
             d2, dn = wire_pack_codes(np.asarray(batch.db))
             qlen_in = np.asarray(batch.query_len, np.int32)
             dlen_in = np.asarray(batch.db_len, np.int32)
-        NP = max(1, min(self.np_slots, B // (8 * nd)))
-        Bp = round_up(max(B, NP * 8 * nd), NP * 8 * nd)
-        plan = plan_stream(Bp, L1, L2, np_slots=NP)
-        assert plan.n_rows % (8 * nd) == 0, (plan, nd)
+        if nproc > 1:
+            # Multi-process: ``batch`` is THIS process's input shard (each
+            # host reads only its own slice of the stream); host arrays are
+            # built for the local rows only and assembled into global
+            # sharded arrays in _put_stream_args.  Pair j of process p is
+            # global row-major index p * Bp/nproc + j (mp_local_slice).
+            B_total = B * nproc
+            NP = max(1, min(self.np_slots, B_total // (8 * nd)))
+            Bp_total = round_up(max(B_total, NP * 8 * nd), NP * 8 * nd)
+            plan = plan_stream(Bp_total, L1, L2, np_slots=NP)
+            assert plan.n_rows % (8 * nd) == 0, (plan, nd)
+            Bp = Bp_total // nproc
+            assert Bp % NP == 0, (plan, nproc)
+        else:
+            NP = max(1, min(self.np_slots, B // (8 * nd)))
+            Bp = round_up(max(B, NP * 8 * nd), NP * 8 * nd)
+            plan = plan_stream(Bp, L1, L2, np_slots=NP)
+            assert plan.n_rows % (8 * nd) == 0, (plan, nd)
 
         def padb(a, w):
             if a.shape[0] == Bp and a.shape[1] == w:
@@ -370,7 +385,7 @@ class DataParallelRunner:
             out[:B] = a
             return out
 
-        R = plan.n_rows
+        R = Bp // NP  # local row count (= plan.n_rows unless multiprocess)
         has_n = qn is not None or dn is not None
         q2 = padb(q2, q2.shape[1]).reshape(R, NP, -1)
         d2 = padb(d2, d2.shape[1]).reshape(R, NP, -1)
@@ -388,23 +403,43 @@ class DataParallelRunner:
         dlen = pad32(dlen_in, 1)
         qll = qlen.reshape(R, NP)
         dll = dlen.reshape(R, NP)
-        dsy, n2y, dso, n2o = capture_params(qlen, dlen, plan)
+        dsy, n2y, dso, n2o = capture_params(
+            qlen, dlen, plan._replace(n_rows=R)
+        )
+        if nproc > 1:
+            B = plan.n_rows * NP  # finals come back global; no local slice
         return (
             (q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o), plan, B, has_n,
         )
 
     def _put_stream_args(self, host_args, has_n: bool):
-        """device_put the _stream_args_host tuple with the stream shardings."""
+        """device_put the _stream_args_host tuple with the stream shardings.
+
+        Multi-process (jax.distributed): host_args hold only this
+        process's row shard; global arrays are assembled from the
+        per-process local data (each host touches only its own input --
+        the per-host file-shard pattern of BASELINE config 5)."""
         row = NamedSharding(self.mesh, P("data"))
         nshard = row if has_n else NamedSharding(self.mesh, P())
         slot = NamedSharding(self.mesh, P(None, "data"))
-        return [
-            jax.device_put(a, s)
-            for a, s in zip(
-                host_args,
-                (row, row, nshard, nshard, row, row, slot, slot, slot, slot),
-            )
-        ]
+        shardings = (
+            row, row, nshard, nshard, row, row, slot, slot, slot, slot,
+        )
+        if jax.process_count() > 1:
+            return [
+                jax.make_array_from_process_local_data(s, np.asarray(a))
+                for a, s in zip(host_args, shardings)
+            ]
+        return [jax.device_put(a, s) for a, s in zip(host_args, shardings)]
+
+    def mp_local_slice(self, plan) -> slice:
+        """Multi-process runs: the slice of the gathered global finals
+        holding THIS process's pairs, in its local row-major order
+        (pair j of process p = global index p * Bp/nproc + j)."""
+        nproc = jax.process_count()
+        bp = plan.n_rows * plan.np_slots
+        lo = jax.process_index() * (bp // nproc)
+        return slice(lo, lo + bp // nproc)
 
     def _stream_args(self, batch: PairBatch):
         """(device args, plan, B, has_n) for the streamed fill, sharded

@@ -75,11 +75,11 @@ def stream_align(
 
     def drain_one():
         nonlocal n_pairs
-        idx, scores, n, extra = in_flight.pop(0)
+        idx, scores, n_slice, n_count, extra = in_flight.pop(0)
         scores = np.asarray(scores)  # blocks until ready
-        n_pairs += n
+        n_pairs += n_count
         if on_result is not None:
-            on_result(idx, scores[:n])
+            on_result(idx, scores[:n_slice])
         if extra is not None and on_alignments is not None:
             dirs, plan, seqs1, seqs2 = extra
             from sequencealigning_tpu.ops.traceback_device import (
@@ -204,6 +204,12 @@ def stream_align(
                 "of PairBatch objects"
             )
         if cigars:
+            if _mp():
+                raise NotImplementedError(
+                    "multi-process streaming is scores-only (the cigar "
+                    "packed-ops fetch spans non-addressable devices); run "
+                    "the cigars path per host on its own shard"
+                )
             if kind == "args":
                 finals, dirs, plan = runner.fill_with_dirs_from_stream_args(
                     args, plan, len(batch_pairs), has_n
@@ -214,18 +220,30 @@ def stream_align(
                 dirs, plan,
                 [p[0] for p in batch_pairs], [p[1] for p in batch_pairs],
             )
-            in_flight.append((i, finals, len(batch_pairs), extra))
+            in_flight.append(
+                (i, finals, len(batch_pairs), len(batch_pairs), extra)
+            )
         else:
             if kind == "args":
                 scores = runner.scores_from_stream_args(args, plan, B, has_n)
             else:
                 scores = runner.scores(batch)  # async dispatch
-            in_flight.append((i, scores, n_valid, None))
+            # Multi-process: on_result sees the GLOBAL gathered scores
+            # (B covers every process's rows); n_pairs still counts only
+            # this host's valid pairs.
+            n_slice = B if (kind == "args" and _mp()) else n_valid
+            in_flight.append((i, scores, n_slice, n_valid, None))
         while len(in_flight) >= max_in_flight:
             drain_one()
     while in_flight:
         drain_one()
     return n_pairs
+
+
+def _mp() -> bool:
+    import jax
+
+    return jax.process_count() > 1
 
 
 def _chunks(pairs: Iterable[Tuple[bytes, bytes]], n: int):
