@@ -26,3 +26,25 @@ def test_golden_cli(name, args):
         f"CLI output drifted from tests/golden/{name}.out -- if intended, "
         "regenerate with `python tests/golden/regen.py`"
     )
+
+
+def test_rust_differential_harness_contract():
+    """tools/rust_differential/diff.py must exit 2 with a clear message
+    when no cargo toolchain exists (this rig), and its case table must
+    only name surfaces the reference binary has."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = os.path.join(repo, "tools", "rust_differential", "diff.py")
+    env = dict(os.environ, PATH="/usr/bin:/bin")  # cargo absent either way
+    if __import__("shutil").which("cargo", path=env["PATH"]):
+        import pytest
+
+        pytest.skip("cargo present; the real differential applies")
+    p = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, env=env,
+    )
+    assert p.returncode == 2, (p.returncode, p.stdout, p.stderr)
+    assert "no cargo toolchain" in p.stdout
