@@ -452,32 +452,28 @@ class DataParallelRunner:
         finals = self._stream_fn(plan, has_n=has_n)(*args)
         return finals[:B]
 
-    def device_walk_fast4(self, dirs, plan, finals, seqs1, seqs2):
-        """On-device fast4 traceback over the runner's row-sharded dirs
-        tensor (fill_with_dirs output): each device walks exactly the
-        pairs whose rows it holds (shard_map over 'data'; pair order is
-        row-major, so pair blocks align with row shards), and only the
-        2-bit packed op codes cross the device boundary (~(l1+l2)/4
-        bytes/pair vs the 0.5 byte/cell dirs fetch of the host path).
+    def device_walk_fast4_dispatch(self, dirs, plan, finals_dev, n1s, n2s):
+        """Dispatch the sharded on-device fast4 walk with NO host sync:
+        the per-pair seed plane (M > I > D at the corner) is computed on
+        device from the fill's (Bp, 3) finals, so the walk can be queued
+        immediately behind its own fill -- BEFORE the next batch's fill
+        lands on the device -- and its fetch/decode overlap that fill
+        (the streaming pipeline's walk-overlap, VERDICT r3 item 5).
 
-        Returns a traceback_stream_batch-shaped list: (score, [(a1, a2)])
-        or AlignmentError per pair; a pair whose device walk fails
-        validation falls back to fetching its single dirs row."""
-        from sequencealigning_tpu.errors import AlignmentError
+        n1s/n2s: true lengths of the B real pairs.  finals_dev must be
+        the UNsliced (Bp, 3) fill output.  Returns opaque handles for
+        device_walk_fast4_finish; the dirs tensor stays referenced by
+        the handles (the per-pair fallback path needs it)."""
         from sequencealigning_tpu.ops import traceback_device as tbd
-        from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
 
-        finals = np.asarray(finals)
-        B = len(seqs1)
+        B = len(n1s)
         nd = self.n_devices
         NP, R = plan.np_slots, plan.n_rows
         Bp = NP * R
         n1 = np.ones(Bp, np.int32)
         n2 = np.ones(Bp, np.int32)
-        n1[:B] = [len(s) for s in seqs1]
-        n2[:B] = [len(s) for s in seqs2]
-        p0 = np.zeros(Bp, np.int32)
-        p0[:B] = tbd.seed_planes(finals[:B])
+        n1[:B] = n1s
+        n2[:B] = n2s
         bs = np.arange(Bp)
         rowloc = ((bs // NP) % (R // nd)).astype(np.int32)  # shard-local
         off = ((bs % NP) * plan.s).astype(np.int32)
@@ -486,7 +482,15 @@ class DataParallelRunner:
         key = ("walk", plan)
         if key not in self._fn_cache:
 
-            def per_shard(dirs_l, x0, y0, pl0, rowp, offp):
+            def per_shard(dirs_l, fin_l, x0, y0, rowp, offp):
+                # Seed plane on device (ops.traceback_device.seed_planes'
+                # rule): priority M > I > D at each pair's corner score.
+                score = jnp.max(fin_l, axis=1)
+                pl0 = jnp.where(
+                    fin_l[:, 0] == score,
+                    0,
+                    jnp.where(fin_l[:, 1] == score, 1, 2),
+                ).astype(jnp.int32)
                 # Drop the per-shard n_chunks_used scalar (shards may
                 # exit at different chunks; the full packed buffer is
                 # gathered either way).
@@ -508,9 +512,26 @@ class DataParallelRunner:
         shard = NamedSharding(self.mesh, P("data"))
         args = [
             jax.device_put(a, shard)
-            for a in (n2, n1, p0, rowloc, off)  # x walks db, y walks query
+            for a in (n2, n1, rowloc, off)  # x walks db, y walks query
         ]
-        (xf, yf), packed = self._fn_cache[key](dirs, *args)
+        (xf, yf), packed = self._fn_cache[key](
+            dirs, finals_dev, args[0], args[1], args[2], args[3]
+        )
+        return (xf, yf, packed, dirs, plan)
+
+    def device_walk_fast4_finish(self, handles, finals, seqs1, seqs2):
+        """Fetch + decode a dispatched device walk.  finals: (>=B, 3)
+        host finals (for result scores and the fallback walker).  Returns
+        a traceback_stream_batch-shaped list: (score, [(a1, a2)]) or
+        AlignmentError per pair; a pair whose device walk fails
+        validation falls back to fetching its single dirs row."""
+        from sequencealigning_tpu.errors import AlignmentError
+        from sequencealigning_tpu.ops import traceback_device as tbd
+        from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
+
+        xf, yf, packed, dirs, plan = handles
+        finals = np.asarray(finals)
+        B = len(seqs1)
         packed, xf, yf = jax.device_get((packed[:B], xf[:B], yf[:B]))
         alns = tbd.decode_packed_alignments(packed, seqs1, seqs2)
         ended = (xf == 0) & (yf == 0)
@@ -531,6 +552,28 @@ class DataParallelRunner:
                 continue
             out.append((int(finals[b].max()), [alns[b]]))
         return out
+
+    def device_walk_fast4(self, dirs, plan, finals, seqs1, seqs2):
+        """On-device fast4 traceback over the runner's row-sharded dirs
+        tensor (fill_with_dirs output): each device walks exactly the
+        pairs whose rows it holds (shard_map over 'data'; pair order is
+        row-major, so pair blocks align with row shards), and only the
+        2-bit packed op codes cross the device boundary (~(l1+l2)/4
+        bytes/pair vs the 0.5 byte/cell dirs fetch of the host path).
+
+        Synchronous wrapper over dispatch + finish (the streaming
+        pipeline uses those directly to overlap the walk with the next
+        batch's fill)."""
+        finals = np.asarray(finals)
+        B = len(seqs1)
+        NP, R = plan.np_slots, plan.n_rows
+        fin_full = np.zeros((NP * R, 3), np.int32)
+        fin_full[:B] = finals[:B]
+        handles = self.device_walk_fast4_dispatch(
+            dirs, plan, fin_full,
+            [len(s) for s in seqs1], [len(s) for s in seqs2],
+        )
+        return self.device_walk_fast4_finish(handles, finals, seqs1, seqs2)
 
     def device_walk_modes(
         self, dirs, plan, best_x, best_y, seqs1, seqs2, mode: str
@@ -617,6 +660,22 @@ class DataParallelRunner:
             *args
         )
         return finals[:B], dirs, plan
+
+    def fill_walk_from_stream_args(self, args, plan, B: int, has_n: bool,
+                                   seqs1, seqs2):
+        """Streamed fast4 fill AND its device walk dispatched back-to-back
+        on args already device_put (no host sync between them): the walk
+        of batch k lands on the device queue before batch k+1's fill, so
+        its packed-op fetch and host decode overlap that fill.  Returns
+        (finals[:B] lazy, walk handles for device_walk_fast4_finish)."""
+        finals, dirs = self._stream_fn(plan, dirs_mode="fast4", has_n=has_n)(
+            *args
+        )
+        handles = self.device_walk_fast4_dispatch(
+            dirs, plan, finals,
+            [len(s) for s in seqs1], [len(s) for s in seqs2],
+        )
+        return finals[:B], handles
 
     def scores(self, batch: PairBatch):
         """Returns (B, 3) int32 finals (M/I/D at each pair's corner).

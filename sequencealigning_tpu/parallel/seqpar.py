@@ -14,9 +14,11 @@ collectives only -- no NCCL/MPI analog needed.
 Score-only, like the tiled engine (pair alignment for long pairs comes
 from the verified banded path, models.gotoh._long_batch).
 
-Capacity: one tile per device, so db length <= n_devices * tile_lanes per
-call; chain calls for more (the boundary column returned by the last
-device would seed the next round -- not yet wired).
+Capacity: one tile per device sweeps n_devices * tile_lanes db lanes per
+round; longer dbs CHAIN rounds -- the last device's boundary-column
+emissions (emit=True) seed the next round's device 0 (chained=True),
+with one host round-trip per link.  Exactness across chains is pinned by
+tests/test_seqpar.py::test_seqpar_chained_beyond_mesh_capacity.
 """
 
 from __future__ import annotations
@@ -41,19 +43,26 @@ from sequencealigning_tpu.parallel.mesh import make_mesh
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_seqpar(mesh, axis, w, ngc, c, scheme, compat, wildcard):
+def _jitted_seqpar(
+    mesh, axis, w, ngc, c, scheme, compat, wildcard,
+    chained: bool = False, emit: bool = False,
+):
     D = mesh.shape[axis]
     npc = ngc // c
     L = w // c + 2  # consumer skew (phases) that keeps producers ahead
     pt = (D - 1) * L + npc  # total phases
     blen = ngc + w  # boundary buffer, producer-step indexed
 
-    def shard(query, db_local, n1v, n2v):
+    def shard(query, db_local, n1v, n2v, x_base, bm_in, bd_in, bh_in):
         # query: (B, ngc) pre-shifted qs (replicated); db_local: (B, W)
-        # this device's lane chars; n1v/n2v: (B, 1) replicated.
+        # this device's lane chars; n1v/n2v: (B, 1) replicated; x_base:
+        # (1, 1) global lane offset of this ROUND (chained calls for db
+        # longer than D * W lanes); bm/bd/bh_in: (B, blen) boundary
+        # emissions of the previous round's last device (used by device 0
+        # when chained -- the closed-form x=0 column otherwise).
         B = query.shape[0]
         d = jax.lax.axis_index(axis)
-        x0 = d * w + 1
+        x0 = x_base[0, 0] + d * w + 1
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (B, w), 1)
         lane_0 = col_iota == 0
         roll = lambda a: jnp.roll(a, 1, axis=1)
@@ -63,13 +72,19 @@ def _jitted_seqpar(mesh, axis, w, ngc, c, scheme, compat, wildcard):
 
         # Boundary buffers (producer-step indexed: consumer step g reads
         # mb/db at g + W - 1 and hb1 at the same offset of the pre-shifted
-        # array).  Device 0 gets the closed-form x=0 column.
-        hb1_0, mb_0, db_0 = _boundary0(n1v, ngc, scheme, compat)
-        pad0 = lambda a: jnp.pad(a, ((0, 0), (w - 1, 1)))
+        # array).  Device 0 gets the closed-form x=0 column (round 0) or
+        # the previous round's chained boundary.
         is0 = (d == 0)
-        blm = jnp.where(is0, pad0(mb_0), 0)
-        bld = jnp.where(is0, pad0(db_0), 0)
-        blh = jnp.where(is0, pad0(hb1_0), 0)
+        if chained:
+            blm = jnp.where(is0, bm_in, 0)
+            bld = jnp.where(is0, bd_in, 0)
+            blh = jnp.where(is0, bh_in, 0)
+        else:
+            hb1_0, mb_0, db_0 = _boundary0(n1v, ngc, scheme, compat)
+            pad0 = lambda a: jnp.pad(a, ((0, 0), (w - 1, 1)))
+            blm = jnp.where(is0, pad0(mb_0), 0)
+            bld = jnp.where(is0, pad0(db_0), 0)
+            blh = jnp.where(is0, pad0(hb1_0), 0)
 
         neg = jnp.full((B, w), NEG_INF, jnp.int32)
         zeros = jnp.zeros((B, w), jnp.int32)
@@ -108,7 +123,8 @@ def _jitted_seqpar(mesh, axis, w, ngc, c, scheme, compat, wildcard):
             return carry[:6], carry[6:], jnp.moveaxis(brs, 0, 2)
 
         def phase(carry, p):
-            H2, H1, M1, I1, D1, s1d, blm, bld, blh, fm, fi, fd = carry
+            (H2, H1, M1, I1, D1, s1d, blm, bld, blh, fm, fi, fd,
+             obm, obd, obh) = carry
             j = p - d * L
             active = jnp.logical_and(j >= 0, j < npc)
             jc = jnp.clip(j, 0, npc - 1)
@@ -126,6 +142,22 @@ def _jitted_seqpar(mesh, axis, w, ngc, c, scheme, compat, wildcard):
 
             # Ship this phase's boundary chunk to the right neighbor.
             brs = jnp.where(active, brs, 0)
+            if emit:
+                # Collect the LAST device's emissions (producer-step
+                # indexed like received chunks: M/D at g, H at g + 1) --
+                # the chained input for the next round's device 0.
+                e_active = jnp.logical_and(active, d == D - 1)
+                eoff = jc * c
+                eupd = lambda buf, row, o: jnp.where(
+                    e_active,
+                    jax.lax.dynamic_update_slice_in_dim(
+                        buf, row, o, axis=1
+                    ),
+                    buf,
+                )
+                obm = eupd(obm, brs[:, 0], eoff)
+                obd = eupd(obd, brs[:, 1], eoff)
+                obh = eupd(obh, brs[:, 2], eoff + 1)
             recv = jax.lax.ppermute(
                 brs, axis, [(i, (i + 1) % D) for i in range(D)]
             )
@@ -157,28 +189,38 @@ def _jitted_seqpar(mesh, axis, w, ngc, c, scheme, compat, wildcard):
                 blh,
             )
             return (
-                H2, H1, M1, I1, D1, s1d, blm, bld, blh, fm, fi, fd
+                H2, H1, M1, I1, D1, s1d, blm, bld, blh, fm, fi, fd,
+                obm, obd, obh,
             ), None
 
+        zb = jnp.zeros((B, blen), jnp.int32)
         carry0 = (
             neg, neg, neg, neg, neg, zeros, blm, bld, blh,
-            zeros, zeros, zeros,
+            zeros, zeros, zeros, zb, zb, zb,
         )
         carry, _ = jax.lax.scan(
             phase, carry0, jnp.arange(pt, dtype=jnp.int32)
         )
-        fm, fi, fd = carry[9:]
+        fm, fi, fd = carry[9:12]
         finals = jnp.stack([fm.sum(1), fi.sum(1), fd.sum(1)], axis=1)
-        # Each pair's corner lives on exactly one device.
-        return jax.lax.psum(finals, axis)
+        # Each pair's corner lives on exactly one device (and, chained,
+        # in exactly one round -- non-owning rounds contribute zeros).
+        finals = jax.lax.psum(finals, axis)
+        if emit:
+            obm, obd, obh = carry[12:15]
+            # Live on device D-1 only (zeros elsewhere): psum replicates.
+            out_b = jax.lax.psum(jnp.stack([obm, obd, obh], axis=1), axis)
+            return finals, out_b
+        return finals
 
     rep = P()
+    out_specs = (rep, rep) if emit else rep
     fn = jax.jit(
         jax.shard_map(
             shard,
             mesh=mesh,
-            in_specs=(rep, P(None, axis), rep, rep),
-            out_specs=rep,
+            in_specs=(rep, P(None, axis), rep, rep, rep, rep, rep, rep),
+            out_specs=out_specs,
             check_vma=False,
         )
     )
@@ -199,44 +241,63 @@ def seqpar_fill(
     wildcard: bool = False,
 ) -> np.ndarray:
     """Exact Gotoh corner finals (B, 3) with the db axis sharded over the
-    mesh -- one pair can span every chip.  db length must fit
-    n_devices * tile_lanes."""
+    mesh -- one pair can span every chip.  db longer than
+    n_devices * tile_lanes is CHAINED: the mesh sweeps D * W lanes per
+    round and the last device's boundary-column emissions seed the next
+    round's device 0 (same producer/consumer protocol as the in-round
+    ppermute relay, one extra host round-trip per chain link)."""
     mesh = mesh if mesh is not None else make_mesh()
     D = mesh.shape[axis]
     B, L1 = query.shape
     _, L2 = db.shape
     W = _round_up(min(tile_lanes, max(-(-L2 // D), 128)), 128)
-    if D * W < L2:
-        raise ValueError(
-            f"db length {L2} exceeds mesh capacity {D} * {W} lanes; raise "
-            "tile_lanes or use ops.nw_affine_tiled on one device"
-        )
+    n_rounds = max(1, -(-L2 // (D * W)))
     Bp = _round_up(max(B, 8), 8)
     n1p = _round_up(L1 + 1, chunk)
     ngc = n1p + W
+    blen = ngc + W
 
     q = np.zeros((Bp, L1), np.int32)
     q[:B] = query
     qs = np.zeros((Bp, ngc), np.int32)
     qs[:, 1 : 1 + min(L1, ngc - 1)] = q[:, : min(L1, ngc - 1)]
-    d_all = np.zeros((Bp, D * W), np.int32)
+    d_all = np.zeros((Bp, n_rounds * D * W), np.int32)
     d_all[:B, :L2] = db
     qlen = np.ones(Bp, np.int32)
     dlen = np.ones(Bp, np.int32)
     qlen[:B] = np.asarray(query_len, np.int32)
     dlen[:B] = np.asarray(db_len, np.int32)
 
-    fn = _jitted_seqpar(mesh, axis, W, ngc, chunk, scheme, compat, wildcard)
-    args = [
-        jax.device_put(a, NamedSharding(mesh, s))
-        for a, s in (
-            (qs, P()),
-            (d_all, P(None, axis)),
-            (qlen[:, None], P()),
-            (dlen[:, None], P()),
+    rep = NamedSharding(mesh, P())
+    lane = NamedSharding(mesh, P(None, axis))
+    qs_d = jax.device_put(qs, rep)
+    n1_d = jax.device_put(qlen[:, None], rep)
+    n2_d = jax.device_put(dlen[:, None], rep)
+    zb = np.zeros((Bp, blen), np.int32)
+    b_in = jax.device_put(np.zeros((Bp, 3, blen), np.int32), rep)
+    finals = np.zeros((B, 3), np.int64)
+    for r in range(n_rounds):
+        fn = _jitted_seqpar(
+            mesh, axis, W, ngc, chunk, scheme, compat, wildcard,
+            chained=(r > 0), emit=(r + 1 < n_rounds),
         )
-    ]
-    finals = np.asarray(fn(*args))[:B].astype(np.int32)
+        seg = jax.device_put(
+            np.ascontiguousarray(d_all[:, r * D * W : (r + 1) * D * W]),
+            lane,
+        )
+        xb = jax.device_put(
+            np.full((1, 1), r * D * W, np.int32), rep
+        )
+        args = (
+            qs_d, seg, n1_d, n2_d, xb,
+            b_in[:, 0], b_in[:, 1], b_in[:, 2],
+        )
+        if r + 1 < n_rounds:
+            fr, b_in = fn(*args)
+        else:
+            fr = fn(*args)
+        finals = finals + np.asarray(fr)[:B]
+    finals = finals.astype(np.int32)
     # n2 == 0 pairs never hit a lane: closed-form corner.
     o, e = scheme.gap_open, scheme.gap_extend
     for b in range(B):

@@ -81,27 +81,35 @@ def stream_align(
         if on_result is not None:
             on_result(idx, scores[:n_slice])
         if extra is not None and on_alignments is not None:
-            dirs, plan, seqs1, seqs2 = extra
-            from sequencealigning_tpu.ops.traceback_device import (
-                use_device_walk,
-            )
-
-            if use_device_walk(runner):
-                # Walk on device, sharded like the fill (each device
-                # walks its own rows' pairs); only 2-bit op codes are
-                # fetched instead of the dirs tensor.
-                tbs = runner.device_walk_fast4(
-                    dirs, plan, scores, seqs1, seqs2
+            if len(extra) == 3:
+                # Pre-dispatched device walk (stream-args path): only the
+                # fetch + decode remain, overlapping the next fill.
+                handles, seqs1, seqs2 = extra
+                tbs = runner.device_walk_fast4_finish(
+                    handles, scores, seqs1, seqs2
                 )
             else:
-                from sequencealigning_tpu.ops.traceback import (
-                    traceback_stream_batch,
+                dirs, plan, seqs1, seqs2 = extra
+                from sequencealigning_tpu.ops.traceback_device import (
+                    use_device_walk,
                 )
 
-                tbs = traceback_stream_batch(
-                    np.asarray(dirs), scores, seqs1, seqs2, plan,
-                    compat=runner.compat, dirs_mode="fast4",
-                )
+                if use_device_walk(runner):
+                    # Walk on device, sharded like the fill (each device
+                    # walks its own rows' pairs); only 2-bit op codes are
+                    # fetched instead of the dirs tensor.
+                    tbs = runner.device_walk_fast4(
+                        dirs, plan, scores, seqs1, seqs2
+                    )
+                else:
+                    from sequencealigning_tpu.ops.traceback import (
+                        traceback_stream_batch,
+                    )
+
+                    tbs = traceback_stream_batch(
+                        np.asarray(dirs), scores, seqs1, seqs2, plan,
+                        compat=runner.compat, dirs_mode="fast4",
+                    )
             on_alignments(idx, tbs)
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp"
@@ -210,16 +218,28 @@ def stream_align(
                     "packed-ops fetch spans non-addressable devices); run "
                     "the cigars path per host on its own shard"
                 )
-            if kind == "args":
+            from sequencealigning_tpu.ops.traceback_device import (
+                use_device_walk,
+            )
+
+            seqs1 = [p[0] for p in batch_pairs]
+            seqs2 = [p[1] for p in batch_pairs]
+            if kind == "args" and use_device_walk(runner):
+                # Fill + device walk dispatched back-to-back: the walk of
+                # this batch precedes the next batch's fill on the device
+                # queue, so its fetch/decode hide under that fill.
+                finals, handles = runner.fill_walk_from_stream_args(
+                    args, plan, len(batch_pairs), has_n, seqs1, seqs2
+                )
+                extra = (handles, seqs1, seqs2)
+            elif kind == "args":
                 finals, dirs, plan = runner.fill_with_dirs_from_stream_args(
                     args, plan, len(batch_pairs), has_n
                 )
+                extra = (dirs, plan, seqs1, seqs2)
             else:
                 finals, dirs, plan = runner.fill_with_dirs(batch)  # async
-            extra = (
-                dirs, plan,
-                [p[0] for p in batch_pairs], [p[1] for p in batch_pairs],
-            )
+                extra = (dirs, plan, seqs1, seqs2)
             in_flight.append(
                 (i, finals, len(batch_pairs), len(batch_pairs), extra)
             )
