@@ -112,6 +112,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.wfa_textbook_traceback.argtypes = [
         ctypes.POINTER(ctypes.c_int16), ctypes.c_long, ctypes.c_long,
         ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
         ctypes.c_int, ctypes.c_int, ctypes.c_int,
@@ -473,10 +474,12 @@ def wfa_textbook_traceback_native(
     seq1: bytes,
     seq2: bytes,
     penalties,
+    stride: int = 1,
 ):
     """Native textbook-WFA alignment reconstruction from the (S, 3, B, K)
-    int16 offset log.  Returns (aligned_seq1, aligned_seq2) or None if
-    unavailable / the walker failed."""
+    int16 offset log (row j = score j * stride, the penalty-lattice step).
+    Returns (aligned_seq1, aligned_seq2) or None if unavailable / the
+    walker failed."""
     lib = get_lib()
     if lib is None:
         return None
@@ -491,7 +494,7 @@ def wfa_textbook_traceback_native(
     u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     n = lib.wfa_textbook_traceback(
         hist.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
-        S, B, K, b, k_lo, score,
+        S, B, K, b, k_lo, score, stride,
         u8p(s1) if n1 else ctypes.cast(ctypes.c_char_p(b""),
                                        ctypes.POINTER(ctypes.c_uint8)),
         n1,

@@ -744,13 +744,16 @@ typedef int32_t (*TWfAt)(const void *ctx, int plane, long s, long k);
 typedef struct {
     const int16_t *hist;
     long S, B, K, b, k_lo;
+    long stride; /* hist row j holds score j * stride (score lattice) */
 } WfaHistCtx;
 
 static int32_t wfa_hist_at(const void *vctx, int plane, long s, long k) {
     const WfaHistCtx *c = (const WfaHistCtx *)vctx;
     long lane = k - c->k_lo;
-    if (s < 0 || s >= c->S || lane < 0 || lane >= c->K) return WFA_NEG;
-    return (int32_t)c->hist[((s * 3 + plane) * c->B + c->b) * c->K + lane];
+    if (s < 0 || s % c->stride || lane < 0 || lane >= c->K) return WFA_NEG;
+    long row = s / c->stride;
+    if (row >= c->S) return WFA_NEG;
+    return (int32_t)c->hist[((row * 3 + plane) * c->B + c->b) * c->K + lane];
 }
 
 static long wfa_tb_walk(TWfAt at, const void *ctx, long score,
@@ -831,12 +834,12 @@ static long wfa_tb_walk(TWfAt at, const void *ctx, long score,
 }
 
 long wfa_textbook_traceback(const int16_t *hist, long S, long B, long K,
-                            long b, long k_lo, long score,
+                            long b, long k_lo, long score, long stride,
                             const uint8_t *seq1, long n1,
                             const uint8_t *seq2, long n2,
                             int x_pen, int o_pen, int e_pen,
                             char *a1, char *a2, long cap) {
-    WfaHistCtx ctx = {hist, S, B, K, b, k_lo};
+    WfaHistCtx ctx = {hist, S, B, K, b, k_lo, stride > 0 ? stride : 1};
     return wfa_tb_walk(wfa_hist_at, &ctx, score, seq1, n1, seq2, n2,
                        x_pen, o_pen, e_pen, a1, a2, cap);
 }

@@ -39,6 +39,7 @@ convergence/trim/score quirks) lives in ops.oracle_wfa.
 from __future__ import annotations
 
 import functools
+import math
 from typing import List, Tuple
 
 import jax
@@ -52,75 +53,219 @@ NEG = -(2 ** 14)  # fits int16; parked far below any offset
 S_CHUNK = 256
 
 
+def _score_stride(penalties: WfaPenalties) -> int:
+    """Every reachable penalty is a non-negative integer combination of
+    x, o+e and e, hence a multiple of their gcd.  Stepping the score loop
+    by that stride skips the provably-dead (all-NEG) wavefronts between
+    lattice points -- with the reference's defaults (x=4, o=2, e=6,
+    wfa.rs:17-21) that is every odd s, i.e. an exact 2x on the fill loop
+    and the per-step extension gather, and half the offset-history log."""
+    g = math.gcd(
+        penalties.mismatch,
+        math.gcd(penalties.gap_extend,
+                 penalties.gap_open + penalties.gap_extend),
+    )
+    return max(1, g)
+
+
 class WfaBatchResult:
     """score: (B,) int32 penalty (valid where converged); converged: (B,)
     bool; hist: (S_total, 3, B, K) int16 offsets (M, I, D) -- fetched from
     device lazily on first access, so score-only consumers never pay the
-    history transfer."""
+    history transfer.  Row j of hist holds score s = j * stride: every
+    reachable penalty is a multiple of gcd(x, e, o+e) (scores are sums of
+    those three), so the fill only steps the lattice and the log only
+    records it."""
 
-    def __init__(self, score, converged, hist_chunks, k_lo: int):
+    def __init__(self, score, converged, hist_chunks, k_lo: int,
+                 stride: int = 1):
         self.score = score
         self.converged = converged
         self._chunks = hist_chunks
         self.k_lo = k_lo
+        self.stride = stride
 
     @property
     def hist(self) -> np.ndarray:
         if self._chunks is not None:
-            self._hist = np.concatenate(
-                [np.asarray(c) for c in self._chunks], axis=0
-            )
+            # The dispatch-ahead fill loop may have enqueued chunks past
+            # every pair's convergence (their rows are all-NEG: the chunk
+            # while_loop exits at 0 steps once the batch is done).  The
+            # traceback only ever reads rows <= score/stride, so skip
+            # fetching trailing chunks beyond the batch's deepest score.
+            smax = int(np.max(self.score, initial=-1))
+            rows_needed = smax // self.stride + 1 if smax >= 0 else None
+            out, rows = [], 0
+            for c in self._chunks:
+                if rows_needed is not None and rows >= rows_needed:
+                    break
+                out.append(np.asarray(c))
+                rows += out[-1].shape[0]
+            self._hist = np.concatenate(out, axis=0)
             self._chunks = None
         return self._hist
 
 
 def _build_runlen(seq1, seq2, n1v, n2v, k_lo: int, K: int):
-    """runlen[t, b, k] = exact-match run length starting at offset t on
-    diagonal k, via one reverse scan over the db axis (pure vector
-    compares, no gathers).  Replaces the reference's per-character
-    while-loop (wfa.rs:127-139)."""
+    """runlen[b, k, t] = exact-match run length starting at offset t on
+    diagonal k.  Replaces the reference's per-character while-loop
+    (wfa.rs:127-139).
+
+    Fully parallel over t: runlen[t] = nextmiss[t] - t, where nextmiss is
+    the reverse cumulative-min of (t where chars mismatch, else T) -- a
+    log-depth associative_scan over the db axis instead of a T-step
+    sequential lax.scan (the scan was ~20 us/step of dispatch, >60% of a
+    128 x 10 kb batch).  The per-diagonal char windows are K *static*
+    shifted slices of seq1 (no gathers).  int16 throughout (offsets are
+    capped at 16 kb by wfa_textbook_batch)."""
     B = seq1.shape[0]
     T = seq2.shape[1]
-    kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
+    if T == 0:
+        return jnp.zeros((B, K, 0), jnp.int16)
     pad_l = max(0, -k_lo)
     seq1_pad = jnp.pad(
         seq1, ((0, 0), (pad_l, max(0, K + T + k_lo - seq1.shape[1]))),
         constant_values=-1,
+    ).astype(jnp.int16)
+    s1win = jnp.stack(
+        [
+            jax.lax.slice_in_dim(seq1_pad, pad_l + k_lo + j,
+                                 pad_l + k_lo + j + T, axis=1)
+            for j in range(K)
+        ],
+        axis=1,
+    )  # (B, K, T): s1win[b, j, t] = seq1[b, t + (k_lo + j)]
+    tv = jax.lax.broadcasted_iota(jnp.int16, (B, K, T), 2)
+    kv = jnp.int16(k_lo) + jax.lax.broadcasted_iota(jnp.int16, (B, K, T), 1)
+    n1w = n1v.astype(jnp.int16)[:, :, None]
+    n2w = n2v.astype(jnp.int16)[:, :, None]
+    eq = jnp.logical_and(
+        s1win == seq2.astype(jnp.int16)[:, None, :],
+        jnp.logical_and(tv < n2w, (tv + kv) < n1w),
     )
-
-    def body(run, t):
-        c2 = jax.lax.dynamic_slice_in_dim(seq2, t, 1, 1)
-        s1w = jax.lax.dynamic_slice_in_dim(seq1_pad, t + pad_l + k_lo, K, 1)
-        eq = jnp.logical_and(
-            s1w == c2, jnp.logical_and(t < n2v, (t + kv) < n1v)
-        )
-        run = jnp.where(eq, run + 1, 0)
-        return run, run.astype(jnp.int16)
-
-    _, runs = jax.lax.scan(
-        body,
-        jnp.zeros((B, K), jnp.int32),
-        jnp.arange(T - 1, -1, -1, dtype=jnp.int32),
+    miss_at = jnp.where(eq, jnp.int16(T), tv)
+    # Layout is load-bearing: the scan axis (T) must be MINOR-MOST.  With
+    # K minor, materializing the scanned cube made XLA's buffer assignment
+    # explode (40 GB peak at 128 x 10 kb -- remote-compile OOM), and the
+    # lax.cummin ReduceWindow lowering hung the compiler in both layouts.
+    # The barrier keeps the K-slice window stack from being fused into the
+    # scan's log-levels (same 40 GB explosion); with it, the whole
+    # (B, K, T) cube scans in ~19 ms on a v5e chip.
+    miss_at = jax.lax.optimization_barrier(miss_at)
+    nextmiss = jax.lax.associative_scan(
+        jnp.minimum, miss_at, reverse=True, axis=2
     )
-    return runs[::-1]  # (T, B, K) int16
+    return nextmiss - tv  # (B, K, T) int16, T on the lane dim
+
+
+def _pack_input_host(query, db, qlen, dlen):
+    """ONE fused device transfer for the batch's sequences AND lengths.
+
+    The tunnel/PCIe cost of shipping two int32 (B, L) arrays dominated the
+    128 x 10 kb batch (~200 ms of a 385 ms call on this rig), and each
+    extra device_put pays the full link latency again (the separate (B, 2)
+    lengths transfer alone measured ~27 ms through the tunnel).  The
+    engine only ever tests CHAR EQUALITY, so any injective remap of the
+    bytes that appear in the arrays preserves its results bit-for-bit:
+
+      <= 4 distinct bytes (packed ACGT benches): 2-bit codes, 4 chars/byte
+      <= 16 distinct bytes (DNA + IUPAC + pad):  4-bit codes, 2 chars/byte
+      otherwise:                                  raw bytes
+
+    Presence is found with one bincount over each array (np.unique's sort
+    was ~54 ms on 2.6 MB; bincount is ~2 ms).  Both planes ride a single
+    (2, B, W + 4) uint8 array whose last 4 columns carry the pair lengths
+    (little-endian int32: plane 0 = qlen, plane 1 = dlen), decoded on
+    device -- so the whole batch costs exactly one transfer latency.
+
+    Returns (X uint8 (2, B, W + 4), bits in {2, 4, 8}, l1, l2).
+    """
+    qa = np.ascontiguousarray(query).astype(np.uint8, copy=False)
+    da = np.ascontiguousarray(db).astype(np.uint8, copy=False)
+    B = qa.shape[0]
+    l1, l2 = qa.shape[1], da.shape[1]
+    w = max(l1, l2)
+    counts = np.bincount(qa.reshape(-1), minlength=256)
+    counts += np.bincount(da.reshape(-1), minlength=256)
+    uniq = np.flatnonzero(counts)
+    bits = 2 if uniq.size <= 4 else (4 if uniq.size <= 16 else 8)
+    if bits < 8:
+        lut = np.zeros(256, np.uint8)
+        lut[uniq] = np.arange(uniq.size, dtype=np.uint8)
+        per = 8 // bits
+        wp = -(-w // per) * per
+        body = np.zeros((2, B, wp), np.uint8)
+        body[0, :, :l1] = lut[qa]
+        body[1, :, :l2] = lut[da]
+        if bits == 2:
+            body = (body[:, :, 0::4] | (body[:, :, 1::4] << 2)
+                    | (body[:, :, 2::4] << 4) | (body[:, :, 3::4] << 6))
+        else:
+            body = body[:, :, 0::2] | (body[:, :, 1::2] << 4)
+    else:
+        body = np.zeros((2, B, w), np.uint8)
+        body[0, :, :l1] = qa
+        body[1, :, :l2] = da
+    lens = np.empty((2, B, 4), np.uint8)
+    lens[0] = (np.asarray(qlen).astype("<i4").reshape(B, 1)
+               .view(np.uint8).reshape(B, 4))
+    lens[1] = (np.asarray(dlen).astype("<i4").reshape(B, 1)
+               .view(np.uint8).reshape(B, 4))
+    return np.concatenate([body, lens], axis=2), bits, l1, l2
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_lo", "k_hi", "penalties", "bits", "l1", "l2"),
+)
+def _wfa_seed_jax(X, k_lo: int, k_hi: int,
+                  penalties: WfaPenalties, bits: int, l1: int, l2: int):
+    """Stage 1 of the seed: decode lengths, unpack chars, build the
+    (B, K, T) run-length cube.  Kept as its OWN jit: when the cube and
+    small arrays derived from its t=0 face are outputs of one program,
+    XLA's layout assignment for the cube flips T off the minor dim and
+    buffer assignment explodes (40 GB peak at 128 x 10 kb -- remote
+    compile OOM).  Returning the cube alone pins the good layout; stage 2
+    (_wfa_seed2_jax) consumes it as a materialized parameter."""
+    B = X.shape[1]
+    lb = X[:, :, -4:].astype(jnp.int32)  # little-endian int32 lengths
+    lens = lb[..., 0] | (lb[..., 1] << 8) | (lb[..., 2] << 16) | (lb[..., 3] << 24)
+    n1v = lens[0][:, None]
+    n2v = lens[1][:, None]
+    Xb = X[:, :, :-4]
+    if bits == 2:
+        both = jnp.stack(
+            [(Xb >> j).astype(jnp.int16) & 3 for j in (0, 2, 4, 6)], axis=-1
+        ).reshape(2, B, -1)
+    elif bits == 4:
+        both = jnp.stack(
+            [(Xb & 0xF).astype(jnp.int16), (Xb >> 4).astype(jnp.int16)],
+            axis=-1,
+        ).reshape(2, B, -1)
+    else:
+        both = Xb.astype(jnp.int16)
+    seq1 = both[0, :, :l1]
+    seq2 = both[1, :, :l2]
+    K = k_hi - k_lo + 1
+    runlen = _build_runlen(seq1, seq2, n1v, n2v, k_lo, K)
+    return runlen, n1v, n2v
 
 
 @functools.partial(
     jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
 )
-def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
-                  penalties: WfaPenalties):
-    """Seed s=0: leading match run on diagonal 0.  Returns (runlen, ring
-    buffers preloaded with s=0, done0, score0, seed history row)."""
-    B = seq1.shape[0]
-    K = k_hi - k_lo + 1
+def _wfa_seed2_jax(runlen, n1v, n2v, k_lo: int, k_hi: int,
+                   penalties: WfaPenalties):
+    """Stage 2 of the seed (s=0): leading match run on diagonal 0 from the
+    cube's t=0 face.  Returns (rings preloaded with s=0, done0, score0,
+    seed history row)."""
+    B, K, T = runlen.shape
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-    runlen = _build_runlen(seq1, seq2, n1v, n2v, k_lo, K)
-    T = seq2.shape[1]
     k_target = n1v - n2v
     target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
 
-    run0 = runlen[0].astype(jnp.int32) if T > 0 else jnp.zeros((B, K), jnp.int32)
+    run0 = (runlen[:, :, 0].astype(jnp.int32) if T > 0
+            else jnp.zeros((B, K), jnp.int32))
     m0 = jnp.where(kv == 0, run0, NEG)
     ok0 = jnp.logical_and(
         jnp.logical_and(m0 >= 0, m0 <= n2v),
@@ -128,8 +273,9 @@ def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
     )
     m0 = jnp.where(jnp.logical_and(kv == 0, ok0), m0, NEG)
 
+    g = _score_stride(penalties)
     rl = max(penalties.gap_open + penalties.gap_extend,
-             penalties.gap_extend, penalties.mismatch) + 1
+             penalties.gap_extend, penalties.mismatch) // g + 1
     negs = jnp.full((rl, B, K), NEG, jnp.int32)
     ring_m = negs.at[0].set(m0)
     ring_i = negs
@@ -143,31 +289,33 @@ def _wfa_seed_jax(seq1, seq2, n1v, n2v, k_lo: int, k_hi: int,
         [m0, jnp.full((B, K), NEG, jnp.int32), jnp.full((B, K), NEG, jnp.int32)],
         axis=0,
     ).astype(jnp.int16)[None]  # (1, 3, B, K)
-    return runlen, ring_m, ring_i, ring_d, done0, score0, seed_row
+    return ring_m, ring_i, ring_d, done0, score0, seed_row
 
 
 @functools.partial(
     jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
 )
 def _wfa_chunk_jax(
-    runlen, ring_m, ring_i, ring_d, s0, done, score,
+    runlen, ring_m, ring_i, ring_d, u0, done, score,
     n1v, n2v, k_lo: int, k_hi: int, penalties: WfaPenalties,
 ):
-    """Advance S_CHUNK score steps (s = s0 .. s0+S_CHUNK-1).  Fill state is
-    the rings; the chunk's per-step offsets are emitted as an
-    (S_CHUNK, 3, B, K) int16 history block for host traceback."""
+    """Advance S_CHUNK lattice steps (scores s = (u0+i)*g for the score
+    stride g -- see _score_stride).  Fill state is the rings (indexed in
+    lattice units u = s/g); the chunk's per-step offsets are emitted as an
+    (S_CHUNK, 3, B, K) int16 history block for host traceback, row i
+    holding score (u0+i)*g."""
     B, K = ring_m.shape[1:]
-    x_pen = penalties.mismatch
-    o_pen = penalties.gap_open
-    e_pen = penalties.gap_extend
-    oe = o_pen + e_pen
+    g = _score_stride(penalties)
+    x_pen = penalties.mismatch // g
+    e_pen = penalties.gap_extend // g
+    oe = (penalties.gap_open + penalties.gap_extend) // g
     rl = ring_m.shape[0]
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     negs = jnp.full((B, K), NEG, jnp.int32)
     k_target = n1v - n2v
     target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
     in_band = jnp.logical_and(k_target >= k_lo, k_target <= k_hi)[:, 0]
-    T = runlen.shape[0]
+    T = runlen.shape[2]
     BIG = 2 ** 14  # parks absent lanes out of bounds so extend() skips them
 
     def ok(t):
@@ -178,10 +326,11 @@ def _wfa_chunk_jax(
         )
 
     def extend(t):
-        idx = jnp.clip(t, 0, max(T - 1, 0))[None]
         if T == 0:
             return t
-        run = jnp.take_along_axis(runlen, idx, axis=0)[0].astype(jnp.int32)
+        idx = jnp.clip(t, 0, max(T - 1, 0))[:, :, None]  # (B, K, 1)
+        run = jnp.take_along_axis(
+            runlen, idx, axis=2)[:, :, 0].astype(jnp.int32)
         return t + jnp.where(jnp.logical_and(t >= 0, t < T), run, 0)
 
     def shift_left(a):  # lane k reads k+1
@@ -190,19 +339,19 @@ def _wfa_chunk_jax(
     def shift_right(a):  # lane k reads k-1
         return jnp.concatenate([jnp.full((B, 1), NEG, a.dtype), a[:, :-1]], 1)
 
-    def ring_at(ring, s_):
+    def ring_at(ring, u_):
         row = jax.lax.dynamic_slice(
-            ring, (jnp.maximum(s_, 0) % rl, 0, 0), (1, B, K)
+            ring, (jnp.maximum(u_, 0) % rl, 0, 0), (1, B, K)
         )[0]
-        return jnp.where(s_ >= 0, row, negs)
+        return jnp.where(u_ >= 0, row, negs)
 
-    def body(carry, i):
-        ring_m, ring_i, ring_d, done, score = carry
-        s = s0 + i
-        m_oe = ring_at(ring_m, s - oe)
-        m_x = ring_at(ring_m, s - x_pen)
-        i_e = ring_at(ring_i, s - e_pen)
-        d_e = ring_at(ring_d, s - e_pen)
+    def body(carry):
+        ring_m, ring_i, ring_d, done, score, hist, i = carry
+        u = u0 + i  # lattice step; true score s = u * g
+        m_oe = ring_at(ring_m, u - oe)
+        m_x = ring_at(ring_m, u - x_pen)
+        i_e = ring_at(ring_i, u - e_pen)
+        d_e = ring_at(ring_d, u - e_pen)
 
         i_new = jnp.maximum(shift_right(m_oe), shift_right(i_e))
         i_new = jnp.where(jnp.logical_and(i_new > NEG, ok(i_new)), i_new, NEG)
@@ -221,7 +370,7 @@ def _wfa_chunk_jax(
         i_new = jnp.where(live, i_new, NEG)
         d_new = jnp.where(live, d_new, NEG)
 
-        slot = s % rl
+        slot = u % rl
         ring_m = jax.lax.dynamic_update_slice(ring_m, m_new[None], (slot, 0, 0))
         ring_i = jax.lax.dynamic_update_slice(ring_i, i_new[None], (slot, 0, 0))
         ring_d = jax.lax.dynamic_update_slice(ring_d, d_new[None], (slot, 0, 0))
@@ -229,14 +378,26 @@ def _wfa_chunk_jax(
         hit = (jnp.take_along_axis(m_new, target_lane, 1) >= n2v)[:, 0]
         hit = jnp.logical_and(hit, in_band)
         newly = jnp.logical_and(hit, jnp.logical_not(done))
-        score = jnp.where(newly, s, score)
+        score = jnp.where(newly, u * g, score)
         done = jnp.logical_or(done, hit)
         row = jnp.stack([m_new, i_new, d_new], axis=0).astype(jnp.int16)
-        return (ring_m, ring_i, ring_d, done, score), row
+        hist = jax.lax.dynamic_update_slice(
+            hist, row[None], (i, 0, 0, 0)
+        )
+        return ring_m, ring_i, ring_d, done, score, hist, i + 1
 
-    (ring_m, ring_i, ring_d, done, score), rows = jax.lax.scan(
-        body, (ring_m, ring_i, ring_d, done, score),
-        jnp.arange(S_CHUNK, dtype=jnp.int32),
+    # while_loop, not scan: the chunk EXITS at convergence instead of
+    # burning the remaining gather-bound steps (e.g. ~110 of 256 dead
+    # steps at config 3's typical score).  Unwritten history rows stay
+    # NEG; the traceback only reads rows <= each pair's own score.
+    def cond(carry):
+        done, i = carry[3], carry[6]
+        return jnp.logical_and(i < S_CHUNK, jnp.logical_not(done.all()))
+
+    hist0 = jnp.full((S_CHUNK, 3, B, K), jnp.int16(NEG))
+    ring_m, ring_i, ring_d, done, score, rows, _ = jax.lax.while_loop(
+        cond, body,
+        (ring_m, ring_i, ring_d, done, score, hist0, jnp.int32(0)),
     )
     return ring_m, ring_i, ring_d, done, score, rows
 
@@ -261,38 +422,64 @@ def wfa_textbook_batch(
             "Gotoh engines for longer pairs"
         )
     diff = qlen.astype(np.int64) - dlen.astype(np.int64)
-    k_lo = int(min(0, diff.min()) - band)
-    k_hi = int(max(0, diff.max()) + band)
-    # (Rounding K up to whole 128-lane vregs was tried and reverted: the
-    # fill cost scales with K -- XLA handles the odd lane count fine.)
+    need_lo = int(min(0, diff.min() if diff.size else 0))
+    need_hi = int(max(0, diff.max() if diff.size else 0))
+    k_lo = need_lo - band
+    k_hi = need_hi + band
+    # Lane-align K: the runlen cube and every chunk op put K on the TPU
+    # lane dim, so K = 129 (the default band's count) pads every vreg row
+    # to 256 lanes -- half the vector throughput wasted.  Round K to the
+    # nearest non-zero multiple of 128 that still covers the required
+    # diagonal range [need_lo, need_hi] (band is a heuristic half-width;
+    # trimming it by < 128 keeps the engine exact -- band escapes surface
+    # via `converged` and the model layer's band-doubling retry).
+    K_need = need_hi - need_lo + 1
+    K_cur = k_hi - k_lo + 1
+    K_tgt = max(128, 128 * round(K_cur / 128),
+                128 * ((K_need + 127) // 128))
+    if K_tgt < K_cur:  # trim band slack, k_hi side first
+        cut = K_cur - K_tgt
+        cut_hi = min(cut, k_hi - need_hi)
+        k_hi -= cut_hi
+        k_lo += cut - cut_hi
+    elif K_tgt > K_cur:
+        add = K_tgt - K_cur
+        k_lo -= add // 2
+        k_hi += add - add // 2
 
-    args = (
-        jnp.asarray(query, jnp.int32),
-        jnp.asarray(db, jnp.int32),
-        jnp.asarray(qlen, jnp.int32)[:, None],
-        jnp.asarray(dlen, jnp.int32)[:, None],
+    X, bits, l1, l2 = _pack_input_host(query, db, qlen, dlen)
+    runlen, n1v, n2v = _wfa_seed_jax(
+        jnp.asarray(X), k_lo, k_hi, penalties, bits, l1, l2
     )
-    runlen, ring_m, ring_i, ring_d, done, score, seed_row = _wfa_seed_jax(
-        *args, k_lo, k_hi, penalties
+    ring_m, ring_i, ring_d, done, score, seed_row = _wfa_seed2_jax(
+        runlen, n1v, n2v, k_lo, k_hi, penalties
     )
+    g = _score_stride(penalties)
     chunks = [seed_row]
-    s = 1
-    # Dispatch several chunks per host convergence check: the (tiny) done
-    # fetch then overlaps with chunk execution instead of stalling the
-    # device once per chunk (measured: 183 -> 210 pairs/s at 10 kb).
-    while s < s_max and not bool(np.asarray(done).all()):
+    u = 1  # lattice step (score = u * g); seed covered u=0
+    u_max = (s_max + g - 1) // g
+    # Dispatch-AHEAD convergence protocol: enqueue a group of chunks, then
+    # test the done flags of the PREVIOUS group while the new one executes
+    # -- the host never stalls the device waiting for a (B,)-bool fetch.
+    # Overshooting by one group is nearly free: each chunk's while_loop
+    # exits after 0 steps once its whole batch is converged.
+    prev_done = None
+    while u < u_max:
         for _ in range(4):
-            if s >= s_max:
+            if u >= u_max:
                 break
             ring_m, ring_i, ring_d, done, score, rows = _wfa_chunk_jax(
-                runlen, ring_m, ring_i, ring_d, jnp.int32(s), done, score,
-                args[2], args[3], k_lo, k_hi, penalties,
+                runlen, ring_m, ring_i, ring_d, jnp.int32(u), done, score,
+                n1v, n2v, k_lo, k_hi, penalties,
             )
             chunks.append(rows)
-            s += S_CHUNK
+            u += S_CHUNK
+        if prev_done is not None and bool(np.asarray(prev_done).all()):
+            break
+        prev_done = done
     return WfaBatchResult(
         score=np.asarray(score), converged=np.asarray(done),
-        hist_chunks=chunks, k_lo=k_lo,
+        hist_chunks=chunks, k_lo=k_lo, stride=g,
     )
 
 
@@ -319,7 +506,8 @@ def wfa_traceback_host(
 
             if native.available():
                 r = native.wfa_textbook_traceback_native(
-                    result.hist, b, result.k_lo, s, seq1, seq2, penalties
+                    result.hist, b, result.k_lo, s, seq1, seq2, penalties,
+                    stride=result.stride,
                 )
                 if r is not None:
                     return s, r[0], r[1]
@@ -328,15 +516,19 @@ def wfa_traceback_host(
     hist_b = np.asarray(result.hist[:, :, b, :], np.int32)  # (S, 3, K)
     m_hist, i_hist, d_hist = hist_b[:, 0], hist_b[:, 1], hist_b[:, 2]
     k_lo = result.k_lo
+    g = result.stride  # hist row j holds score j * g
     n1, n2 = len(seq1), len(seq2)
     x_pen, o_pen, e_pen = penalties.mismatch, penalties.gap_open, penalties.gap_extend
     oe = o_pen + e_pen
 
     def hist(h, s_, k_):
         lane = k_ - k_lo
-        if s_ < 0 or lane < 0 or lane >= h.shape[1] or s_ >= h.shape[0]:
+        if s_ < 0 or s_ % g or lane < 0 or lane >= h.shape[1]:
             return NEG
-        return int(h[s_, lane])
+        row = s_ // g
+        if row >= h.shape[0]:
+            return NEG
+        return int(h[row, lane])
 
     a1: List[str] = []
     a2: List[str] = []
