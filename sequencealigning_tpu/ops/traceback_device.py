@@ -515,6 +515,76 @@ def decode_modes_walk(packed, xf, yf, st, end_x, end_y, seqs1, seqs2):
     return out
 
 
+def assemble_modes_alignments(
+    pairs, walked, scores, end_x, end_y, local: bool, dirs_fetch,
+):
+    """Shared tail of every textbook-modes alignment path (model layer
+    and the streaming pipeline): turn the device walk's per-pair
+    (mid1, mid2, stop_x, stop_y) segments -- or host-walk fallbacks where
+    the device walk returned None -- into full aligned strings.
+
+    semi: free end gaps are assembled around the walked segment exactly
+    as ops.traceback.semi_global_traceback_pair lays them out; local: the
+    walked segment IS the alignment.  ``dirs_fetch(b) -> (dirs_b, d_off)``
+    supplies one pair's dirs row for the host fallback walkers.
+    ``walked`` may be None (pure host route: every pair falls back).
+
+    Returns traceback_stream_batch-shaped results: per pair
+    (score, [(aligned1, aligned2)]) or an AlignmentError instance."""
+    from sequencealigning_tpu.errors import AlignerError
+    from sequencealigning_tpu.ops.traceback import (
+        local_affine_traceback_pair,
+        semi_global_traceback_pair,
+    )
+
+    out = []
+    for b, (s1, s2) in enumerate(pairs):
+        if not s1 or not s2:
+            # Degenerate pair: SW score of an empty sequence is 0; semi
+            # end gaps are free (the masked fill never updates a
+            # candidate cell here and would return sentinels).
+            if local:
+                out.append((0, [("", "")]))
+            else:
+                out.append((0, [(
+                    s1.decode("latin-1") + "-" * len(s2),
+                    "-" * len(s1) + s2.decode("latin-1"),
+                )]))
+            continue
+        try:
+            score = int(scores[b])
+            x, y = int(end_x[b]), int(end_y[b])
+            w = walked[b] if walked is not None else None
+            if w is not None:
+                mid1, mid2, sx, sy = w
+                if local:
+                    a1, a2 = mid1, mid2
+                else:
+                    n1, n2 = len(s1), len(s2)
+                    a1 = (
+                        s1[:sy].decode("latin-1") + "-" * sx + mid1
+                        + s1[y:].decode("latin-1") + "-" * (n2 - x)
+                    )
+                    a2 = (
+                        "-" * sy + s2[:sx].decode("latin-1") + mid2
+                        + "-" * (n1 - y) + s2[x:].decode("latin-1")
+                    )
+            elif local:
+                dirs_b, d_off = dirs_fetch(b)
+                a1, a2, _sy, _sx = local_affine_traceback_pair(
+                    dirs_b, x, y, s1, s2, d_offset=d_off
+                )
+            else:
+                dirs_b, d_off = dirs_fetch(b)
+                a1, a2 = semi_global_traceback_pair(
+                    dirs_b, x, y, s1, s2, d_offset=d_off
+                )
+            out.append((score, [(a1, a2)]))
+        except AlignerError as e:
+            out.append(e)
+    return out
+
+
 def use_device_walk(config) -> bool:
     """Shared fast4-traceback routing (config.traceback): walk on device
     -- fetching 2-bit op codes instead of the dirs tensor -- when "auto"

@@ -575,26 +575,21 @@ class DataParallelRunner:
         )
         return self.device_walk_fast4_finish(handles, finals, seqs1, seqs2)
 
-    def device_walk_modes(
-        self, dirs, plan, best_x, best_y, seqs1, seqs2, mode: str
-    ):
-        """Sharded on-device walk over fill_modes' row-sharded full-byte
-        dirs (mirrors device_walk_fast4).  Returns, per pair, the walked
-        segment (mid1, mid2, stop_x, stop_y) -- the caller assembles the
-        free end gaps (semi) or start coordinates (local) -- or None
-        where the walk failed validation (fall back to the host walkers
-        on a fetched dirs row)."""
+    def device_walk_modes_dispatch(self, dirs, plan, x_dev, y_dev,
+                                   mode: str):
+        """Dispatch the sharded on-device modes walk with NO host sync:
+        the end cells (x_dev, y_dev) stay device arrays straight from the
+        modes fill (full (Bp,) slot vectors, fill_modes' unsliced x/y),
+        so the walk queues immediately behind its own fill and the
+        streaming pipeline's next fill overlaps its fetch/decode --
+        exactly device_walk_fast4_dispatch's protocol for the textbook
+        modes.  Returns opaque handles for device_walk_modes_finish."""
         from sequencealigning_tpu.ops import traceback_device as tbd
 
         local = mode == "local"
-        B = len(seqs1)
         nd = self.n_devices
         NP, R = plan.np_slots, plan.n_rows
         Bp = NP * R
-        x0 = np.zeros(Bp, np.int32)
-        y0 = np.zeros(Bp, np.int32)
-        x0[:B] = np.asarray(best_x[:B], np.int32)
-        y0[:B] = np.asarray(best_y[:B], np.int32)
         bs = np.arange(Bp)
         rowloc = ((bs // NP) % (R // nd)).astype(np.int32)
         off = ((bs % NP) * plan.s).astype(np.int32)
@@ -621,16 +616,47 @@ class DataParallelRunner:
                 )
             )
         shard = NamedSharding(self.mesh, P("data"))
-        args = [
-            jax.device_put(a, shard) for a in (x0, y0, rowloc, off)
-        ]
-        (xf, yf, st), packed = self._fn_cache[key](dirs, *args)
-        packed, xf, yf, st = jax.device_get(
-            (packed[:B], xf[:B], yf[:B], st[:B])
+        xd = jax.device_put(jnp.asarray(x_dev, jnp.int32), shard)
+        yd = jax.device_put(jnp.asarray(y_dev, jnp.int32), shard)
+        rowd, offd = [jax.device_put(a, shard) for a in (rowloc, off)]
+        (xf, yf, st), packed = self._fn_cache[key](dirs, xd, yd, rowd, offd)
+        return (xf, yf, st, packed, xd, yd, dirs, plan, local)
+
+    def device_walk_modes_finish(self, handles, seqs1, seqs2):
+        """Fetch + decode a dispatched modes walk (one fused device_get
+        for the op codes, stop state, and end cells).  Returns, per pair,
+        the walked segment (mid1, mid2, stop_x, stop_y) or None where the
+        walk failed validation (caller falls back to the host walkers on
+        a fetched dirs row)."""
+        from sequencealigning_tpu.ops import traceback_device as tbd
+
+        xf, yf, st, packed, xd, yd, dirs, plan, local = handles
+        B = len(seqs1)
+        packed, xf, yf, st, x0, y0 = jax.device_get(
+            (packed[:B], xf[:B], yf[:B], st[:B], xd[:B], yd[:B])
         )
         return tbd.decode_modes_walk(
-            packed, xf, yf, st, x0[:B], y0[:B], seqs1, seqs2
+            packed, xf, yf, st,
+            np.asarray(x0, np.int32), np.asarray(y0, np.int32),
+            seqs1, seqs2,
         )
+
+    def device_walk_modes(
+        self, dirs, plan, best_x, best_y, seqs1, seqs2, mode: str
+    ):
+        """Sharded on-device walk over fill_modes' row-sharded full-byte
+        dirs (mirrors device_walk_fast4).  Synchronous wrapper over
+        dispatch + finish; best_x/best_y may be host or device arrays
+        sized >= B (padded to the Bp slot grid here)."""
+        NP, R = plan.np_slots, plan.n_rows
+        Bp = NP * R
+        B = len(seqs1)
+        x0 = np.zeros(Bp, np.int32)
+        y0 = np.zeros(Bp, np.int32)
+        x0[:B] = np.asarray(best_x[:B], np.int32)
+        y0[:B] = np.asarray(best_y[:B], np.int32)
+        handles = self.device_walk_modes_dispatch(dirs, plan, x0, y0, mode)
+        return self.device_walk_modes_finish(handles, seqs1, seqs2)
 
     def fill_with_dirs(self, batch: PairBatch, dirs_mode: str = "fast4"):
         """Streamed fill WITH direction words, on the runner's mesh (the
@@ -676,6 +702,40 @@ class DataParallelRunner:
             [len(s) for s in seqs1], [len(s) for s in seqs2],
         )
         return finals[:B], handles
+
+    def fill_walk_modes_from_stream_args(
+        self, args, plan, B: int, has_n: bool, mode: str
+    ):
+        """Textbook-mode (semi/local) streamed fill AND its device modes
+        walk dispatched back-to-back on args already device_put -- the
+        modes analog of fill_walk_from_stream_args: no host sync between
+        fill and walk, so the walk's op-code fetch + decode overlap the
+        next batch's fill and the dirs tensor NEVER crosses the device
+        boundary on the happy path (VERDICT r3 item 9).  Returns
+        (best[:B] lazy device array, x[:B], y[:B], walk handles for
+        device_walk_modes_finish, dirs, plan)."""
+        if mode not in ("semi", "local"):
+            raise ValueError(f"unknown mode {mode!r}")
+        best, x, y, dirs = self._stream_modes_fn(
+            plan, mode, True, has_n=has_n
+        )(*args)
+        handles = self.device_walk_modes_dispatch(dirs, plan, x, y, mode)
+        return best[:B], x[:B], y[:B], handles, dirs, plan
+
+    def fill_modes_from_stream_args(
+        self, args, plan, B: int, has_n: bool, mode: str,
+        with_dirs: bool = True,
+    ):
+        """fill_modes on args already device_put (host-walk route of the
+        modes streaming path; see fill_walk_modes_from_stream_args)."""
+        out = self._stream_modes_fn(plan, mode, with_dirs, has_n=has_n)(
+            *args
+        )
+        if with_dirs:
+            best, x, y, dirs = out
+        else:
+            (best, x, y), dirs = out, None
+        return best[:B], x[:B], y[:B], dirs, plan
 
     def scores(self, batch: PairBatch):
         """Returns (B, 3) int32 finals (M/I/D at each pair's corner).

@@ -35,6 +35,7 @@ def stream_align(
     cigars: bool = False,
     on_alignments: Optional[Callable[[int, list], None]] = None,
     first_batch_index: int = 0,
+    mode: str = "global",
 ) -> int:
     """Stream pairs through the runner.  Returns the number of pairs aligned.
 
@@ -63,7 +64,18 @@ def stream_align(
     row-sharded dirs) and dispatch stays asynchronous -- the dirs fetch
     (~0.5 byte per DP cell to the host) happens at drain time.  At extreme
     scale stream scores only, or use the banded engine.
+
+    ``mode`` selects the alignment semantics: "global" (default; fast4
+    layout) or the textbook modes "semi" / "local"
+    (ops.nw_affine_stream_modes fills on the runner's mesh).  With
+    cigars=True the modes route dispatches the sharded on-device modes
+    walk back-to-back with each fill (runner.fill_walk_modes_from_
+    stream_args): only 2-bit op codes cross the device boundary, the
+    walk's fetch/decode overlap the next batch's fill, and on_result
+    receives (B,) best scores instead of (B, 3) finals.
     """
+    if mode not in ("global", "semi", "local"):
+        raise ValueError(f"unknown mode {mode!r}")
     runner = runner or DataParallelRunner()
     start_batch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
@@ -81,7 +93,37 @@ def stream_align(
         if on_result is not None:
             on_result(idx, scores[:n_slice])
         if extra is not None and on_alignments is not None:
-            if len(extra) == 3:
+            if extra[0] == "modes":
+                # Textbook-mode streaming: finish the pre-dispatched
+                # sharded modes walk (op-code fetch + decode overlap the
+                # next fill); per-pair fallbacks fetch ONE dirs row.
+                from sequencealigning_tpu.ops.traceback_device import (
+                    assemble_modes_alignments,
+                )
+
+                (_, handles, seqs1, seqs2, xs, ys, dirs, plan) = extra
+                walked = (
+                    runner.device_walk_modes_finish(handles, seqs1, seqs2)
+                    if handles is not None else None
+                )
+                xs, ys = np.asarray(xs), np.asarray(ys)
+                dirs_host: dict = {}
+
+                def dirs_fetch(b):
+                    row, _slot, d_off = plan.pair_coords(b)
+                    if walked is None:
+                        # Host route: one whole-tensor fetch, cached.
+                        if "all" not in dirs_host:
+                            dirs_host["all"] = np.asarray(dirs)
+                        return dirs_host["all"][:, row, :], d_off
+                    return np.asarray(dirs[:, row, :]), d_off
+
+                tbs = assemble_modes_alignments(
+                    list(zip(seqs1, seqs2)), walked, scores[:, 0]
+                    if scores.ndim > 1 else scores, xs, ys,
+                    mode == "local", dirs_fetch,
+                )
+            elif len(extra) == 3:
                 # Pre-dispatched device walk (stream-args path): only the
                 # fetch + decode remain, overlapping the next fill.
                 handles, seqs1, seqs2 = extra
@@ -224,6 +266,33 @@ def stream_align(
 
             seqs1 = [p[0] for p in batch_pairs]
             seqs2 = [p[1] for p in batch_pairs]
+            if mode != "global":
+                # Textbook modes: fill + sharded device modes walk
+                # dispatched back-to-back (device route), or fill-only
+                # with dirs left on device for the host walkers.
+                if kind != "args":
+                    args, plan, B, has_n = runner._stream_args(batch)
+                if use_device_walk(runner):
+                    best, xs, ys, handles, dirs, plan = (
+                        runner.fill_walk_modes_from_stream_args(
+                            args, plan, len(batch_pairs), has_n, mode
+                        )
+                    )
+                else:
+                    best, xs, ys, dirs, plan = (
+                        runner.fill_modes_from_stream_args(
+                            args, plan, len(batch_pairs), has_n, mode
+                        )
+                    )
+                    handles = None
+                extra = ("modes", handles, seqs1, seqs2, xs, ys, dirs,
+                         plan)
+                in_flight.append(
+                    (i, best, len(batch_pairs), len(batch_pairs), extra)
+                )
+                while len(in_flight) >= max_in_flight:
+                    drain_one()
+                continue
             if kind == "args" and use_device_walk(runner):
                 # Fill + device walk dispatched back-to-back: the walk of
                 # this batch precedes the next batch's fill on the device
@@ -244,7 +313,13 @@ def stream_align(
                 (i, finals, len(batch_pairs), len(batch_pairs), extra)
             )
         else:
-            if kind == "args":
+            if mode != "global":
+                if kind != "args":
+                    args, plan, B, has_n = runner._stream_args(batch)
+                scores = runner.fill_modes_from_stream_args(
+                    args, plan, B, has_n, mode, with_dirs=False
+                )[0]
+            elif kind == "args":
                 scores = runner.scores_from_stream_args(args, plan, B, has_n)
             else:
                 scores = runner.scores(batch)  # async dispatch

@@ -467,3 +467,84 @@ def test_stream_first_batch_index_resume():
     assert sorted(got) == [2, 3]
     for i in (2, 3):
         np.testing.assert_array_equal(got[i], want[i])
+
+
+def test_stream_modes_cigars_matches_model_layer():
+    """Textbook-mode streaming end-to-end (VERDICT r3 item 9): semi and
+    local CIGARs streamed through stream_align(mode=...) with the sharded
+    device modes walk -- no whole-dirs host fetch on the happy path --
+    match the validated model layer exactly, across the 8-device mesh and
+    multiple batches."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, Mode
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pairs = _pairs(91, 24)
+    recs = [
+        (Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+        for a, b in pairs
+    ]
+    for mode, mmode in (("semi", Mode.SEMI_GLOBAL), ("local", Mode.LOCAL)):
+        cfg = AlignConfig(
+            algo=Algo.NEEDLEMAN_WUNSCH, mode=mmode, compat=False
+        )
+        want = GotohAligner(cfg).align_batch(recs)
+        runner = DataParallelRunner(
+            mesh=mesh, backend="lax", np_slots=2, compat=False,
+            traceback="device",
+        )
+        got_scores = {}
+        got_alns = {}
+        n = stream_align(
+            pairs, runner=runner, batch_size=8, cigars=True, mode=mode,
+            on_result=lambda i, s: got_scores.__setitem__(i, np.asarray(s)),
+            on_alignments=lambda i, a: got_alns.__setitem__(i, a),
+        )
+        assert n == len(pairs)
+        flat = [r for i in sorted(got_alns) for r in got_alns[i]]
+        assert len(flat) == len(pairs)
+        for b, w in enumerate(want):
+            assert w.error is None, (mode, b, w.error)
+            assert not isinstance(flat[b], Exception), (mode, b, flat[b])
+            score, alns = flat[b]
+            assert score == w.score, (mode, b)
+            assert alns[0][0] == w.aligned_query, (mode, b)
+            assert alns[0][1] == w.aligned_db, (mode, b)
+        scores = np.concatenate([got_scores[i] for i in sorted(got_scores)])
+        np.testing.assert_array_equal(
+            scores, np.asarray([w.score for w in want], scores.dtype)
+        )
+
+
+def test_stream_modes_scores_only():
+    """Scores-only textbook-mode streaming equals the cigars route's
+    scores (fill_modes with_dirs=False through the prep pipeline)."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, Mode
+    from sequencealigning_tpu.io.fasta import Record
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh()
+    pairs = _pairs(92, 13)
+    cfg = AlignConfig(
+        algo=Algo.NEEDLEMAN_WUNSCH, mode=Mode.SEMI_GLOBAL, compat=False
+    )
+    want = GotohAligner(cfg).align_batch(
+        [(Record(seq=a, name=b">q"), Record(seq=b, name=b">d"))
+         for a, b in pairs]
+    )
+    runner = DataParallelRunner(
+        mesh=mesh, backend="lax", np_slots=2, compat=False
+    )
+    got = {}
+    n = stream_align(
+        pairs, runner=runner, batch_size=8, mode="semi",
+        on_result=lambda i, s: got.__setitem__(i, np.asarray(s)),
+    )
+    assert n == len(pairs)
+    scores = np.concatenate([got[i] for i in sorted(got)])
+    np.testing.assert_array_equal(
+        scores, np.asarray([w.score for w in want], scores.dtype)
+    )
