@@ -97,6 +97,14 @@ def build_parser() -> argparse.ArgumentParser:
         "score-indexed TPU wavefront engine",
     )
     p.add_argument(
+        "--wfa-spans", default=None, metavar="L1,L2,T1,T2",
+        help="Bounded ends-free WFA spans for '-a wfa --textbook -m "
+        "semi-global': max FREE leading/trailing skips of query (L1/T1) "
+        "and db (L2/T2).  A single integer applies to all four.  "
+        "Required for semi-global textbook WFA (unbounded ends-free is "
+        "degenerate under min-penalty scoring)",
+    )
+    p.add_argument(
         "--serve", action="store_true",
         help="Serve mode: read 'QUERY.fa DB.fa' lines from stdin, emit "
         "one JSON result line per pair + a summary line per request; the "
@@ -116,6 +124,22 @@ def build_parser() -> argparse.ArgumentParser:
         "compiles i16 vectors; auto probes and falls back to i32",
     )
     return p
+
+
+def _parse_spans(v):
+    """--wfa-spans: 'N' (all four) or 'L1,L2,T1,T2' -> tuple, None if
+    unset."""
+    if v is None:
+        return None
+    parts = [int(x) for x in str(v).split(",")]
+    if len(parts) == 1:
+        parts = parts * 4
+    if len(parts) != 4 or any(p < 0 for p in parts):
+        raise SystemExit(
+            "--wfa-spans takes one or four non-negative integers "
+            "(L1,L2,T1,T2)"
+        )
+    return tuple(parts)
 
 
 def _load(path: str, label: str):
@@ -221,6 +245,7 @@ def main(argv=None) -> int:
         verbose=args.verbose,
         band=args.band,
         wfa_engine=args.wfa_engine,
+        wfa_spans=_parse_spans(args.wfa_spans),
         batch_size=args.batch_size,
         bucket=args.bucket,
         first_only=args.first_only,

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
+from typing import Optional, Tuple
 
 
 class Mode(enum.Enum):
@@ -114,6 +115,13 @@ class AlignConfig:
     # scalar code on the host), else the score-indexed TPU wavefront
     # engine.  "banded" / "native" / "wavefront" force a specific engine.
     wfa_engine: str = "auto"
+    # Bounded ends-free WFA spans (lead1, lead2, trail1, trail2): with
+    # textbook WFA in semi-global mode, up to leadN/trailN chars of
+    # seq1/seq2 may be skipped free at the start/end (WFA2-lib-style).
+    # None = unset; required for semi-global textbook WFA because
+    # UNBOUNDED both-sides ends-free is degenerate under min-penalty
+    # scoring (the empty alignment costs 0 -- PARITY.md modes matrix).
+    wfa_spans: Optional[Tuple[int, int, int, int]] = None
     # Batch runner knobs.
     batch_size: int = 64
     # Length-bucket pairs within a 4-batch window before batching (reduces

@@ -29,11 +29,71 @@ from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
 
 class WfaAligner(Aligner):
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
+        if self.config.mode is Mode.SEMI_GLOBAL and not self.config.compat:
+            # Bounded ends-free WFA (WFA2-lib-style spans).  UNBOUNDED
+            # both-sides ends-free is degenerate under min-penalty
+            # scoring (the empty alignment costs 0), so explicit span
+            # bounds are what make textbook semi-global WFA well-posed;
+            # without them the mode stays unimplemented like the
+            # reference (wfa.rs:24-27).
+            spans = getattr(self.config, "wfa_spans", None)
+            if spans is not None:
+                return self._ends_free_batch(pairs, tuple(spans))
         if self.config.mode is not Mode.GLOBAL:
             return [AlignmentError("not implemented") for _ in pairs]
         if self.config.compat:
             return self._compat_batch(pairs)
         return self._textbook_batch(pairs)
+
+    def _ends_free_batch(self, pairs, spans):
+        """Textbook semi-global via the wavefront engine's bounded
+        ends-free mode (ops.wfa spans): free end skips up to the span
+        bounds, assembled as end gaps.  Band-doubling retries like the
+        global wavefront route; pairs that never converge report the
+        escape."""
+        from sequencealigning_tpu.ops.wfa import (
+            wfa_ends_free_traceback_host,
+        )
+
+        out = [None] * len(pairs)
+        pending = list(range(len(pairs)))
+        band = self.config.band
+        while pending and band <= self.wfa_max_band:
+            sub = [pairs[i] for i in pending]
+            batch = pack_batch(
+                sub, batch_size=max(8, -(-len(sub) // 8) * 8)
+            )
+            try:
+                res = wfa_textbook_batch(
+                    batch.query, batch.db, batch.query_len, batch.db_len,
+                    penalties=self.config.wfa_penalties, band=band,
+                    spans=spans,
+                )
+            except AlignmentError:
+                break
+            converged = np.asarray(res.converged)
+            still = []
+            for j, i in enumerate(pending):
+                if not converged[j]:
+                    still.append(i)
+                    continue
+                try:
+                    score, a1, a2 = wfa_ends_free_traceback_host(
+                        res, j, pairs[i][0], pairs[i][1],
+                        self.config.wfa_penalties,
+                    )
+                    out[i] = dict(
+                        score=score, aligned_query=a1, aligned_db=a2
+                    )
+                except AlignerError as e:
+                    out[i] = e
+            pending = still
+            band *= 2
+        for i in pending:
+            out[i] = AlignmentError(
+                "ends-free WFA did not converge within band/s_max"
+            )
+        return out
 
     def _compat_batch(self, pairs):
         import os

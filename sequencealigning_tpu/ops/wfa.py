@@ -78,12 +78,17 @@ class WfaBatchResult:
     records it."""
 
     def __init__(self, score, converged, hist_chunks, k_lo: int,
-                 stride: int = 1):
+                 stride: int = 1, end_k=None,
+                 spans: Tuple[int, int, int, int] = (0, 0, 0, 0)):
         self.score = score
         self.converged = converged
         self._chunks = hist_chunks
         self.k_lo = k_lo
         self.stride = stride
+        # Ends-free metadata: spans = (lead1, lead2, trail1, trail2) free
+        # end-skip bounds (all 0 = global), end_k = per-pair hit diagonal.
+        self.end_k = end_k
+        self.spans = spans
 
     @property
     def hist(self) -> np.ndarray:
@@ -251,27 +256,63 @@ def _wfa_seed_jax(X, k_lo: int, k_hi: int,
     return runlen, n1v, n2v
 
 
+def _end_targets(n1v, n2v, kv, spans):
+    """Per-diagonal end offsets for (bounded) ends-free alignment.
+
+    spans = (lead1, lead2, trail1, trail2): maximum FREE leading /
+    trailing skips of seq1 / seq2 (WFA2-lib-style span bounds; all 0 =
+    global).  An alignment may end at x = n2 with up to trail1 unconsumed
+    seq1 chars (diagonals dtar-trail1 .. dtar, end offset n2), or at
+    y = n1 with up to trail2 unconsumed seq2 chars (diagonals
+    dtar .. dtar+trail2, end offset n1 - k).  Offsets cannot overshoot
+    either target (both lie on the t <= n2 / y <= n1 feasibility
+    boundary), so `offset >= end_t` detects exact arrival.
+
+    Returns (end_t (B, K) int32, end_mask (B, K) bool)."""
+    _l1, _l2, trail1, trail2 = spans
+    dtar = n1v - n2v
+    in_a = jnp.logical_and(kv >= dtar - trail1, kv <= dtar)
+    in_b = jnp.logical_and(kv > dtar, kv <= dtar + trail2)
+    end_t = jnp.where(in_a, n2v, jnp.where(in_b, n1v - kv, 2 ** 14))
+    return end_t, jnp.logical_or(in_a, in_b)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
+    jax.jit, static_argnames=("k_lo", "k_hi", "penalties", "spans")
 )
 def _wfa_seed2_jax(runlen, n1v, n2v, k_lo: int, k_hi: int,
-                   penalties: WfaPenalties):
-    """Stage 2 of the seed (s=0): leading match run on diagonal 0 from the
-    cube's t=0 face.  Returns (rings preloaded with s=0, done0, score0,
-    seed history row)."""
+                   penalties: WfaPenalties,
+                   spans: Tuple[int, int, int, int] = (0, 0, 0, 0)):
+    """Stage 2 of the seed (s=0): leading match runs from the free-start
+    window (global: just diagonal 0 at t=0) off the cube's seed face.
+    Returns (rings preloaded with s=0, done0, score0, end_k0, seed
+    history row)."""
     B, K, T = runlen.shape
+    lead1, lead2, _t1, _t2 = spans
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
-    k_target = n1v - n2v
-    target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
 
-    run0 = (runlen[:, :, 0].astype(jnp.int32) if T > 0
-            else jnp.zeros((B, K), jnp.int32))
-    m0 = jnp.where(kv == 0, run0, NEG)
+    # Free-start seeds: skip up to lead1 seq1 chars (start (0, y0=k),
+    # 0 <= k <= lead1) or up to lead2 seq2 chars (start (x0=-k, 0),
+    # -lead2 <= k < 0); each seed extends its leading match run from
+    # t0 = max(0, -k).
+    t0v = jnp.maximum(0, -kv)
+    seeded = jnp.logical_and(kv >= -lead2, kv <= lead1)
+    seeded = jnp.logical_and(seeded, t0v <= n2v)
+    seeded = jnp.logical_and(seeded, kv <= n1v)
+    if T > 0:
+        run0 = jnp.take_along_axis(
+            runlen.astype(jnp.int32),
+            jnp.clip(t0v, 0, T - 1)[:, :, None], axis=2,
+        )[:, :, 0]
+        run0 = jnp.where(t0v < T, run0, 0)
+    else:
+        run0 = jnp.zeros((B, K), jnp.int32)
+    m0 = t0v + run0
     ok0 = jnp.logical_and(
         jnp.logical_and(m0 >= 0, m0 <= n2v),
         jnp.logical_and((m0 + kv) >= 0, (m0 + kv) <= n1v),
     )
-    m0 = jnp.where(jnp.logical_and(kv == 0, ok0), m0, NEG)
+    m0 = jnp.where(jnp.logical_and(seeded, ok0), m0, NEG)
 
     g = _score_stride(penalties)
     rl = max(penalties.gap_open + penalties.gap_extend,
@@ -281,23 +322,28 @@ def _wfa_seed2_jax(runlen, n1v, n2v, k_lo: int, k_hi: int,
     ring_i = negs
     ring_d = negs
 
-    done0 = (jnp.take_along_axis(m0, target_lane, 1) >= n2v)[:, 0]
-    done0 = jnp.logical_and(done0, (k_target >= k_lo)[:, 0])
-    done0 = jnp.logical_and(done0, (k_target <= k_hi)[:, 0])
+    end_t, end_mask = _end_targets(n1v, n2v, kv, spans)
+    hit0 = jnp.logical_and(m0 >= end_t, end_mask)
+    done0 = jnp.any(hit0, axis=1)
+    end_k0 = jnp.where(
+        done0, k_lo + jnp.argmax(hit0, axis=1).astype(jnp.int32),
+        (n1v - n2v)[:, 0],
+    )
     score0 = jnp.where(done0, 0, -1).astype(jnp.int32)
     seed_row = jnp.stack(
         [m0, jnp.full((B, K), NEG, jnp.int32), jnp.full((B, K), NEG, jnp.int32)],
         axis=0,
     ).astype(jnp.int16)[None]  # (1, 3, B, K)
-    return ring_m, ring_i, ring_d, done0, score0, seed_row
+    return ring_m, ring_i, ring_d, done0, score0, end_k0, seed_row
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k_lo", "k_hi", "penalties")
+    jax.jit, static_argnames=("k_lo", "k_hi", "penalties", "spans")
 )
 def _wfa_chunk_jax(
-    runlen, ring_m, ring_i, ring_d, u0, done, score,
+    runlen, ring_m, ring_i, ring_d, u0, done, score, end_k,
     n1v, n2v, k_lo: int, k_hi: int, penalties: WfaPenalties,
+    spans: Tuple[int, int, int, int] = (0, 0, 0, 0),
 ):
     """Advance S_CHUNK lattice steps (scores s = (u0+i)*g for the score
     stride g -- see _score_stride).  Fill state is the rings (indexed in
@@ -312,9 +358,7 @@ def _wfa_chunk_jax(
     rl = ring_m.shape[0]
     kv = k_lo + jax.lax.broadcasted_iota(jnp.int32, (B, K), 1)
     negs = jnp.full((B, K), NEG, jnp.int32)
-    k_target = n1v - n2v
-    target_lane = jnp.clip(k_target - k_lo, 0, K - 1)
-    in_band = jnp.logical_and(k_target >= k_lo, k_target <= k_hi)[:, 0]
+    end_t, end_mask = _end_targets(n1v, n2v, kv, spans)
     T = runlen.shape[2]
     BIG = 2 ** 14  # parks absent lanes out of bounds so extend() skips them
 
@@ -346,7 +390,7 @@ def _wfa_chunk_jax(
         return jnp.where(u_ >= 0, row, negs)
 
     def body(carry):
-        ring_m, ring_i, ring_d, done, score, hist, i = carry
+        ring_m, ring_i, ring_d, done, score, end_k, hist, i = carry
         u = u0 + i  # lattice step; true score s = u * g
         m_oe = ring_at(ring_m, u - oe)
         m_x = ring_at(ring_m, u - x_pen)
@@ -375,31 +419,34 @@ def _wfa_chunk_jax(
         ring_i = jax.lax.dynamic_update_slice(ring_i, i_new[None], (slot, 0, 0))
         ring_d = jax.lax.dynamic_update_slice(ring_d, d_new[None], (slot, 0, 0))
 
-        hit = (jnp.take_along_axis(m_new, target_lane, 1) >= n2v)[:, 0]
-        hit = jnp.logical_and(hit, in_band)
+        hitk = jnp.logical_and(m_new >= end_t, end_mask)
+        hit = jnp.any(hitk, axis=1)
         newly = jnp.logical_and(hit, jnp.logical_not(done))
         score = jnp.where(newly, u * g, score)
+        end_k = jnp.where(
+            newly, k_lo + jnp.argmax(hitk, axis=1).astype(jnp.int32), end_k
+        )
         done = jnp.logical_or(done, hit)
         row = jnp.stack([m_new, i_new, d_new], axis=0).astype(jnp.int16)
         hist = jax.lax.dynamic_update_slice(
             hist, row[None], (i, 0, 0, 0)
         )
-        return ring_m, ring_i, ring_d, done, score, hist, i + 1
+        return ring_m, ring_i, ring_d, done, score, end_k, hist, i + 1
 
     # while_loop, not scan: the chunk EXITS at convergence instead of
     # burning the remaining gather-bound steps (e.g. ~110 of 256 dead
     # steps at config 3's typical score).  Unwritten history rows stay
     # NEG; the traceback only reads rows <= each pair's own score.
     def cond(carry):
-        done, i = carry[3], carry[6]
+        done, i = carry[3], carry[7]
         return jnp.logical_and(i < S_CHUNK, jnp.logical_not(done.all()))
 
     hist0 = jnp.full((S_CHUNK, 3, B, K), jnp.int16(NEG))
-    ring_m, ring_i, ring_d, done, score, rows, _ = jax.lax.while_loop(
+    ring_m, ring_i, ring_d, done, score, end_k, rows, _ = jax.lax.while_loop(
         cond, body,
-        (ring_m, ring_i, ring_d, done, score, hist0, jnp.int32(0)),
+        (ring_m, ring_i, ring_d, done, score, end_k, hist0, jnp.int32(0)),
     )
-    return ring_m, ring_i, ring_d, done, score, rows
+    return ring_m, ring_i, ring_d, done, score, end_k, rows
 
 
 def wfa_textbook_batch(
@@ -410,20 +457,35 @@ def wfa_textbook_batch(
     penalties: WfaPenalties = WfaPenalties(),
     band: int = 64,
     s_max: int = 16_384,
+    spans: Tuple[int, int, int, int] = (0, 0, 0, 0),
 ) -> WfaBatchResult:
     """Batched exact gap-affine WFA.  band = half-width of the static
     diagonal window beyond the batch's length-difference range; s_max is a
-    safety cap on the penalty score (fill memory is score-independent)."""
+    safety cap on the penalty score (fill memory is score-independent).
+
+    spans = (lead1, lead2, trail1, trail2): WFA2-lib-style bounded
+    ends-free alignment -- up to lead1/trail1 seq1 chars and lead2/trail2
+    seq2 chars may be skipped FREE at the start/end (all 0 = global).
+    Unbounded both-sides ends-free is degenerate under min-penalty
+    scoring (the empty alignment costs 0 -- PARITY.md modes matrix row
+    3); the span bounds are what make the problem well-posed, exactly as
+    in WFA2-lib's ends-free mode."""
     qlen = np.asarray(query_len)
     dlen = np.asarray(db_len)
+    spans = tuple(int(v) for v in spans)
+    lead1, lead2, trail1, trail2 = spans
     if int(dlen.max(initial=0)) >= 2 ** 14 or int(qlen.max(initial=0)) >= 2 ** 14:
         raise AlignmentError(
             "textbook WFA int16 offset log caps pairs at 16 kb; use the "
             "Gotoh engines for longer pairs"
         )
     diff = qlen.astype(np.int64) - dlen.astype(np.int64)
-    need_lo = int(min(0, diff.min() if diff.size else 0))
-    need_hi = int(max(0, diff.max() if diff.size else 0))
+    dmin = int(diff.min()) if diff.size else 0
+    dmax = int(diff.max()) if diff.size else 0
+    # The band must cover the free-start window [-lead2, lead1] and every
+    # pair's free-end window [dtar - trail1, dtar + trail2].
+    need_lo = min(0, dmin, -lead2, dmin - trail1)
+    need_hi = max(0, dmax, lead1, dmax + trail2)
     k_lo = need_lo - band
     k_hi = need_hi + band
     # Lane-align K: the runlen cube and every chunk op put K on the TPU
@@ -451,8 +513,8 @@ def wfa_textbook_batch(
     runlen, n1v, n2v = _wfa_seed_jax(
         jnp.asarray(X), k_lo, k_hi, penalties, bits, l1, l2
     )
-    ring_m, ring_i, ring_d, done, score, seed_row = _wfa_seed2_jax(
-        runlen, n1v, n2v, k_lo, k_hi, penalties
+    ring_m, ring_i, ring_d, done, score, end_k, seed_row = _wfa_seed2_jax(
+        runlen, n1v, n2v, k_lo, k_hi, penalties, spans
     )
     g = _score_stride(penalties)
     chunks = [seed_row]
@@ -468,9 +530,10 @@ def wfa_textbook_batch(
         for _ in range(4):
             if u >= u_max:
                 break
-            ring_m, ring_i, ring_d, done, score, rows = _wfa_chunk_jax(
+            (ring_m, ring_i, ring_d, done, score, end_k,
+             rows) = _wfa_chunk_jax(
                 runlen, ring_m, ring_i, ring_d, jnp.int32(u), done, score,
-                n1v, n2v, k_lo, k_hi, penalties,
+                end_k, n1v, n2v, k_lo, k_hi, penalties, spans,
             )
             chunks.append(rows)
             u += S_CHUNK
@@ -480,6 +543,7 @@ def wfa_textbook_batch(
     return WfaBatchResult(
         score=np.asarray(score), converged=np.asarray(done),
         hist_chunks=chunks, k_lo=k_lo, stride=g,
+        end_k=np.asarray(end_k), spans=spans,
     )
 
 
@@ -500,7 +564,11 @@ def wfa_traceback_host(
     if not bool(np.asarray(result.converged)[b]):
         raise AlignmentError("WFA did not converge within band/s_max")
     s = int(np.asarray(result.score)[b])
-    if not os.environ.get("SEQALIGN_NO_NATIVE"):
+    if result.spans == (0, 0, 0, 0) and not os.environ.get(
+        "SEQALIGN_NO_NATIVE"
+    ):
+        # The native C walker implements the global start/stop contract;
+        # ends-free tracebacks use the Python walker's seed window.
         try:
             from sequencealigning_tpu import native
 
@@ -513,6 +581,28 @@ def wfa_traceback_host(
                     return s, r[0], r[1]
         except Exception:
             pass  # fall through to the Python walker
+    mid1, mid2, _k0, _t0 = _walk_hist(
+        result, b, seq1, seq2, penalties, len(seq1) - len(seq2), len(seq2)
+    )
+    return s, mid1, mid2
+
+
+def _walk_hist(
+    result: WfaBatchResult,
+    b: int,
+    seq1: bytes,
+    seq2: bytes,
+    penalties: WfaPenalties,
+    k_start: int,
+    t_start: int,
+) -> Tuple[str, str, int, int]:
+    """Shared offset-history walker: reconstruct the aligned SEGMENT from
+    (k_start, t_start) back to an s=0 seed.  Global tracebacks start at
+    (n1-n2, n2) and stop on diagonal 0 at t=0; ends-free tracebacks start
+    at the recorded hit diagonal and stop on any seed diagonal k0 in the
+    free-start window at t0 = max(0, -k0).  Returns
+    (aligned_seq1_segment, aligned_seq2_segment, k0, t0)."""
+    s = int(np.asarray(result.score)[b])
     hist_b = np.asarray(result.hist[:, :, b, :], np.int32)  # (S, 3, K)
     m_hist, i_hist, d_hist = hist_b[:, 0], hist_b[:, 1], hist_b[:, 2]
     k_lo = result.k_lo
@@ -520,6 +610,7 @@ def wfa_traceback_host(
     n1, n2 = len(seq1), len(seq2)
     x_pen, o_pen, e_pen = penalties.mismatch, penalties.gap_open, penalties.gap_extend
     oe = o_pen + e_pen
+    lead1, lead2 = result.spans[0], result.spans[1]
 
     def hist(h, s_, k_):
         lane = k_ - k_lo
@@ -533,8 +624,8 @@ def wfa_traceback_host(
     a1: List[str] = []
     a2: List[str] = []
     state = "M"
-    k = n1 - n2
-    t = n2
+    k = k_start
+    t = t_start
 
     def emit_matches(n: int, t_end: int) -> None:
         # Matches ending at offset t_end (exclusive) on diagonal k.  The
@@ -551,9 +642,14 @@ def wfa_traceback_host(
             raise AlignmentError("WFA traceback did not terminate")
         if state == "M":
             if s == 0:
-                # initial seed: t leading matches on diag 0
-                assert k == 0
-                emit_matches(t, t)
+                # initial seed: leading matches down to the seed offset
+                # t0 = max(0, -k) on a free-start diagonal.
+                if not (-lead2 <= k <= lead1):
+                    raise AlignmentError(
+                        "WFA traceback landed outside the seed window"
+                    )
+                t0 = max(0, -k)
+                emit_matches(t - t0, t)
                 break
             mx = hist(m_hist, s - x_pen, k)
             iv = hist(i_hist, s, k)
@@ -588,6 +684,40 @@ def wfa_traceback_host(
             else:
                 s, k, t = s - e_pen, k + 1, t - 1
 
-    return int(np.asarray(result.score)[b]), "".join(reversed(a1)), "".join(
-        reversed(a2)
+    return "".join(reversed(a1)), "".join(reversed(a2)), k, t0
+
+
+def wfa_ends_free_traceback_host(
+    result: WfaBatchResult,
+    b: int,
+    seq1: bytes,
+    seq2: bytes,
+    penalties: WfaPenalties = WfaPenalties(),
+) -> Tuple[int, str, str]:
+    """Reconstruct one pair's bounded-ends-free alignment, with the free
+    end skips assembled as end gaps (the textbook semi-global output
+    layout: skipped chars aligned against '-' runs).  Returns
+    (penalty, aligned_seq1, aligned_seq2)."""
+    if not bool(np.asarray(result.converged)[b]):
+        raise AlignmentError("WFA did not converge within band/s_max")
+    s = int(np.asarray(result.score)[b])
+    n1, n2 = len(seq1), len(seq2)
+    dtar = n1 - n2
+    k_end = int(np.asarray(result.end_k)[b])
+    t_end = n2 if k_end <= dtar else n1 - k_end
+    mid1, mid2, k0, t0 = _walk_hist(
+        result, b, seq1, seq2, penalties, k_end, t_end
     )
+    # Start skips: y0 = t0 + k0 free seq1 chars, x0 = t0 free seq2 chars
+    # (one of them is 0).  End skips: n1 - y_end seq1 / n2 - x_end seq2.
+    x0, y0 = t0, t0 + k0
+    x1, y1 = t_end, t_end + k_end
+    a1 = (
+        seq1[:y0].decode("latin-1") + "-" * x0 + mid1
+        + seq1[y1:].decode("latin-1") + "-" * (n2 - x1)
+    )
+    a2 = (
+        "-" * y0 + seq2[:x0].decode("latin-1") + mid2
+        + "-" * (n1 - y1) + seq2[x1:].decode("latin-1")
+    )
+    return s, a1, a2
