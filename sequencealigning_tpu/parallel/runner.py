@@ -474,9 +474,6 @@ class DataParallelRunner:
         n2 = np.ones(Bp, np.int32)
         n1[:B] = n1s
         n2[:B] = n2s
-        bs = np.arange(Bp)
-        rowloc = ((bs // NP) % (R // nd)).astype(np.int32)  # shard-local
-        off = ((bs % NP) * plan.s).astype(np.int32)
         t_steps = int(plan.l1 + plan.l2)
 
         key = ("walk", plan)
@@ -491,13 +488,15 @@ class DataParallelRunner:
                     0,
                     jnp.where(fin_l[:, 1] == score, 1, 2),
                 ).astype(jnp.int32)
-                # Drop the per-shard n_chunks_used scalar (shards may
-                # exit at different chunks; the full packed buffer is
-                # gathered either way).
-                (x, y), packed, _n = tbd._walk_fast4_impl(
+                (x, y), packed, n = tbd._walk_fast4_impl(
                     dirs_l, x0, y0, pl0, rowp, offp, t_steps=t_steps
                 )
-                return (x, y), packed
+                # All-shard max of chunks used: finish() fetches only
+                # that prefix of the packed op words (typical walks use
+                # ~half of t_steps, and the packed fetch is the drain's
+                # biggest D2H cost on a slow link).
+                n = jax.lax.pmax(n, "data")
+                return (x, y), packed, n
 
             pb = P("data")
             self._fn_cache[key] = jax.jit(
@@ -505,19 +504,38 @@ class DataParallelRunner:
                     per_shard,
                     mesh=self.mesh,
                     in_specs=(P(None, "data", None), pb, pb, pb, pb, pb),
-                    out_specs=((pb, pb), P("data", None)),
+                    out_specs=((pb, pb), P("data", None), P()),
                     check_vma=False,
                 )
             )
+        rowd, offd = self._walk_coords(plan)
         shard = NamedSharding(self.mesh, P("data"))
-        args = [
-            jax.device_put(a, shard)
-            for a in (n2, n1, rowloc, off)  # x walks db, y walks query
-        ]
-        (xf, yf), packed = self._fn_cache[key](
-            dirs, finals_dev, args[0], args[1], args[2], args[3]
+        # ONE fused put for the per-batch lengths (each device_put pays a
+        # full link latency; 4 separate puts were ~40-100 ms/batch of
+        # main-thread stall through the tunnel).
+        n21 = jax.device_put(
+            np.stack([n2, n1]), NamedSharding(self.mesh, P(None, "data"))
         )
-        return (xf, yf, packed, dirs, plan)
+        (xf, yf), packed, n_used = self._fn_cache[key](
+            dirs, finals_dev, n21[0], n21[1], rowd, offd
+        )
+        return (xf, yf, packed, dirs, plan, n_used)
+
+    def _walk_coords(self, plan):
+        """Per-plan device cache of the walk's shard-local row / lane
+        offset vectors (constants of the plan + mesh, not the batch)."""
+        key = ("walk_coords", plan)
+        if key not in self._fn_cache:
+            nd = self.n_devices
+            NP, R = plan.np_slots, plan.n_rows
+            bs = np.arange(NP * R)
+            rowloc = ((bs // NP) % (R // nd)).astype(np.int32)
+            off = ((bs % NP) * plan.s).astype(np.int32)
+            shard = NamedSharding(self.mesh, P("data"))
+            self._fn_cache[key] = (
+                jax.device_put(rowloc, shard), jax.device_put(off, shard)
+            )
+        return self._fn_cache[key]
 
     def device_walk_fast4_finish(self, handles, finals, seqs1, seqs2):
         """Fetch + decode a dispatched device walk.  finals: (>=B, 3)
@@ -529,10 +547,17 @@ class DataParallelRunner:
         from sequencealigning_tpu.ops import traceback_device as tbd
         from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
 
-        xf, yf, packed, dirs, plan = handles
+        xf, yf, packed, dirs, plan, n_used = handles
         finals = np.asarray(finals)
         B = len(seqs1)
-        packed, xf, yf = jax.device_get((packed[:B], xf[:B], yf[:B]))
+        # Two-phase fetch: the scalar chunk count first (one latency),
+        # then only the used prefix of the packed op words -- typical
+        # walks use ~half of t_steps, halving the drain's dominant D2H.
+        wpc = tbd._CHUNK // 16
+        words = max(int(n_used), 1) * wpc
+        packed, xf, yf = jax.device_get(
+            (packed[:B, :words], xf[:B], yf[:B])
+        )
         alns = tbd.decode_packed_alignments(packed, seqs1, seqs2)
         ended = (xf == 0) & (yf == 0)
         out = []
@@ -587,12 +612,6 @@ class DataParallelRunner:
         from sequencealigning_tpu.ops import traceback_device as tbd
 
         local = mode == "local"
-        nd = self.n_devices
-        NP, R = plan.np_slots, plan.n_rows
-        Bp = NP * R
-        bs = np.arange(Bp)
-        rowloc = ((bs // NP) % (R // nd)).astype(np.int32)
-        off = ((bs % NP) * plan.s).astype(np.int32)
         t_steps = int(plan.l1 + plan.l2)
 
         key = ("walk_modes", plan, local)
@@ -618,7 +637,7 @@ class DataParallelRunner:
         shard = NamedSharding(self.mesh, P("data"))
         xd = jax.device_put(jnp.asarray(x_dev, jnp.int32), shard)
         yd = jax.device_put(jnp.asarray(y_dev, jnp.int32), shard)
-        rowd, offd = [jax.device_put(a, shard) for a in (rowloc, off)]
+        rowd, offd = self._walk_coords(plan)
         (xf, yf, st), packed = self._fn_cache[key](dirs, xd, yd, rowd, offd)
         return (xf, yf, st, packed, xd, yd, dirs, plan, local)
 
