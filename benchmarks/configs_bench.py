@@ -510,6 +510,40 @@ def config5_streaming(on_tpu):
     }
 
 
+def _link_probe():
+    """Scalar round-trip latency and 1 MB D2H bandwidth of the
+    host<->device link, measured right before the configs run."""
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        # Distinct device arrays per rep: np.asarray on the same object
+        # reuses jax's cached host copy and measures nothing.
+        ys = [
+            (jnp.arange(1 << 20, dtype=jnp.int32) + i).astype(jnp.uint8)
+            for i in range(4)
+        ]
+        for y in ys:
+            y.block_until_ready()
+        np.asarray(ys[0])  # warm the transfer path
+        lat = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(ys[i + 1][:8])
+            lat.append(time.perf_counter() - t0)
+        bw = []
+        for i in range(3):
+            t0 = time.perf_counter()
+            np.asarray(ys[i + 1])
+            bw.append(time.perf_counter() - t0)
+        return {
+            "roundtrip_ms": round(min(lat) * 1e3, 1),
+            "d2h_mb_s": round(1.0 / min(bw), 1),
+        }
+    except Exception as ex:  # pragma: no cover - probe must never fail a run
+        return {"error": f"{type(ex).__name__}: {ex}"}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH_CONFIGS.json")
@@ -537,7 +571,16 @@ def main() -> int:
             r = {"config": cid, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)
         print(json.dumps(r), file=sys.stderr)
-    out = {"backend": jax.default_backend(), "results": results}
+    out = {
+        "backend": jax.default_backend(),
+        # Link health at run time: this rig reaches the chip through a
+        # tunnel whose latency/bandwidth drift run-to-run (measured 1.7x
+        # swings on identical code within one day).  Recording the link
+        # makes cross-run comparisons honest: compare configs against
+        # runs with similar link numbers, not across regimes.
+        "link": _link_probe(),
+        "results": results,
+    }
     with open(args.out, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

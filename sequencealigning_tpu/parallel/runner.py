@@ -550,13 +550,17 @@ class DataParallelRunner:
         xf, yf, packed, dirs, plan, n_used = handles
         finals = np.asarray(finals)
         B = len(seqs1)
-        # Two-phase fetch: the scalar chunk count first (one latency),
-        # then only the used prefix of the packed op words -- typical
-        # walks use ~half of t_steps, halving the drain's dominant D2H.
-        wpc = tbd._CHUNK // 16
-        words = max(int(n_used), 1) * wpc
+        # Two-phase fetch -- the scalar chunk count first, then only the
+        # used prefix of the packed op words (typical walks use ~half of
+        # t_steps) -- but ONLY when the full buffer is big enough that
+        # the halved bulk beats the extra round-trip latency (~26 ms on
+        # this rig's tunnel; small batches lost 25% e2e to it).
+        if B * packed.shape[1] * 4 >= (1 << 21):
+            wpc = tbd._CHUNK // 16
+            words = max(int(n_used), 1) * wpc
+            packed = packed[:, :words]
         packed, xf, yf = jax.device_get(
-            (packed[:B, :words], xf[:B], yf[:B])
+            (packed[:B], xf[:B], yf[:B])
         )
         alns = tbd.decode_packed_alignments(packed, seqs1, seqs2)
         ended = (xf == 0) & (yf == 0)

@@ -19,6 +19,11 @@ def enable(path: str | None = None) -> str:
     (the CLI calls this after module imports pulled jax in)."""
     import sys
 
+    if os.environ.get("SEQALIGN_NO_COMPILE_CACHE"):
+        # Opt-out (tests set this: a zstandard compress inside jax's
+        # cache-write path segfaulted a full-suite run; the cache only
+        # affects compile time, never results).
+        return ""
     path = path or os.path.expanduser("~/.cache/seqalign_jax")
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", path)
     effective = os.environ["JAX_COMPILATION_CACHE_DIR"]

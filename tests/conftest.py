@@ -10,6 +10,12 @@ before any test imports jax-backed modules.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# No persistent XLA compilation cache under pytest: cli.py enables it at
+# import (tests that import the CLI switch it on for the whole process),
+# and a zstandard compress inside jax's cache WRITE path segfaulted a
+# full-suite run (compilation_cache.put_executable_and_time, 2026-08-20).
+# Tests only compile tiny CPU programs -- the cache buys nothing here.
+os.environ["SEQALIGN_NO_COMPILE_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
