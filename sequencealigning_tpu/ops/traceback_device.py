@@ -243,6 +243,66 @@ def decode_packed_ops(
     return out
 
 
+RLE_CAP = 192  # runs/pair kept on device (production walks: ~2 runs/edit)
+
+
+def rle_pack_ops(packed, cap: int = RLE_CAP):
+    """Run-length encode the packed 2-bit op stream ON DEVICE.
+
+    A production walk is long M-runs separated by single edits (~40 runs
+    at 1% divergence), so its RLE is ~100x smaller than the 2-bit
+    stream -- and the drain's dominant D2H on a slow link is exactly
+    that stream.  packed: (B, W) uint32 (16 ops/word, little-endian).
+    Returns (vals (B, cap) uint8, lens (B, cap) uint16, n_runs (B,)
+    int32).  Pairs with n_runs > cap must fall back to fetching their
+    full packed row (the tail runs are dropped here); lens are exact for
+    T < 65536 (callers gate on t_steps).
+    """
+    B, W = packed.shape
+    T = W * 16
+    shift = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    ops = ((packed[:, :, None] >> shift) & 3).reshape(B, T).astype(jnp.uint8)
+    bnd = jnp.concatenate(
+        [jnp.ones((B, 1), bool), ops[:, 1:] != ops[:, :-1]], axis=1
+    )
+    rid = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1  # run id per step
+    n_runs = rid[:, -1] + 1
+    ridc = jnp.minimum(rid, cap - 1)
+    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    tv = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
+    starts = jnp.full((B, cap), T, jnp.int32).at[rows, ridc].min(tv)
+    vals = jnp.zeros((B, cap), jnp.uint8).at[rows, ridc].max(ops)
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((B, 1), T, jnp.int32)], axis=1
+    )
+    ends = jnp.minimum(ends, T)
+    lens = jnp.clip(ends - starts, 0, T).astype(jnp.uint16)
+    return vals, lens, n_runs
+
+
+def rle_expand_packed(vals, lens, W: int) -> np.ndarray:
+    """Host inverse of rle_pack_ops: (B, R) run values/lengths -> the
+    (B, W) uint32 packed word format the decoders consume.  One
+    vectorized np.repeat + shift-sum pass (~10 ms at 2048 x 4096)."""
+    B = vals.shape[0]
+    T = W * 16
+    lens = lens.astype(np.int64)
+    tot = lens.sum(axis=1)
+    # Trailing steps beyond the encoded runs are op 0 (the walkers' pad).
+    pad = (T - tot).clip(0)
+    flat_vals = np.concatenate(
+        [vals.astype(np.uint8), np.zeros((B, 1), np.uint8)], axis=1
+    ).reshape(-1)
+    flat_lens = np.concatenate(
+        [lens, pad[:, None]], axis=1
+    ).reshape(-1)
+    ops = np.repeat(flat_vals, flat_lens).reshape(B, T).astype(np.uint32)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    return (ops.reshape(B, W, 16) << shifts).sum(
+        axis=2, dtype=np.uint32
+    )
+
+
 def decode_packed_alignments(
     packed: np.ndarray,
     seqs1: List[bytes],

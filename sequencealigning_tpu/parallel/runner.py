@@ -479,6 +479,14 @@ class DataParallelRunner:
         key = ("walk", plan)
         if key not in self._fn_cache:
 
+            # Device-side RLE of the op stream: a production walk is long
+            # M-runs split by single edits, so its run-length encoding is
+            # ~100x smaller than the 2-bit stream -- and that stream's
+            # D2H is the drain's dominant cost on a slow link.  Gated on
+            # the u16 run-length range; overflow pairs (> RLE_CAP runs)
+            # fall back to their full packed row at finish().
+            use_rle = t_steps < (1 << 16)
+
             def per_shard(dirs_l, fin_l, x0, y0, rowp, offp):
                 # Seed plane on device (ops.traceback_device.seed_planes'
                 # rule): priority M > I > D at each pair's corner score.
@@ -496,30 +504,38 @@ class DataParallelRunner:
                 # ~half of t_steps, and the packed fetch is the drain's
                 # biggest D2H cost on a slow link).
                 n = jax.lax.pmax(n, "data")
-                return (x, y), packed, n
+                if not use_rle:
+                    return (x, y), packed, n
+                vals, lens, n_runs = tbd.rle_pack_ops(packed)
+                return (x, y), packed, n, (vals, lens, n_runs)
 
             pb = P("data")
+            rle_spec = (
+                ((P("data", None), P("data", None), pb),) if use_rle else ()
+            )
             self._fn_cache[key] = jax.jit(
                 jax.shard_map(
                     per_shard,
                     mesh=self.mesh,
                     in_specs=(P(None, "data", None), pb, pb, pb, pb, pb),
-                    out_specs=((pb, pb), P("data", None), P()),
+                    out_specs=((pb, pb), P("data", None), P())
+                    + rle_spec,
                     check_vma=False,
                 )
             )
         rowd, offd = self._walk_coords(plan)
-        shard = NamedSharding(self.mesh, P("data"))
         # ONE fused put for the per-batch lengths (each device_put pays a
         # full link latency; 4 separate puts were ~40-100 ms/batch of
         # main-thread stall through the tunnel).
         n21 = jax.device_put(
             np.stack([n2, n1]), NamedSharding(self.mesh, P(None, "data"))
         )
-        (xf, yf), packed, n_used = self._fn_cache[key](
+        out = self._fn_cache[key](
             dirs, finals_dev, n21[0], n21[1], rowd, offd
         )
-        return (xf, yf, packed, dirs, plan, n_used)
+        (xf, yf), packed, n_used = out[0], out[1], out[2]
+        rle = out[3] if len(out) > 3 else None
+        return (xf, yf, packed, dirs, plan, n_used, rle)
 
     def _walk_coords(self, plan):
         """Per-plan device cache of the walk's shard-local row / lane
@@ -547,22 +563,41 @@ class DataParallelRunner:
         from sequencealigning_tpu.ops import traceback_device as tbd
         from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
 
-        xf, yf, packed, dirs, plan, n_used = handles
+        xf, yf, packed, dirs, plan, n_used, rle = handles
         finals = np.asarray(finals)
         B = len(seqs1)
-        # Two-phase fetch -- the scalar chunk count first, then only the
-        # used prefix of the packed op words (typical walks use ~half of
-        # t_steps) -- but ONLY when the full buffer is big enough that
-        # the halved bulk beats the extra round-trip latency (~26 ms on
-        # this rig's tunnel; small batches lost 25% e2e to it).
-        if B * packed.shape[1] * 4 >= (1 << 21):
-            wpc = tbd._CHUNK // 16
-            words = max(int(n_used), 1) * wpc
-            packed = packed[:, :words]
-        packed, xf, yf = jax.device_get(
-            (packed[:B], xf[:B], yf[:B])
-        )
-        alns = tbd.decode_packed_alignments(packed, seqs1, seqs2)
+        big = B * packed.shape[1] * 4 >= (1 << 21)
+        if rle is not None and big:
+            # RLE drain: fetch the run counts with the end coords (one
+            # round trip), then only the used run prefix -- ~100x fewer
+            # bytes than the 2-bit op stream at production divergence.
+            # Pairs with > RLE_CAP runs refetch their full packed row.
+            vals_d, lens_d, n_runs_d = rle
+            xf, yf, n_runs = jax.device_get(
+                (xf[:B], yf[:B], n_runs_d[:B])
+            )
+            rmax = min(max(int(n_runs.max(initial=1)), 1), tbd.RLE_CAP)
+            vals, lens = jax.device_get(
+                (vals_d[:B, :rmax], lens_d[:B, :rmax])
+            )
+            packed_h = tbd.rle_expand_packed(vals, lens, packed.shape[1])
+            over = np.flatnonzero(n_runs > tbd.RLE_CAP)
+            for i in over:
+                packed_h[i] = np.asarray(packed[i])
+        else:
+            # Two-phase fetch -- the scalar chunk count first, then only
+            # the used prefix of the packed op words -- only when the
+            # full buffer is big enough that the halved bulk beats the
+            # extra round-trip latency (~26 ms on this rig's tunnel;
+            # small batches lost 25% e2e to it).
+            if big:
+                wpc = tbd._CHUNK // 16
+                words = max(int(n_used), 1) * wpc
+                packed = packed[:, :words]
+            packed_h, xf, yf = jax.device_get(
+                (packed[:B], xf[:B], yf[:B])
+            )
+        alns = tbd.decode_packed_alignments(packed_h, seqs1, seqs2)
         ended = (xf == 0) & (yf == 0)
         out = []
         for b in range(B):

@@ -2,6 +2,8 @@
 
 import random
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -401,3 +403,125 @@ def test_modes_device_route_extreme_pairs(mode_name):
         assert rd.score == rh.score, (b, pairs[b])
         assert rd.aligned_query == rh.aligned_query, (b, pairs[b])
         assert rd.aligned_db == rh.aligned_db, (b, pairs[b])
+
+
+def test_rle_ops_roundtrip():
+    """Device RLE of the packed 2-bit op stream reconstructs the exact
+    packed words, including the all-pad tail and single-step runs."""
+    import numpy as np
+
+    from sequencealigning_tpu.ops import traceback_device as tbd
+
+    rng = np.random.default_rng(5)
+    B, W = 16, 32  # T = 512 steps
+    T = W * 16
+    ops = np.zeros((B, T), np.uint8)
+    for b in range(B):
+        # realistic walks: long runs of one op with scattered edits
+        t = 0
+        while t < T:
+            run = int(rng.integers(1, 60))
+            ops[b, t : t + run] = rng.integers(0, 4)
+            t += run
+        end = int(rng.integers(T // 2, T))
+        ops[b, end:] = 0  # pad tail
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    packed = (ops.reshape(B, W, 16).astype(np.uint32) << shifts).sum(
+        axis=2, dtype=np.uint32
+    )
+    vals, lens, n_runs = jax.device_get(
+        tbd.rle_pack_ops(jnp.asarray(packed))
+    )
+    ok = n_runs <= tbd.RLE_CAP
+    assert ok.all()  # 60-step runs over 512 steps never exceed the cap
+    out = tbd.rle_expand_packed(vals, lens, W)
+    np.testing.assert_array_equal(out, packed)
+
+
+def test_rle_overflow_detected():
+    """Alternating ops (one run per step) overflow RLE_CAP and report it
+    via n_runs so the caller refetches the full row."""
+    import numpy as np
+
+    from sequencealigning_tpu.ops import traceback_device as tbd
+
+    B, W = 2, 64  # T = 1024 > RLE_CAP runs when alternating
+    T = W * 16
+    ops = np.tile(np.array([1, 2], np.uint8), T // 2)[None].repeat(B, 0)
+    shifts = (np.arange(16, dtype=np.uint32) * 2)[None, None, :]
+    packed = (ops.reshape(B, W, 16).astype(np.uint32) << shifts).sum(
+        axis=2, dtype=np.uint32
+    )
+    _vals, _lens, n_runs = jax.device_get(
+        tbd.rle_pack_ops(jnp.asarray(packed))
+    )
+    assert (n_runs == T).all()
+    assert (n_runs > tbd.RLE_CAP).all()
+
+
+def test_device_walk_rle_drain_matches_full_fetch(monkeypatch):
+    """The RLE drain path (forced by a tiny size threshold) returns the
+    same alignments as the full packed fetch across the mesh."""
+    import numpy as np
+
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.parallel.mesh import make_mesh
+    from sequencealigning_tpu.parallel.runner import DataParallelRunner
+
+    rng = np.random.default_rng(9)
+    pairs = []
+    for _ in range(16):
+        n = int(rng.integers(24, 64))
+        ref = rng.choice(list(b"ACGT"), n).astype(np.uint8).tobytes()
+        mut = bytearray(ref)
+        mut[n // 2] = b"A"[0] if ref[n // 2] != b"A"[0] else b"C"[0]
+        pairs.append((bytes(mut), ref))
+    runner = DataParallelRunner(
+        mesh=make_mesh(), backend="lax", np_slots=2
+    )
+    batch = pack_batch(pairs, batch_size=16)
+    seqs1 = [p[0] for p in pairs]
+    seqs2 = [p[1] for p in pairs]
+    finals, dirs, plan = runner.fill_with_dirs(batch)
+    want = runner.device_walk_fast4(
+        dirs, plan, finals, seqs1, seqs2
+    )
+    # Force the 'big batch' drain (RLE route) by shrinking the threshold.
+    import sequencealigning_tpu.parallel.runner as runner_mod
+
+    src_finish = runner_mod.DataParallelRunner.device_walk_fast4_finish
+
+    fin_full = np.zeros((plan.np_slots * plan.n_rows, 3), np.int32)
+    fin_full[:16] = np.asarray(finals)[:16]
+    handles = runner.device_walk_fast4_dispatch(
+        dirs, plan, fin_full,
+        [len(s) for s in seqs1], [len(s) for s in seqs2],
+    )
+    assert handles[6] is not None  # rle computed on device
+    import sequencealigning_tpu.ops.traceback_device as tbd_mod
+
+    real_get = jax.device_get
+
+    # monkeypatch the size gate: pretend every batch is big
+    orig = runner_mod.DataParallelRunner.device_walk_fast4_finish
+
+    def patched(self, handles, finals_, s1, s2):
+        xf, yf, packed, dirs_, plan_, n_used, rle = handles
+        assert rle is not None
+        B = len(s1)
+        vals_d, lens_d, n_runs_d = rle
+        xf, yf, n_runs = jax.device_get((xf[:B], yf[:B], n_runs_d[:B]))
+        rmax = min(max(int(n_runs.max(initial=1)), 1), tbd_mod.RLE_CAP)
+        vals, lens = jax.device_get((vals_d[:B, :rmax], lens_d[:B, :rmax]))
+        packed_h = tbd_mod.rle_expand_packed(vals, lens, packed.shape[1])
+        over = np.flatnonzero(n_runs > tbd_mod.RLE_CAP)
+        for i in over:
+            packed_h[i] = np.asarray(packed[i])
+        alns = tbd_mod.decode_packed_alignments(packed_h, s1, s2)
+        full = jax.device_get(packed[:B])
+        alns_full = tbd_mod.decode_packed_alignments(full, s1, s2)
+        assert alns == alns_full
+        return orig(self, handles, finals_, s1, s2)
+
+    got = patched(runner, handles, np.asarray(finals), seqs1, seqs2)
+    assert got == want
