@@ -27,3 +27,34 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
+
+
+# ---------------------------------------------------------------------------
+# Compiler-state guard: a ~300-test single-process run accumulates enough
+# XLA CPU backend state that `backend_compile_and_load` segfaulted three
+# times at the same late-suite WFA compile (2026-08-20) while every
+# sub-suite passes in isolation (RSS stayed < 4 GB, so it is compiler
+# state, not memory pressure).  Dropping jax's in-memory caches at every
+# MODULE boundary keeps each module's compiles in a near-fresh process
+# regime; cross-module executable reuse is rare, so the cost is small.
+
+try:  # deep LLVM passes near the thread stack limit are a known SIGSEGV
+    import resource
+
+    _soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+    if _soft != resource.RLIM_INFINITY and (
+        _hard == resource.RLIM_INFINITY or _hard > _soft
+    ):
+        resource.setrlimit(resource.RLIMIT_STACK, (_hard, _hard))
+except Exception:
+    pass
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if nextitem is None or item.module is not getattr(
+        nextitem, "module", None
+    ):
+        import gc
+
+        jax.clear_caches()
+        gc.collect()
