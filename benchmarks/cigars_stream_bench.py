@@ -61,50 +61,73 @@ def main() -> int:
     from sequencealigning_tpu.parallel.runner import DataParallelRunner
     from sequencealigning_tpu.parallel.streaming import stream_align
 
+    from configs_bench import _link_probe
+
     on_tpu = jax.default_backend() == "tpu"
     N, L, B = (
         (args.pairs, args.length, args.batch) if on_tpu else (64, 126, 32)
     )
 
     pairs = _mk_pairs(N, L)
-    runner = DataParallelRunner(np_slots=128 if on_tpu else 2)
 
-    got = {"alns": 0, "fails": 0, "score_sum": 0}
+    def run_one(rle: bool):
+        """One warm + one sustained pass; returns (rate dict)."""
+        if rle:
+            _os.environ["SEQALIGN_RLE"] = "1"
+        else:
+            _os.environ.pop("SEQALIGN_RLE", None)
+        runner = DataParallelRunner(np_slots=128 if on_tpu else 2)
+        got = {"alns": 0, "fails": 0, "score_sum": 0, "drain_bytes": 0,
+               "drain_path": ""}
 
-    def on_alignments(idx, tbs):
-        for t in tbs:
-            if isinstance(t, tuple):
-                got["alns"] += 1
-                got["score_sum"] += t[0]
-            else:
-                got["fails"] += 1
+        def on_alignments(idx, tbs):
+            for t in tbs:
+                if isinstance(t, tuple):
+                    got["alns"] += 1
+                    got["score_sum"] += t[0]
+                else:
+                    got["fails"] += 1
+            got["drain_bytes"] += runner.last_drain_bytes
+            got["drain_path"] = runner.last_drain_path
 
-    # Warm (compile fill + walk + decode) on one sub-batch.
-    stream_align(
-        pairs[:B], runner=runner, batch_size=B, cigars=True,
-        on_alignments=on_alignments,
-    )
-    got.update(alns=0, fails=0, score_sum=0)
+        # Warm (compile fill + walk + decode) on one sub-batch.
+        stream_align(
+            pairs[:B], runner=runner, batch_size=B, cigars=True,
+            on_alignments=on_alignments,
+        )
+        got.update(alns=0, fails=0, score_sum=0, drain_bytes=0)
 
-    t0 = time.perf_counter()
-    n = stream_align(
-        pairs, runner=runner, batch_size=B, cigars=True,
-        on_alignments=on_alignments,
-    )
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        n = stream_align(
+            pairs, runner=runner, batch_size=B, cigars=True,
+            on_alignments=on_alignments,
+        )
+        dt = time.perf_counter() - t0
+        assert n == N and got["alns"] + got["fails"] == N, (n, got)
+        cells = float(N) * L * L
+        return {
+            "seconds": round(dt, 2),
+            "alignments_per_s": round(N / dt, 1),
+            "e2e_gcups": round(cells / dt / 1e9, 2),
+            "walk_failures": got["fails"],
+            "drain_path": got["drain_path"],
+            "drain_bytes_total": got["drain_bytes"],
+            "drain_kb_per_batch": round(
+                got["drain_bytes"] / max(1, -(-N // B)) / 1024, 1
+            ),
+            "score_sum": got["score_sum"],
+        }
 
-    assert n == N and got["alns"] + got["fails"] == N, (n, got)
-    cells = float(N) * L * L
     result = {
         "pairs": N,
         "length": L,
         "batch": B,
-        "seconds": round(dt, 2),
-        "alignments_per_s": round(N / dt, 1),
-        "e2e_gcups": round(cells / dt / 1e9, 2),
-        "walk_failures": got["fails"],
         "backend": jax.default_backend(),
+        "link": _link_probe(),
+        "packed": run_one(rle=False),
+        "rle": run_one(rle=True),
     }
+    assert result["rle"]["score_sum"] == result["packed"]["score_sum"]
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -256,7 +256,14 @@ def rle_pack_ops(packed, cap: int = RLE_CAP):
     Returns (vals (B, cap) uint8, lens (B, cap) uint16, n_runs (B,)
     int32).  Pairs with n_runs > cap must fall back to fetching their
     full packed row (the tail runs are dropped here); lens are exact for
-    T < 65536 (callers gate on t_steps).
+    T < 65536 (callers gate on the padded step count).
+
+    Formulation: run boundaries are compacted with lax.top_k (the cap
+    smallest boundary positions per row), then ONE cap-element gather
+    per pair reads the run values.  The round-4 .at[].min/max scatter
+    over the full (B, T) matrix measured 194-282 ms/batch on a v5e at
+    the production shape -- top_k is 6-7.5x cheaper with identical
+    outputs (benchmarks/rle_probe.py).
     """
     B, W = packed.shape
     T = W * 16
@@ -265,17 +272,20 @@ def rle_pack_ops(packed, cap: int = RLE_CAP):
     bnd = jnp.concatenate(
         [jnp.ones((B, 1), bool), ops[:, 1:] != ops[:, :-1]], axis=1
     )
-    rid = jnp.cumsum(bnd.astype(jnp.int32), axis=1) - 1  # run id per step
-    n_runs = rid[:, -1] + 1
-    ridc = jnp.minimum(rid, cap - 1)
-    rows = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
+    n_runs = jnp.sum(bnd, axis=1).astype(jnp.int32)
     tv = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[None], (B, T))
-    starts = jnp.full((B, cap), T, jnp.int32).at[rows, ridc].min(tv)
-    vals = jnp.zeros((B, cap), jnp.uint8).at[rows, ridc].max(ops)
+    keyed = jnp.where(bnd, tv, T)
+    # top_k returns descending values of -keyed, i.e. ascending keyed:
+    # the first cap run-start positions in walk order, padded with T.
+    neg_starts, _ = jax.lax.top_k(-keyed, cap)
+    starts = -neg_starts  # (B, cap) ascending, pad = T
+    rows = jnp.arange(B)[:, None]
+    vals = jnp.where(
+        starts < T, ops[rows, jnp.minimum(starts, T - 1)], 0
+    ).astype(jnp.uint8)
     ends = jnp.concatenate(
         [starts[:, 1:], jnp.full((B, 1), T, jnp.int32)], axis=1
     )
-    ends = jnp.minimum(ends, T)
     lens = jnp.clip(ends - starts, 0, T).astype(jnp.uint16)
     return vals, lens, n_runs
 

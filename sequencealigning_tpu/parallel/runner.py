@@ -120,6 +120,11 @@ class DataParallelRunner:
         # "device" (ops.traceback_device.use_device_walk).
         self.traceback = traceback
         self._fn_cache = {}
+        # Drain instrumentation: bytes fetched device->host by the last
+        # device_walk_fast4_finish call, split by path ("rle" | "packed").
+        # Benchmarks read these to report the drain's D2H bill.
+        self.last_drain_bytes = 0
+        self.last_drain_path = ""
 
     @property
     def n_devices(self) -> int:
@@ -476,16 +481,29 @@ class DataParallelRunner:
         n2[:B] = n2s
         t_steps = int(plan.l1 + plan.l2)
 
-        key = ("walk", plan)
-        if key not in self._fn_cache:
+        # Device-side RLE of the op stream: a production walk is long
+        # M-runs split by single edits, so its run-length encoding is
+        # ~30-100x smaller than the 2-bit stream.  OFF by default
+        # (SEQALIGN_RLE=1 opts in): measured on a v5e (2026-08-20,
+        # BENCH_STREAM_RLE.json), the streaming pipeline already hides
+        # the packed fetch under the next batch's fill, so the pack's
+        # device time (~32 ms/batch even in the top_k formulation) plus
+        # one extra fetch round trip makes e2e slower on both a 20 MB/s
+        # tunnel and PCIe.  Worth forcing only for serial (non-pipelined)
+        # drains on very slow links.  Gated on the u16 run-length range
+        # of the PADDED step count T = ceil(t_steps/_CHUNK)*_CHUNK
+        # (rle_pack_ops emits uint16 lens; a T-length run at T == 65536
+        # would wrap to 0).  Overflow pairs (> RLE_CAP runs) fall back
+        # to their full packed row at finish().
+        import os as _os
 
-            # Device-side RLE of the op stream: a production walk is long
-            # M-runs split by single edits, so its run-length encoding is
-            # ~100x smaller than the 2-bit stream -- and that stream's
-            # D2H is the drain's dominant cost on a slow link.  Gated on
-            # the u16 run-length range; overflow pairs (> RLE_CAP runs)
-            # fall back to their full packed row at finish().
-            use_rle = t_steps < (1 << 16)
+        t_padded = -(-t_steps // tbd._CHUNK) * tbd._CHUNK
+        use_rle = t_padded <= 0xFFFF and _os.environ.get(
+            "SEQALIGN_RLE", ""
+        ) not in ("", "0")
+
+        key = ("walk", plan, use_rle)
+        if key not in self._fn_cache:
 
             def per_shard(dirs_l, fin_l, x0, y0, rowp, offp):
                 # Seed plane on device (ops.traceback_device.seed_planes'
@@ -584,6 +602,12 @@ class DataParallelRunner:
             over = np.flatnonzero(n_runs > tbd.RLE_CAP)
             for i in over:
                 packed_h[i] = np.asarray(packed[i])
+            self.last_drain_path = "rle"
+            self.last_drain_bytes = (
+                B * (4 + 4 + 4)  # xf, yf, n_runs int32
+                + B * rmax * (1 + 2)  # vals u8 + lens u16
+                + over.size * packed.shape[1] * 4
+            )
         else:
             # Two-phase fetch -- the scalar chunk count first, then only
             # the used prefix of the packed op words -- only when the
@@ -597,6 +621,8 @@ class DataParallelRunner:
             packed_h, xf, yf = jax.device_get(
                 (packed[:B], xf[:B], yf[:B])
             )
+            self.last_drain_path = "packed"
+            self.last_drain_bytes = B * (packed.shape[1] * 4 + 4 + 4)
         alns = tbd.decode_packed_alignments(packed_h, seqs1, seqs2)
         ended = (xf == 0) & (yf == 0)
         out = []

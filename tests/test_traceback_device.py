@@ -468,6 +468,7 @@ def test_device_walk_rle_drain_matches_full_fetch(monkeypatch):
     from sequencealigning_tpu.parallel.mesh import make_mesh
     from sequencealigning_tpu.parallel.runner import DataParallelRunner
 
+    monkeypatch.setenv("SEQALIGN_RLE", "1")  # RLE drain is opt-in (r5)
     rng = np.random.default_rng(9)
     pairs = []
     for _ in range(16):
