@@ -131,14 +131,18 @@ def _parse_spans(v):
     unset."""
     if v is None:
         return None
-    parts = [int(x) for x in str(v).split(",")]
+    usage = SystemExit(
+        "--wfa-spans takes one or four non-negative integers "
+        "(L1,L2,T1,T2)"
+    )
+    try:
+        parts = [int(x) for x in str(v).split(",")]
+    except ValueError:
+        raise usage from None
     if len(parts) == 1:
         parts = parts * 4
     if len(parts) != 4 or any(p < 0 for p in parts):
-        raise SystemExit(
-            "--wfa-spans takes one or four non-negative integers "
-            "(L1,L2,T1,T2)"
-        )
+        raise usage
     return tuple(parts)
 
 

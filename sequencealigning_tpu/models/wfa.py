@@ -58,6 +58,7 @@ class WfaAligner(Aligner):
         out = [None] * len(pairs)
         pending = list(range(len(pairs)))
         band = self.config.band
+        abort_cause = None  # engine-level failure (e.g. length cap)
         while pending and band <= self.wfa_max_band:
             sub = [pairs[i] for i in pending]
             batch = pack_batch(
@@ -69,7 +70,11 @@ class WfaAligner(Aligner):
                     penalties=self.config.wfa_penalties, band=band,
                     spans=spans,
                 )
-            except AlignmentError:
+            except AlignmentError as e:
+                # Engine-level abort (e.g. the int16 offset-log length
+                # cap): surface the real cause on every pending pair
+                # instead of masking it as non-convergence.
+                abort_cause = e
                 break
             converged = np.asarray(res.converged)
             still = []
@@ -90,8 +95,12 @@ class WfaAligner(Aligner):
             pending = still
             band *= 2
         for i in pending:
-            out[i] = AlignmentError(
-                "ends-free WFA did not converge within band/s_max"
+            out[i] = (
+                AlignmentError(f"ends-free WFA failed: {abort_cause}")
+                if abort_cause is not None
+                else AlignmentError(
+                    "ends-free WFA did not converge within band/s_max"
+                )
             )
         return out
 

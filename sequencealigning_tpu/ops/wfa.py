@@ -490,21 +490,17 @@ def wfa_textbook_batch(
     k_hi = need_hi + band
     # Lane-align K: the runlen cube and every chunk op put K on the TPU
     # lane dim, so K = 129 (the default band's count) pads every vreg row
-    # to 256 lanes -- half the vector throughput wasted.  Round K to the
-    # nearest non-zero multiple of 128 that still covers the required
-    # diagonal range [need_lo, need_hi] (band is a heuristic half-width;
-    # trimming it by < 128 keeps the engine exact -- band escapes surface
-    # via `converged` and the model layer's band-doubling retry).
+    # to 256 lanes -- half the vector throughput wasted.  Round K UP to
+    # the next multiple of 128: never below the user-requested band (a
+    # trimmed band could converge to a slightly suboptimal penalty with
+    # no flag -- band escapes only surface as non-convergence), so the
+    # lane alignment can only widen the search, keeping results at least
+    # as good as the untrimmed call.
     K_need = need_hi - need_lo + 1
     K_cur = k_hi - k_lo + 1
-    K_tgt = max(128, 128 * round(K_cur / 128),
+    K_tgt = max(128, 128 * ((K_cur + 127) // 128),
                 128 * ((K_need + 127) // 128))
-    if K_tgt < K_cur:  # trim band slack, k_hi side first
-        cut = K_cur - K_tgt
-        cut_hi = min(cut, k_hi - need_hi)
-        k_hi -= cut_hi
-        k_lo += cut - cut_hi
-    elif K_tgt > K_cur:
+    if K_tgt > K_cur:
         add = K_tgt - K_cur
         k_lo -= add // 2
         k_hi += add - add // 2

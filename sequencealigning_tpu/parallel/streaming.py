@@ -80,7 +80,23 @@ def stream_align(
     start_batch = 0
     if checkpoint_path and os.path.exists(checkpoint_path):
         with open(checkpoint_path) as f:
-            start_batch = json.load(f).get("next_batch", 0)
+            ckpt = json.load(f)
+        start_batch = ckpt.get("next_batch", 0)
+        # Refuse to resume under different alignment semantics: a
+        # checkpoint written by a global scores-only run must not be
+        # continued as e.g. a local cigars run -- the one output stream
+        # would silently mix semantics across the resume point.  (Old
+        # checkpoints without the fields resume as before.)
+        for field, now in (("mode", mode), ("cigars", cigars)):
+            then = ckpt.get(field, now)
+            if then != now:
+                raise ValueError(
+                    f"checkpoint {checkpoint_path!r} was written by a "
+                    f"run with {field}={then!r}; resuming with "
+                    f"{field}={now!r} would mix alignment semantics in "
+                    "one output stream (delete the checkpoint to start "
+                    "over)"
+                )
 
     in_flight: List[tuple] = []
     n_pairs = 0
@@ -156,7 +172,10 @@ def stream_align(
         if checkpoint_path:
             tmp = checkpoint_path + ".tmp"
             with open(tmp, "w") as f:
-                json.dump({"next_batch": idx + 1}, f)
+                json.dump(
+                    {"next_batch": idx + 1, "mode": mode, "cigars": cigars},
+                    f,
+                )
             os.replace(tmp, checkpoint_path)
 
     from sequencealigning_tpu.io.encode import PairBatch, WireBatch

@@ -305,3 +305,18 @@ def test_cli_serve_mode(fasta_files, capsys, monkeypatch):
 def test_cli_requires_files_without_serve(capsys):
     with pytest.raises(SystemExit):
         main(["-a", "needleman-wunsch"])
+
+
+def test_parse_spans_rejects_non_integer_token():
+    """--wfa-spans 10,x must exit with the usage message, not an
+    uncaught ValueError traceback (ADVICE r4)."""
+    import pytest
+
+    from sequencealigning_tpu.cli import _parse_spans
+
+    assert _parse_spans(None) is None
+    assert _parse_spans("10") == (10, 10, 10, 10)
+    assert _parse_spans("1,2,3,4") == (1, 2, 3, 4)
+    for bad in ("10,x", "abc", "1,2,3", "-1", "1,2,3,4,5", ""):
+        with pytest.raises(SystemExit, match="wfa-spans"):
+            _parse_spans(bad)

@@ -84,6 +84,21 @@ def test_stream_align_with_checkpoint(tmp_path):
     flat = np.concatenate([seen[i] for i in sorted(seen)], axis=0)
     for b, (s1, s2) in enumerate(pairs):
         assert int(flat[b].max()) == oracle_gotoh.gotoh_score(s1, s2)
+    # A checkpoint records its alignment semantics; resuming under
+    # different ones must refuse instead of mixing output streams
+    # (ADVICE r4).
+    import pytest
+
+    with pytest.raises(ValueError, match="mode"):
+        stream_align(
+            iter(pairs), runner, batch_size=16, checkpoint_path=ckpt,
+            mode="local",
+        )
+    with pytest.raises(ValueError, match="cigars"):
+        stream_align(
+            iter(pairs), runner, batch_size=16, checkpoint_path=ckpt,
+            cigars=True,
+        )
 
 
 def test_runner_stream_np_slots_pallas_interpret():
