@@ -475,8 +475,14 @@ class DataParallelRunner:
         nd = self.n_devices
         NP, R = plan.np_slots, plan.n_rows
         Bp = NP * R
-        n1 = np.ones(Bp, np.int32)
-        n2 = np.ones(Bp, np.int32)
+        # Multi-process: each host knows only its LOCAL pairs' lengths;
+        # the (Bp,) walk vectors are assembled from per-process shards
+        # (pair j of process p = global row p * Bp/nproc + j,
+        # mp_local_slice).  Padding lengths are 1 (a 1-step walk that
+        # terminates immediately).
+        n_loc = Bp // jax.process_count()
+        n1 = np.ones(n_loc, np.int32)
+        n2 = np.ones(n_loc, np.int32)
         n1[:B] = n1s
         n2[:B] = n2s
         t_steps = int(plan.l1 + plan.l2)
@@ -497,10 +503,15 @@ class DataParallelRunner:
         # to their full packed row at finish().
         import os as _os
 
+        nproc = jax.process_count()
         t_padded = -(-t_steps // tbd._CHUNK) * tbd._CHUNK
-        use_rle = t_padded <= 0xFFFF and _os.environ.get(
-            "SEQALIGN_RLE", ""
-        ) not in ("", "0")
+        # Multi-process finish drains per-shard packed rows directly;
+        # the RLE variant is single-process only.
+        use_rle = (
+            t_padded <= 0xFFFF
+            and nproc == 1
+            and _os.environ.get("SEQALIGN_RLE", "") not in ("", "0")
+        )
 
         key = ("walk", plan, use_rle)
         if key not in self._fn_cache:
@@ -545,9 +556,13 @@ class DataParallelRunner:
         # ONE fused put for the per-batch lengths (each device_put pays a
         # full link latency; 4 separate puts were ~40-100 ms/batch of
         # main-thread stall through the tunnel).
-        n21 = jax.device_put(
-            np.stack([n2, n1]), NamedSharding(self.mesh, P(None, "data"))
-        )
+        n21_sharding = NamedSharding(self.mesh, P(None, "data"))
+        if nproc > 1:
+            n21 = jax.make_array_from_process_local_data(
+                n21_sharding, np.stack([n2, n1])
+            )
+        else:
+            n21 = jax.device_put(np.stack([n2, n1]), n21_sharding)
         out = self._fn_cache[key](
             dirs, finals_dev, n21[0], n21[1], rowd, offd
         )
@@ -557,18 +572,28 @@ class DataParallelRunner:
 
     def _walk_coords(self, plan):
         """Per-plan device cache of the walk's shard-local row / lane
-        offset vectors (constants of the plan + mesh, not the batch)."""
+        offset vectors (constants of the plan + mesh, not the batch).
+        Multi-process: each host materializes only its slice of the
+        global pair-index range and the sharded vectors are assembled
+        from per-process local data."""
         key = ("walk_coords", plan)
         if key not in self._fn_cache:
             nd = self.n_devices
+            nproc = jax.process_count()
             NP, R = plan.np_slots, plan.n_rows
-            bs = np.arange(NP * R)
+            n_loc = NP * R // nproc
+            lo = jax.process_index() * n_loc
+            bs = np.arange(lo, lo + n_loc)
             rowloc = ((bs // NP) % (R // nd)).astype(np.int32)
             off = ((bs % NP) * plan.s).astype(np.int32)
             shard = NamedSharding(self.mesh, P("data"))
-            self._fn_cache[key] = (
-                jax.device_put(rowloc, shard), jax.device_put(off, shard)
-            )
+            if nproc > 1:
+                mk = lambda a: jax.make_array_from_process_local_data(
+                    shard, a
+                )
+            else:
+                mk = lambda a: jax.device_put(a, shard)
+            self._fn_cache[key] = (mk(rowloc), mk(off))
         return self._fn_cache[key]
 
     def device_walk_fast4_finish(self, handles, finals, seqs1, seqs2):
@@ -583,6 +608,8 @@ class DataParallelRunner:
 
         xf, yf, packed, dirs, plan, n_used, rle = handles
         finals = np.asarray(finals)
+        if jax.process_count() > 1:
+            return self._device_walk_finish_mp(handles, finals, seqs1, seqs2)
         B = len(seqs1)
         big = B * packed.shape[1] * 4 >= (1 << 21)
         if rle is not None and big:
@@ -641,6 +668,92 @@ class DataParallelRunner:
                     out.append(e)
                 continue
             out.append((int(finals[b].max()), [alns[b]]))
+        return out
+
+    @staticmethod
+    def _local_row_shards(arr, dim: int = 0):
+        """This process's addressable shards of a global array sharded
+        on ``dim``, sorted by their global start index on that dim:
+        [(start, single-device jax.Array), ...]."""
+        def start(s):
+            sl = s.index[dim]
+            return sl.start or 0
+
+        return [
+            (start(s), s.data)
+            for s in sorted(arr.addressable_shards, key=start)
+        ]
+
+    def _device_walk_finish_mp(self, handles, finals, seqs1, seqs2):
+        """Multi-process device_walk_fast4_finish: every host fetches
+        ONLY its addressable row shards of the walk outputs (packed op
+        words, end coords) and decodes its OWN pairs -- no packed-op row
+        ever crosses a process boundary, which is what made the cigars
+        path scores-only across processes in round 4 (the config-5
+        "2-host" gap, BASELINE.md §5).  finals: the GLOBAL gathered
+        (Bp, 3) host finals (the runner's all_gather merge); seqs1/seqs2:
+        this process's local pairs.  Returns local per-pair results in
+        local order (per-process on_alignments contract)."""
+        from sequencealigning_tpu.errors import AlignmentError
+        from sequencealigning_tpu.ops import traceback_device as tbd
+        from sequencealigning_tpu.ops.traceback import fast4_traceback_pair
+
+        xf, yf, packed, dirs, plan, n_used, _rle = handles
+        B = len(seqs1)
+        loc = self.mp_local_slice(plan)
+        finals_l = finals[loc][:B] if finals.shape[0] > B else finals[:B]
+        # Used-prefix trim per addressable shard BEFORE the fetch (the
+        # while_loop's all-shard pmax makes n_used replicated, so every
+        # process sees the same prefix).
+        wpc = tbd._CHUNK // 16
+        words = max(int(np.asarray(n_used)), 1) * wpc
+        packed_l = np.concatenate(
+            [
+                np.asarray(d[:, :words])
+                for _s, d in self._local_row_shards(packed, dim=0)
+            ],
+            axis=0,
+        )[:B]
+        xf_l = np.concatenate(
+            [np.asarray(d) for _s, d in self._local_row_shards(xf)]
+        )[:B]
+        yf_l = np.concatenate(
+            [np.asarray(d) for _s, d in self._local_row_shards(yf)]
+        )[:B]
+        self.last_drain_path = "packed-mp"
+        self.last_drain_bytes = B * (words * 4 + 4 + 4)
+        alns = tbd.decode_packed_alignments(packed_l, seqs1, seqs2)
+        ended = (xf_l == 0) & (yf_l == 0)
+        dirs_shards = self._local_row_shards(dirs, dim=1)
+        lo = loc.start
+        out = []
+        for b in range(B):
+            if alns[b] is None or not ended[b]:
+                # Fallback: host-walk this pair from its single dirs row,
+                # fetched from the addressable shard that holds it.
+                row, _slot, doff = plan.pair_coords(lo + b)
+                dirs_row = None
+                for start, data in dirs_shards:
+                    if start <= row < start + data.shape[1]:
+                        dirs_row = np.asarray(data[:, row - start, :])
+                        break
+                if dirs_row is None:  # pragma: no cover - layout invariant
+                    out.append(AlignmentError(
+                        "walk failed and its dirs row is not addressable "
+                        "from this process"
+                    ))
+                    continue
+                try:
+                    out.append(
+                        fast4_traceback_pair(
+                            dirs_row, finals_l[b], seqs1[b], seqs2[b],
+                            compat=self.compat, d_offset=doff,
+                        )
+                    )
+                except AlignmentError as e:
+                    out.append(e)
+                continue
+            out.append((int(finals_l[b].max()), [alns[b]]))
         return out
 
     def device_walk_fast4(self, dirs, plan, finals, seqs1, seqs2):

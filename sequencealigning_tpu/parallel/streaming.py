@@ -59,7 +59,11 @@ def stream_align(
     With cigars=True each batch also runs the fast4 direction fill and a
     host first-path traceback; on_alignments(batch_index, results) receives
     per-pair (score, [(aligned_query, aligned_db)]) tuples or
-    AlignmentError instances.  The cigar fill runs through the runner's
+    AlignmentError instances.  Multi-process runs stream cigars too (the
+    sharded device walk + per-process packed-op drains,
+    runner._device_walk_finish_mp): each process's on_alignments receives
+    ITS OWN pairs' alignments in local order, while on_result keeps the
+    globally gathered scores.  The cigar fill runs through the runner's
     mesh like the scores path (runner.fill_with_dirs: per-shard fills,
     row-sharded dirs) and dispatch stays asynchronous -- the dirs fetch
     (~0.5 byte per DP cell to the host) happens at drain time.  At extreme
@@ -273,18 +277,18 @@ def stream_align(
                 "of PairBatch objects"
             )
         if cigars:
-            if _mp():
-                raise NotImplementedError(
-                    "multi-process streaming is scores-only (the cigar "
-                    "packed-ops fetch spans non-addressable devices); run "
-                    "the cigars path per host on its own shard"
-                )
             from sequencealigning_tpu.ops.traceback_device import (
                 use_device_walk,
             )
 
             seqs1 = [p[0] for p in batch_pairs]
             seqs2 = [p[1] for p in batch_pairs]
+            if _mp() and (mode != "global" or kind != "args"):
+                raise NotImplementedError(
+                    "multi-process cigars streaming runs on the global "
+                    "fast4 device-walk route (kernel='stream'); textbook "
+                    "modes are scores-only across processes"
+                )
             if mode != "global":
                 # Textbook modes: fill + sharded device modes walk
                 # dispatched back-to-back (device route), or fill-only
@@ -312,12 +316,17 @@ def stream_align(
                 while len(in_flight) >= max_in_flight:
                     drain_one()
                 continue
-            if kind == "args" and use_device_walk(runner):
+            if kind == "args" and (use_device_walk(runner) or _mp()):
                 # Fill + device walk dispatched back-to-back: the walk of
                 # this batch precedes the next batch's fill on the device
                 # queue, so its fetch/decode hide under that fill.
+                # Multi-process always takes this route: the device walk
+                # is sharded like the fill, and each process drains only
+                # its addressable packed-op rows at finish
+                # (runner._device_walk_finish_mp).
+                n_finals = B if _mp() else len(batch_pairs)
                 finals, handles = runner.fill_walk_from_stream_args(
-                    args, plan, len(batch_pairs), has_n, seqs1, seqs2
+                    args, plan, n_finals, has_n, seqs1, seqs2
                 )
                 extra = (handles, seqs1, seqs2)
             elif kind == "args":
@@ -328,8 +337,11 @@ def stream_align(
             else:
                 finals, dirs, plan = runner.fill_with_dirs(batch)  # async
                 extra = (dirs, plan, seqs1, seqs2)
+            # Multi-process: on_result sees the GLOBAL gathered finals
+            # (like the scores-only path); on_alignments stays local.
+            n_slice = B if (kind == "args" and _mp()) else len(batch_pairs)
             in_flight.append(
-                (i, finals, len(batch_pairs), len(batch_pairs), extra)
+                (i, finals, n_slice, len(batch_pairs), extra)
             )
         else:
             if mode != "global":

@@ -20,11 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "mp_worker.py")
 
 
-def _expected_scores():
-    """Single-process expectation over the same 32 pairs (seed 21)."""
-    from sequencealigning_tpu.io.encode import pack_batch
-    from sequencealigning_tpu.parallel.runner import DataParallelRunner
-
+def _mk_pairs():
     rng = random.Random(21)
     pairs = []
     for _ in range(32):
@@ -36,9 +32,41 @@ def _expected_scores():
                 bytes(rng.choice(b"ACGT") for _ in range(n2)),
             )
         )
+    return pairs
+
+
+def _expected_scores():
+    """Single-process expectation over the same 32 pairs (seed 21)."""
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.parallel.runner import DataParallelRunner
+
     runner = DataParallelRunner(backend="lax", np_slots=2)
-    finals = np.asarray(runner.scores(pack_batch(pairs)))
+    finals = np.asarray(runner.scores(pack_batch(_mk_pairs())))
     return finals.max(axis=1).tolist()
+
+
+def _expected_cigars():
+    """Single-process cigars-streaming expectation over the same pairs,
+    on the same device-walk route the workers take (traceback forced to
+    'device'; per-process batch_size matches the workers' per//2 = 8)."""
+    from sequencealigning_tpu.parallel.runner import DataParallelRunner
+    from sequencealigning_tpu.parallel.streaming import stream_align
+
+    runner = DataParallelRunner(
+        backend="lax", np_slots=2, traceback="device"
+    )
+    got = {}
+    n = stream_align(
+        _mk_pairs(), runner=runner, batch_size=8, cigars=True,
+        on_alignments=lambda i, t: got.__setitem__(i, list(t)),
+    )
+    assert n == 32
+    out = []
+    for i in sorted(got):
+        for t in got[i]:
+            assert isinstance(t, tuple), t
+            out.append([t[0], t[1][0][0], t[1][0][1]])
+    return out
 
 
 def test_two_process_mesh_scores_and_stream():
@@ -66,13 +94,23 @@ def test_two_process_mesh_scores_and_stream():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
     result = None
+    cigars = {}
     for _, out, _ in outs:
         for line in out.splitlines():
             if line.startswith("RESULT "):
                 result = json.loads(line[len("RESULT "):])
+            for p in (0, 1):
+                tag = f"CIGARS{p} "
+                if line.startswith(tag):
+                    cigars[p] = json.loads(line[len(tag):])
     assert result is not None, outs
     assert result["processes"] == 2
     assert result["devices"] == 8
     want = _expected_scores()
     assert result["scores"] == want, (result["scores"], want)
     assert result["stream"] == want, (result["stream"], want)
+    # Multi-process CIGAR streaming (VERDICT r4 item 4): each process
+    # drains its own packed-op rows; stitched local results must be
+    # byte-equal to the single-process cigars run over the same pairs.
+    assert sorted(cigars) == [0, 1], outs
+    assert cigars[0] + cigars[1] == _expected_cigars()
