@@ -106,14 +106,15 @@ class AlignConfig:
     # wfa.rs:127-139 vs :189); instead of hanging like the Rust binary, a
     # pair exceeding this raises AlignmentError and is isolated.
     wfa_max_steps: int = 20_000
-    # Textbook-WFA engine choice.  "auto" picks the fastest exact engine:
-    # the banded Gotoh Pallas kernel under the penalty-converted scheme
-    # whenever the scheme is in the standard-affine coincidence regime
-    # (mismatch <= 2*gap_extend, see PARITY.md; measured ~7x the wavefront
-    # engine at 128 x 10 kb), else the exact threaded native host engine
-    # (WFA's per-diagonal random access gathers on TPU but is L1-resident
-    # scalar code on the host), else the score-indexed TPU wavefront
-    # engine.  "banded" / "native" / "wavefront" force a specific engine.
+    # Textbook-WFA engine choice.  "auto" routes low-divergence pairs to
+    # the exact threaded native host engine (penalty-capped) and the rest
+    # to the banded Gotoh Pallas kernel under the penalty-converted
+    # scheme -- in its reference model inside the coincidence regime
+    # (mismatch <= 2*gap_extend, PARITY.md; measured ~7x the wavefront
+    # engine at 128 x 10 kb), or the any-state-open "std" variant
+    # (ops.nw_banded_diag model="std") outside it, so EVERY penalty
+    # scheme gets the TPU banded path.  "banded" / "native" /
+    # "wavefront" force a specific engine.
     wfa_engine: str = "auto"
     # Bounded ends-free WFA spans (lead1, lead2, trail1, trail2): with
     # textbook WFA in semi-global mode, up to leadN/trailN chars of

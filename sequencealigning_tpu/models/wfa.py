@@ -170,16 +170,15 @@ class WfaAligner(Aligner):
         """
         engine = getattr(self.config, "wfa_engine", "auto")
         pen = self.config.wfa_penalties
+        # In-regime (mismatch <= 2*gap_extend) the reference-model Gotoh
+        # kernels coincide with WFA's standard-affine model; out of it
+        # the banded route switches to the kernel's any-state-open
+        # variant (ops.nw_banded_diag model="std"), which matches WFA's
+        # merged M-wavefront for EVERY penalty scheme.
         in_regime = pen.mismatch <= 2 * pen.gap_extend
+        model = "ref" if in_regime else "std"
         if engine == "banded":
-            if not in_regime:
-                raise ValueError(
-                    "wfa_engine='banded' requires the standard-affine "
-                    "coincidence regime (mismatch <= 2*gap_extend, see "
-                    "PARITY.md); use 'native' or 'wavefront' for this "
-                    "scheme"
-                )
-            return self._banded_route(pairs)
+            return self._banded_route(pairs, model=model)
         if engine == "wavefront":
             return self._wavefront_batch(pairs)
         if engine == "native":
@@ -195,16 +194,15 @@ class WfaAligner(Aligner):
         # O(penalty^2) wall and are fastest on the banded Gotoh kernel,
         # whose cost is divergence-independent (112 vs 730 pairs/s at 5%).
         # Route: native capped at wfa_native_s_cap penalty units (~10% of a
-        # divergent pair's full work), escapees to the banded route.
-        if in_regime:
-            out = self._native_raw(pairs, s_max=self.wfa_native_s_cap)
-            if out is None:
-                return self._banded_route(pairs)
-            return self._fill_rest(pairs, out, self._banded_route)
-        out = self._native_raw(pairs)
+        # divergent pair's full work), escapees to the banded route (in
+        # its model-matched variant, so every scheme gets the TPU path).
+        out = self._native_raw(pairs, s_max=self.wfa_native_s_cap)
         if out is None:
-            return self._wavefront_batch(pairs)
-        return self._fill_rest(pairs, out, self._wavefront_batch)
+            return self._banded_route(pairs, model=model)
+        return self._fill_rest(
+            pairs, out,
+            lambda rest: self._banded_route(rest, model=model),
+        )
 
     # Penalty cap for the native leg of the auto route (divergence gate:
     # pairs needing more than this go to the divergence-independent banded
@@ -253,7 +251,7 @@ class WfaAligner(Aligner):
             for r in res
         ]
 
-    def _banded_route(self, pairs):
+    def _banded_route(self, pairs, model: str = "ref"):
         """Banded-Gotoh textbook engine with a band certificate: a pair is
         accepted only when two band widths agree on its score -- strictly
         stronger than the wavefront engine's converged-in-band acceptance.
@@ -264,7 +262,14 @@ class WfaAligner(Aligner):
         (round_up(x+128, 128) == round_up(x, 128) + 128), so the two
         fills always genuinely differ at minimal extra cost.  Disagreeing
         pairs escalate past both widths; past the cap the exact
-        full-width Gotoh fallback takes over (always an alignment)."""
+        full-width fallback takes over (always an alignment).
+
+        model="std" runs the kernel's any-state-open variant -- exact
+        standard-affine WFA for schemes OUTSIDE the coincidence regime
+        (mismatch > 2*gap_extend, PARITY.md), where the M-only Gotoh
+        engines would under-count adjacent cross-direction gap runs.  Its
+        past-the-cap fallback is one full-width std fill (every diagonal
+        in band; no certificate needed) instead of the Gotoh engine."""
         from sequencealigning_tpu.config import ScoringScheme
         from sequencealigning_tpu.ops.nw_banded_diag import (
             nw_banded_diag_batch,
@@ -301,7 +306,20 @@ class WfaAligner(Aligner):
             else:
                 pending.append(i)
         band = max(8, self.config.band)
-        while pending and band <= self.wfa_banded_max_band:
+        full_round = False
+        while pending:
+            if band > self.wfa_banded_max_band and not full_round:
+                if model != "std":
+                    break  # exact Gotoh fallback below
+                # std: the Gotoh fallback is the wrong model out of
+                # regime -- run ONE full-width round instead (the band
+                # covers every diagonal of every pending pair, so the
+                # fill is the complete DP matrix and cannot escape).
+                full_round = True
+                band = max(
+                    max(len(pairs[i][0]), len(pairs[i][1]))
+                    for i in pending
+                )
             still = []
             for chunk in self._dirs_chunked(pairs, pending, band):
                 sub = [pairs[i] for i in chunk]
@@ -311,24 +329,29 @@ class WfaAligner(Aligner):
                 res = nw_banded_diag_batch(
                     batch.query, batch.db, batch.query_len, batch.db_len,
                     band=band, scheme=eq, compat=False, with_dirs="fast4",
-                )
-                chk = nw_banded_diag_batch(
-                    batch.query, batch.db, batch.query_len, batch.db_len,
-                    band=band + 128, scheme=eq, compat=False,
-                    with_dirs=False,
+                    model=model,
                 )
                 f1 = np.asarray(res.finals)
-                f2 = np.asarray(chk.finals)
-                certified = [
-                    (j, i)
-                    for j, i in enumerate(chunk)
-                    if int(f1[j].max()) == int(f2[j].max())
-                ]
-                still.extend(
-                    i
-                    for j, i in enumerate(chunk)
-                    if int(f1[j].max()) != int(f2[j].max())
-                )
+                if full_round:
+                    certified = list(enumerate(chunk))
+                else:
+                    chk = nw_banded_diag_batch(
+                        batch.query, batch.db, batch.query_len,
+                        batch.db_len,
+                        band=band + 128, scheme=eq, compat=False,
+                        with_dirs=False, model=model,
+                    )
+                    f2 = np.asarray(chk.finals)
+                    certified = [
+                        (j, i)
+                        for j, i in enumerate(chunk)
+                        if int(f1[j].max()) == int(f2[j].max())
+                    ]
+                    still.extend(
+                        i
+                        for j, i in enumerate(chunk)
+                        if int(f1[j].max()) != int(f2[j].max())
+                    )
                 if not certified:
                     continue
                 from sequencealigning_tpu.ops.traceback_device import (
@@ -347,6 +370,7 @@ class WfaAligner(Aligner):
                         pair_idx=np.asarray(
                             [j for j, _i in certified], np.int32
                         ),
+                        std=model == "std",
                     )
                 else:
                     dirs = np.asarray(res.dirs)  # one fetch per chunk
@@ -358,6 +382,7 @@ class WfaAligner(Aligner):
                                     dirs[:, j, :], f1[j],
                                     pairs[i][0], pairs[i][1],
                                     res.k_lo_even, compat=False,
+                                    std=model == "std",
                                 )
                             )
                         except AlignerError as e:

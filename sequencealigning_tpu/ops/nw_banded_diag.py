@@ -92,16 +92,26 @@ class BandedDiagResult(NamedTuple):
 
 
 def _diag_step(
-    par: int, a, M1, I1, D1, H2, s1w, s2w, c1, c2,
+    par: int, a, M1, I1, D1, H2, H1, s1w, s2w, c1, c2,
     lane, n1v, n2v, he: int, L: int, lane_lim: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
-    roll, boundary: bool = True,
+    roll, boundary: bool = True, model: str = "ref",
 ):
     """One wavefront (static parity `par`, traced scalar wavefront `a`).
 
     M1/I1/D1 = wavefront a-1 (opposite parity), H2 = H at a-2 (same
-    parity); state shapes (B, L); c1/c2 (B, 1) entering chars (c1 consumed
-    when par==1, c2 when par==0).  Returns (M, I, D, H, s1w', s2w', code).
+    parity), H1 = H at a-1; state shapes (B, L); c1/c2 (B, 1) entering
+    chars (c1 consumed when par==1, c2 when par==0).  Returns
+    (M, I, D, H, s1w', s2w', code).
+
+    model selects the gap-open source: "ref" opens I/D from the M plane
+    only (the reference's Gotoh, needleman_wunsch_affine.rs:87-94);
+    "std" opens from H = max(M, I, D) -- the STANDARD gap-affine model,
+    the one WFA's merged M-wavefront implements (wfa.rs:353-398).  The
+    two coincide iff mismatch <= 2*gap_extend in penalty terms
+    (PARITY.md); "std" is what lets the banded kernel serve as the WFA
+    certificate engine for arbitrary penalty schemes.  H1 is unused
+    (dead arg, pruned by XLA) under "ref".
 
     boundary=False is the steady-state variant for wavefronts past every
     x=0 / y=0 cell (a > max(2L + k_lo_even - 1, 2 - k_lo_even)): the
@@ -133,7 +143,8 @@ def _diag_step(
 
     M = H2 + sub
 
-    M1o = M1 + o
+    # Gap-open source: the M plane ("ref") or the full H ("std").
+    M1o = (H1 if model == "std" else M1) + o
     if par == 0:
         # I reads lane l-1 of a-1; D reads lane l.
         I_src_i = jnp.where(lane_0, NEGBIG, roll(I1, 1))
@@ -261,6 +272,7 @@ def _banded_diag_lax(
     seq1, seq2, n1v, n2v, k_lo_even: int, L: int, n_iters: int,
     k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
+    model: str = "ref",
 ):
     """lax.scan reference: one iteration = wavefronts (2i+1, 2i+2)."""
     want_dirs = _norm_dirs(want_dirs)
@@ -290,16 +302,16 @@ def _banded_diag_lax(
         lim = lambda par: (k_hi_eff - k_lo_even - par) // 2
         a1 = 2 * i + 1
         M, I, D, H, s1w, s2w, code1 = _diag_step(
-            1, a1, M1, I1, D1, H2, s1w, s2w, c1[:, None], None,
+            1, a1, M1, I1, D1, H2, H1, s1w, s2w, c1[:, None], None,
             lane, n1v, n2v, he, L, lim(1), scheme, compat, wildcard,
-            want_dirs, roll,
+            want_dirs, roll, model=model,
         )
         cap = capture(cap, a1, M, I, D)
         a2 = 2 * i + 2
         M2, I2, D2, Hb, s1w, s2w, code2 = _diag_step(
-            0, a2, M, I, D, H1, s1w, s2w, None, c2[:, None],
+            0, a2, M, I, D, H1, H, s1w, s2w, None, c2[:, None],
             lane, n1v, n2v, he, L, lim(0), scheme, compat, wildcard,
-            want_dirs, roll,
+            want_dirs, roll, model=model,
         )
         cap = capture(cap, a2, M2, I2, D2)
         out = (code1, code2) if want_dirs else 0
@@ -341,7 +353,7 @@ def _diag_kernel(
     M1, I1, D1, H1, H2, s1w, s2w,
     *, k_lo_even: int, L: int, chunk: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
-    unroll: int = 4,
+    unroll: int = 4, model: str = "ref",
 ):
     """Grid (NB, NC): batch tiles x iteration chunks (1 iteration = 2
     wavefronts).  The fori body unrolls `unroll` iterations (multiple of
@@ -423,11 +435,11 @@ def _diag_kernel(
                 c1, c2 = col_qd(i)
                 a1 = 2 * g + 1
                 M, I, D, H, s1c, s2c, code1 = _diag_step(
-                    1, a1, Mp, Ip, Dp, Hpp, s1c, s2c, c1, None,
+                    1, a1, Mp, Ip, Dp, Hpp, Hp, s1c, s2c, c1, None,
                     lane, n1v, n2v, he, L,
                     (k_hi_eff - k_lo_even - 1) // 2,
                     scheme, compat, wildcard,
-                    want_dirs, roll, boundary=boundary,
+                    want_dirs, roll, boundary=boundary, model=model,
                 )
 
                 @pl.when(jnp.logical_and(a1 >= a_lo, a1 <= a_hi))
@@ -436,11 +448,11 @@ def _diag_kernel(
 
                 a2 = 2 * g + 2
                 M2_, I2_, D2_, H2_, s1c, s2c, code2 = _diag_step(
-                    0, a2, M, I, D, Hp, s1c, s2c, None, c2,
+                    0, a2, M, I, D, Hp, H, s1c, s2c, None, c2,
                     lane, n1v, n2v, he, L,
                     (k_hi_eff - k_lo_even) // 2,
                     scheme, compat, wildcard,
-                    want_dirs, roll, boundary=boundary,
+                    want_dirs, roll, boundary=boundary, model=model,
                 )
 
                 @pl.when(jnp.logical_and(a2 >= a_lo, a2 <= a_hi))
@@ -497,7 +509,7 @@ def banded_diag_fill_pallas(
     k_lo_even: int, L: int, k_hi_eff: int,
     scheme: ScoringScheme, compat: bool, wildcard: bool, want_dirs,
     chunk: int = 128, bt: int = 8, interpret: Optional[bool] = None,
-    unroll: int = 4,
+    unroll: int = 4, model: str = "ref",
 ):
     """Invoke the anti-diagonal kernel.  B multiple of 8; c1s/c2s (B, Np)
     with Np a multiple of `chunk` (which is a multiple of 4)."""
@@ -515,7 +527,7 @@ def banded_diag_fill_pallas(
         _diag_kernel, k_lo_even=k_lo_even, L=L, chunk=chunk,
         k_hi_eff=k_hi_eff,
         scheme=scheme, compat=compat, wildcard=wildcard, want_dirs=want_dirs,
-        unroll=unroll,
+        unroll=unroll, model=model,
     )
     bspec = lambda shp, imap: pl.BlockSpec(shp, imap, memory_space=pltpu.VMEM)
     cchunk = max(chunk, 128)
@@ -565,7 +577,8 @@ def banded_diag_fill_pallas(
 
 @functools.lru_cache(maxsize=64)
 def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
-                 compat, wildcard, want_dirs, bt, chunk, unroll=4):
+                 compat, wildcard, want_dirs, bt, chunk, unroll=4,
+                 model="ref"):
     """One jitted dispatch per configuration (stream prep fused with the
     fill; see nw_banded._jitted_banded for why)."""
     if want_dirs is True:  # legacy bool callers mean the full layout
@@ -581,11 +594,11 @@ def _jitted_diag(backend, k_lo_even, L, n_iters, k_hi_eff, scheme,
             return banded_diag_fill_pallas(
                 s1w0, s2w0, c1s, c2s, n1v, n2v, k_lo_even, L, k_hi_eff,
                 scheme, compat, wildcard, want_dirs, chunk=chunk, bt=bt,
-                unroll=unroll,
+                unroll=unroll, model=model,
             )
         return _banded_diag_lax(
             query, db, n1v, n2v, k_lo_even, L, n_iters, k_hi_eff,
-            scheme, compat, wildcard, want_dirs,
+            scheme, compat, wildcard, want_dirs, model=model,
         )
 
     return jax.jit(run)
@@ -634,14 +647,31 @@ def nw_banded_diag_batch(
     backend: str = "auto",
     bt: Optional[int] = None,
     unroll: Optional[int] = None,
+    model: str = "ref",
 ) -> BandedDiagResult:
     """Anti-diagonal banded Gotoh fill.  Same band semantics and score
     contract as ops.nw_banded.nw_banded_batch; with_dirs in (False,
-    "fast4", "full"/True)."""
+    "fast4", "full"/True).
+
+    model="std" switches the gap-open source from the M plane to
+    H = max(M, I, D) -- the standard gap-affine model (what WFA's merged
+    M-wavefront computes, wfa.rs:353-398), enabling the WFA certificate
+    route for penalty schemes outside the coincidence regime
+    (mismatch > 2*gap_extend, PARITY.md).  Textbook boundaries and fast4
+    dirs only: the "full" 7-bit co-optimal layout and the compat
+    boundary quirks are reference-model artifacts."""
     if with_dirs is True:
         with_dirs = "full"
     if with_dirs not in (False, None, "fast4", "full"):
         raise ValueError(f"unknown dirs mode {with_dirs!r}")
+    if model not in ("ref", "std"):
+        raise ValueError(f"unknown affine model {model!r}")
+    if model == "std" and (compat or with_dirs == "full"):
+        raise ValueError(
+            "model='std' (any-state gap opens) supports textbook "
+            "boundaries and fast4/score-only dirs; compat and the full "
+            "co-optimal layout are reference-model semantics"
+        )
     qlen = np.asarray(query_len)
     dlen = np.asarray(db_len)
     diff = qlen.astype(np.int64) - dlen.astype(np.int64)
@@ -692,6 +722,7 @@ def nw_banded_diag_batch(
         backend, k_lo_even, L, n_iters, k_hi_eff, scheme, compat,
         wildcard, want_dirs, bt, chunk,
         unroll if unroll is not None else _default_unroll(want_dirs),
+        model=model,
     )
     finals, dirs = fn(
         jnp.asarray(np.asarray(query, np.int8)),

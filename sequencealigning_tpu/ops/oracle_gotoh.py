@@ -39,9 +39,20 @@ def gotoh_fill(
     seq2: bytes,
     scheme: ScoringScheme = ScoringScheme(),
     compat: bool = True,
+    model: str = "ref",
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Fill the three DP planes; returns (m, i, d) int32 arrays of shape
-    (len(seq2)+1, len(seq1)+1).  Reference: fill(), :169-241."""
+    (len(seq2)+1, len(seq1)+1).  Reference: fill(), :169-241.
+
+    model="std" opens gaps from H = max(M, I, D) instead of the M plane
+    -- the STANDARD gap-affine model (WFA's merged M-wavefront,
+    wfa.rs:353-398); textbook boundaries only (compat is a
+    reference-model notion).  The two models coincide iff
+    mismatch <= 2*gap_extend in penalty terms (PARITY.md)."""
+    if model not in ("ref", "std"):
+        raise ValueError(f"unknown affine model {model!r}")
+    if model == "std" and compat:
+        raise ValueError("model='std' requires compat=False")
     n1, n2 = len(seq1), len(seq2)
     o, e = scheme.gap_open, scheme.gap_extend
     mat = scheme.match_
@@ -70,6 +81,7 @@ def gotoh_fill(
 
     s1 = np.frombuffer(seq1, dtype=np.uint8)
     s2 = np.frombuffer(seq2, dtype=np.uint8)
+    std = model == "std"
     for x in range(1, n2 + 1):
         mp = m[x - 1]
         ip = i_[x - 1]
@@ -77,14 +89,15 @@ def gotoh_fill(
         mc = m[x]
         ic = i_[x]
         dc = d[x]
+        hp = np.maximum(np.maximum(mp, ip), dp)  # H at row x-1
         # D depends only on the previous row: vectorize over y.
-        dc[1:] = np.maximum(mp[1:] + o, dp[1:]) + e
+        dc[1:] = np.maximum((hp if std else mp)[1:] + o, dp[1:]) + e
         sub = np.where(s1 == s2[x - 1], mat, mis)
-        best_prev = np.maximum(np.maximum(mp[:-1], ip[:-1]), dp[:-1])
-        mc[1:] = best_prev + sub
+        mc[1:] = hp[:-1] + sub
         # I has the in-row dependency; scalar loop (oracle = clarity first).
         for y in range(1, n1 + 1):
-            ic[y] = max(mc[y - 1] + o, ic[y - 1]) + e
+            open_src = max(mc[y - 1], ic[y - 1], dc[y - 1]) if std else mc[y - 1]
+            ic[y] = max(open_src + o, ic[y - 1]) + e
     return (
         m.astype(np.int32),
         i_.astype(np.int32),
@@ -97,10 +110,11 @@ def gotoh_score(
     seq2: bytes,
     scheme: ScoringScheme = ScoringScheme(),
     compat: bool = True,
+    model: str = "ref",
 ) -> int:
     """Final global score = max over the three planes at (len2, len1)
     (reference: traceback seed, :247-250)."""
-    m, i_, d = gotoh_fill(seq1, seq2, scheme, compat)
+    m, i_, d = gotoh_fill(seq1, seq2, scheme, compat, model=model)
     return int(max(m[-1, -1], i_[-1, -1], d[-1, -1]))
 
 

@@ -522,9 +522,16 @@ def fast4_traceback_pair(
     return score, [_apply_ops("".join(ops), seq1, seq2)]
 
 
-def _banded_fast4_walk(nib, finals_b, n1: int, n2: int) -> str:
+def _banded_fast4_walk(
+    nib, finals_b, n1: int, n2: int, std: bool = False
+) -> str:
     """Shared first-path walk over any 4-bit banded dirs layout (`nib`
-    resolves cell (x, y) to its code).  Returns the forward op string."""
+    resolves cell (x, y) to its code).  Returns the forward op string.
+
+    std=True walks the STANDARD gap-affine model (gaps open from
+    H = max(M, I, D), ops.nw_banded_diag model='std'): a gap OPEN
+    continues on the predecessor cell's H-argmax plane -- read from that
+    cell's own code, like the M move -- instead of jumping to M."""
     score = int(finals_b.max())
     if int(finals_b[M]) == score:
         plane = M
@@ -532,6 +539,9 @@ def _banded_fast4_walk(nib, finals_b, n1: int, n2: int) -> str:
         plane = I
     else:
         plane = D
+
+    def resolve(x: int, y: int) -> int:
+        return (M, I, D)[min(nib(x, y) & 3, 2)]
 
     ops: List[str] = []
     x, y = n2, n1
@@ -554,15 +564,15 @@ def _banded_fast4_walk(nib, finals_b, n1: int, n2: int) -> str:
             x, y = x - 1, y - 1
             if x == 0 and y == 0:
                 break
-            plane = (M, I, D)[min(nib(x, y) & 3, 2)]
+            plane = resolve(x, y)
         elif plane == I:
             ops.append("I")
-            plane = I if b & 4 else M
             y -= 1
+            plane = I if b & 4 else (resolve(x, y) if std else M)
         else:
             ops.append("D")
-            plane = D if b & 8 else M
             x -= 1
+            plane = D if b & 8 else (resolve(x, y) if std else M)
     ops.reverse()
     return "".join(ops)
 
@@ -597,10 +607,12 @@ def banded_diag_fast4_traceback_pair(
     seq2: bytes,
     k_lo_even: int,
     compat: bool = True,
+    std: bool = False,
 ) -> Tuple[int, List[Tuple[str, str]]]:
     """First-path traceback for ops.nw_banded_diag's wavefront fast4
     layout: cell (x, y) lives at word dirs[(x+y-1)//8, (y-x-k_lo_even)//2],
-    shift 4*((x+y-1)%8)."""
+    shift 4*((x+y-1)%8).  std walks the any-state-open model
+    (nw_banded_diag model='std')."""
     n1, n2 = len(seq1), len(seq2)
 
     def nib(x: int, y: int) -> int:
@@ -612,7 +624,7 @@ def banded_diag_fast4_traceback_pair(
             return 0
         return int(dirs_b[aidx >> 3, l] >> (4 * (aidx & 7))) & 0xF
 
-    ops = _banded_fast4_walk(nib, finals_b, n1, n2)
+    ops = _banded_fast4_walk(nib, finals_b, n1, n2, std=std)
     return int(finals_b.max()), [_apply_ops(ops, seq1, seq2)]
 
 

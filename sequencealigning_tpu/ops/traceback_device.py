@@ -52,11 +52,17 @@ _OP_NONE, _OP_M, _OP_I, _OP_D = 0, 1, 2, 3
 _OP_LUT = np.frombuffer(b"\x00MID", dtype=np.uint8)
 
 
-def _plane_step(nib, x, y, plane):
+def _plane_step(nib, x, y, plane, std: bool = False):
     """One walk step given each pair's current-cell fast4 nibble:
     (op code, x', y', plane').  Bit-exact vectorization of the host
     walkers' shared loop body (ops.traceback.fast4_traceback_pair /
-    _banded_fast4_walk)."""
+    _banded_fast4_walk).
+
+    std=True walks the STANDARD gap-affine model (gaps open from
+    H = max(M, I, D), ops.nw_banded_diag model='std'): a gap OPEN lands
+    on the predecessor cell's best plane, so the plane goes to PENDING
+    and resolves from the next step's own gather (the same trick the
+    M-plane move already uses) instead of jumping to M."""
     # Resolve a pending plane from this cell's H-argmax code (clamp
     # code 3 to D exactly like the host walkers).
     plane = jnp.where(plane == _PEND, jnp.minimum(nib & 3, 2), plane)
@@ -69,13 +75,14 @@ def _plane_step(nib, x, y, plane):
     op = jnp.where(done, _OP_NONE, eff + 1).astype(jnp.uint8)
     step_x = (~done) & ((eff == 0) | (eff == 2))
     step_y = (~done) & ((eff == 0) | (eff == 1))
+    open_to = _PEND if std else 0
     nxt = jnp.where(
         eff == 0,
         _PEND,
         jnp.where(
             eff == 1,
-            jnp.where((nib & 4) != 0, 1, 0),
-            jnp.where((nib & 8) != 0, 2, 0),
+            jnp.where((nib & 4) != 0, 1, open_to),
+            jnp.where((nib & 8) != 0, 2, open_to),
         ),
     )
     plane = jnp.where(done, plane, nxt)
@@ -169,10 +176,11 @@ _walk_fast4 = jax.jit(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("t_steps", "unroll")
+    jax.jit, static_argnames=("t_steps", "unroll", "std")
 )
 def _walk_banded_diag(
-    dirs, x0, y0, plane0, bidx, k_lo_even, t_steps: int, unroll: int = 8
+    dirs, x0, y0, plane0, bidx, k_lo_even, t_steps: int, unroll: int = 8,
+    std: bool = False,
 ):
     """Batched fast4 walk over ops.nw_banded_diag's wavefront layout:
     cell (x, y) of pair bidx[i] lives at word dirs[(x+y-1) >> 3, bidx[i],
@@ -193,7 +201,7 @@ def _walk_banded_diag(
             jnp.int32
         )
         nib = jnp.where(valid, nib, 0)
-        op, x, y, plane = _plane_step(nib, x, y, plane)
+        op, x, y, plane = _plane_step(nib, x, y, plane, std=std)
         return (x, y, plane), op
 
     (x, y, _), packed, n_used = _chunked_walk(
@@ -679,6 +687,7 @@ def banded_diag_device_tbs(
     k_lo_even: int,
     compat: bool = True,
     pair_idx: Optional[np.ndarray] = None,
+    std: bool = False,
 ):
     """Device walk over a banded-diag fast4 fill in the host batch
     walkers' result format: a list of (score, [(a1, a2)]) /
@@ -693,7 +702,7 @@ def banded_diag_device_tbs(
     if pair_idx is None:
         pair_idx = np.arange(len(seqs1), dtype=np.int32)
     alns, scores = banded_diag_align_device(
-        dirs, finals, seqs1, seqs2, k_lo_even, pair_idx=pair_idx
+        dirs, finals, seqs1, seqs2, k_lo_even, pair_idx=pair_idx, std=std
     )
     finals = np.asarray(finals)
     out = []
@@ -705,6 +714,7 @@ def banded_diag_device_tbs(
                     banded_diag_fast4_traceback_pair(
                         np.asarray(dirs[:, slot, :]), finals[slot],
                         seqs1[b], seqs2[b], k_lo_even, compat=compat,
+                        std=std,
                     )
                 )
             except AlignmentError as e:
@@ -722,6 +732,7 @@ def banded_diag_align_device(
     k_lo_even: int,
     unroll: int = 8,
     pair_idx: Optional[np.ndarray] = None,
+    std: bool = False,
 ) -> Tuple[List[Optional[Tuple[str, str]]], np.ndarray]:
     """Device walk over an ops.nw_banded_diag fast4 dirs tensor
     ((Aw, B, L) uint32 wavefront-packed).  Returns (alignments, scores);
@@ -745,6 +756,7 @@ def banded_diag_align_device(
         jnp.int32(k_lo_even),
         t_steps=t_steps,
         unroll=unroll,
+        std=std,
     )
     packed = packed[:, : max(int(n_used), 1) * (_CHUNK // 16)]
     packed, xf, yf = jax.device_get((packed, xf, yf))

@@ -313,19 +313,26 @@ def test_native_engine_model_routing():
             assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
 
 
-def test_forced_banded_engine_rejects_out_of_regime_scheme():
-    """wfa_engine='banded' outside the coincidence regime would silently
-    report the wrong (Gotoh-model) penalty; it must refuse instead."""
+def test_forced_banded_engine_exact_out_of_regime_scheme():
+    """wfa_engine='banded' outside the coincidence regime used to refuse
+    (round 4: the M-only Gotoh model would report the wrong penalty);
+    it now switches to the kernel's any-state-open variant
+    (ops.nw_banded_diag model='std') and must be exact
+    (tests/test_std_affine.py covers the engine in depth)."""
     from sequencealigning_tpu.config import AlignConfig, Algo, WfaPenalties
-    from sequencealigning_tpu.io.fasta import Record
     from sequencealigning_tpu.models import get_aligner
+    from sequencealigning_tpu.ops import oracle_wfa
 
     pen = WfaPenalties(mismatch=9, gap_open=1, gap_extend=2)
     al = get_aligner(AlignConfig(
         algo=Algo.WFA, compat=False, wfa_penalties=pen, wfa_engine="banded",
     ))
-    with pytest.raises(ValueError, match="coincidence regime"):
-        al._align_batch_impl([(b"ACGT", b"AGGT")])
+    pairs = [(b"ACGT", b"AGGT"), (b"ACGTACGTAC", b"ACGACGTTAC")]
+    out = al._align_batch_impl(pairs)
+    for (s1, s2), r in zip(pairs, out):
+        assert isinstance(r, dict), r
+        assert r["score"] == oracle_wfa.wfa_textbook_score(s1, s2, pen)
+        assert _penalty_of(r["aligned_query"], r["aligned_db"], pen) == r["score"]
 
 
 def test_native_engine_adversarial_shapes():
