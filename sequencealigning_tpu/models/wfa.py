@@ -438,10 +438,38 @@ class WfaAligner(Aligner):
             except AlignmentError:
                 break  # beyond the int16 offset cap: exact fallback below
             converged = np.asarray(res.converged)
+            # Batched device traceback first (the offset log never leaves
+            # the device; the walk scan emits 3 bytes/step of RLE ops vs
+            # fetching the whole (S, 3, B, K) history): routed exactly
+            # like the Gotoh fast4 walks.  Pairs whose device walk fails
+            # validation (or on the host route) fall back per pair.
+            from sequencealigning_tpu.ops.traceback_device import (
+                use_device_walk,
+            )
+
+            dev_alns = None
+            if use_device_walk(self.config):
+                from sequencealigning_tpu.ops.wfa import (
+                    wfa_traceback_device,
+                )
+
+                dev_alns = wfa_traceback_device(
+                    res, [pairs[i][0] for i in pending],
+                    [pairs[i][1] for i in pending],
+                    self.config.wfa_penalties,
+                )
+            score_h = np.asarray(res.score)
             still = []
             for j, i in enumerate(pending):
                 if not converged[j]:
                     still.append(i)
+                    continue
+                if dev_alns is not None and dev_alns[j] is not None:
+                    out[i] = dict(
+                        score=int(score_h[j]),
+                        aligned_query=dev_alns[j][0],
+                        aligned_db=dev_alns[j][1],
+                    )
                     continue
                 try:
                     score, a1, a2 = wfa_traceback_host(

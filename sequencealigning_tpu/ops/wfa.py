@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -681,6 +681,183 @@ def _walk_hist(
                 s, k, t = s - e_pen, k + 1, t - 1
 
     return "".join(reversed(a1)), "".join(reversed(a2)), k, t0
+
+
+_TB_CHUNK_T = 256  # device-walk step bucket (compile-cache granularity)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k_lo", "g", "T", "x_pen", "o_pen", "e_pen")
+)
+def _wfa_walk_device_jit(hist, s0, k0v, t0v, live0, k_lo: int, g: int,
+                         T: int, x_pen: int, o_pen: int, e_pen: int):
+    """Batched on-device walk of the offset-history log: a lax.scan whose
+    every step gathers THREE history values per pair (the M/I/D reads of
+    ops.wfa._walk_hist's loop body, branchlessly selected by state) and
+    emits one RLE op run (val, len).  Bit-equal to the host walker: same
+    tie priority (mismatch > I > D), same open-vs-extend probes.
+
+    hist: (S, 3, B, K) int16 device log; s0/k0v/t0v (B,) int32 seeds;
+    live0: converged mask.  Returns (vals (B, T) uint8 — 1=M 2=I 3=D,
+    0 pad — lens (B, T) int32, ok (B,) bool: walk reached the s=0 seed
+    on diagonal 0 within T steps)."""
+    S, _three, B, K = hist.shape
+    oe = o_pen + e_pen
+    bidx = jnp.arange(B)
+    NEGi = jnp.int32(NEG)
+
+    def gat(plane, r, ln):
+        ok = (
+            (r >= 0) & (r % g == 0) & (r // g < S) & (ln >= 0) & (ln < K)
+        )
+        v = hist[
+            jnp.clip(r // g, 0, S - 1), plane, bidx,
+            jnp.clip(ln, 0, K - 1),
+        ].astype(jnp.int32)
+        return jnp.where(ok, v, NEGi)
+
+    def step(carry, _):
+        s, k, t, st, bad = carry
+        lane = k - jnp.int32(k_lo)
+        is_m = st == 0
+        is_i = st == 1
+        is_d = st == 2
+        live = st < 3
+        # Gather 1 reads the M plane at the state's probe row/lane:
+        # M: (s - x, k); I: (s - o - e, k - 1); D: (s - o - e, k + 1).
+        r1 = jnp.where(is_m, s - x_pen, s - oe)
+        l1 = lane + jnp.where(is_m, 0, jnp.where(is_i, -1, 1))
+        mx = gat(0, r1, l1)
+        iv = gat(1, s, lane)
+        dv = gat(2, s, lane)
+        # --- M state: emit the match run, then mismatch / I / D / seed.
+        mx1 = jnp.where(mx > NEGi, mx + 1, NEGi)
+        t_pre = jnp.maximum(jnp.maximum(mx1, iv), dv)
+        seed = is_m & (s == 0)
+        mis = is_m & ~seed & (mx > NEGi) & (t_pre == mx1)
+        toI = is_m & ~seed & ~mis & (t_pre == iv)
+        run = t - t_pre
+        # --- I/D states: open-vs-extend probe (gather 1 doubles as m_src).
+        opn = jnp.where(is_i, mx == t, mx == t - 1)
+        # Emitted RLE run for this step (walk order: end -> start).
+        val = jnp.where(
+            ~live, 0, jnp.where(is_m, 1, jnp.where(is_i, 2, 3))
+        ).astype(jnp.uint8)
+        ln_m = jnp.where(seed, t, jnp.where(mis, run + 1, run))
+        ln = jnp.where(~live, 0, jnp.where(is_m, ln_m, 1))
+        # Next state.
+        s_n = jnp.where(
+            is_m, jnp.where(mis, s - x_pen, s),
+            jnp.where(opn, s - oe, s - e_pen),
+        )
+        k_n = k + jnp.where(is_i, -1, jnp.where(is_d, 1, 0))
+        t_n = jnp.where(
+            is_m,
+            jnp.where(seed, 0, jnp.where(mis, t_pre - 1, t_pre)),
+            jnp.where(is_d, t - 1, t),
+        )
+        st_n = jnp.where(
+            is_m,
+            jnp.where(seed, 3, jnp.where(mis, 0, jnp.where(toI, 1, 2))),
+            jnp.where(opn, 0, st),
+        )
+        # A global seed must land on diagonal 0 (the host walker's
+        # seed-window check); a negative run length means a corrupt log.
+        bad = bad | (live & ((ln < 0) | (seed & (k != 0))))
+        s, k, t, st = (
+            jnp.where(live, v, o) for v, o in
+            ((s_n, s), (k_n, k), (t_n, t), (st_n, st))
+        )
+        return (s, k, t, st, bad), (val, ln)
+
+    st0 = jnp.where(live0, 0, 3).astype(jnp.int32)
+    bad0 = jnp.zeros_like(live0)
+    (sf, kf, tf, stf, bad), (vals, lens) = jax.lax.scan(
+        step, (s0, k0v, t0v, st0, bad0), None, length=T, unroll=8
+    )
+    ok = live0 & (stf == 3) & ~bad
+    return vals.T, lens.T, ok
+
+
+def wfa_traceback_device(
+    result: WfaBatchResult,
+    seqs1: List[bytes],
+    seqs2: List[bytes],
+    penalties: WfaPenalties = WfaPenalties(),
+) -> List[Optional[Tuple[str, str]]]:
+    """Batched ON-DEVICE traceback from the offset-history log (global
+    mode): the offset log never leaves the device (~(S, 3, B, K) int16,
+    hundreds of MB at 128 x 10 kb), and the walk's sequential scalar
+    chain runs as one lax.scan emitting RLE op runs -- 3 bytes/step to
+    the host instead of the whole log.  The RLE stream feeds the same
+    rle_expand_packed + decode_packed_alignments pipeline as the Gotoh
+    device walks (native C decode, exact consumption validation).
+
+    Returns one (aligned_seq1, aligned_seq2) per pair, or None where the
+    pair did not converge, the walk failed validation, or the result is
+    ends-free (spans walk stays on the host) -- callers fall back to
+    wfa_traceback_host per pair.  Alignments are bit-identical to the
+    host walker (same tie priority; pinned in tests/test_wfa_device_tb).
+    """
+    from sequencealigning_tpu.ops.traceback_device import (
+        decode_packed_alignments,
+        rle_expand_packed,
+    )
+
+    B = len(seqs1)
+    if result.spans != (0, 0, 0, 0):
+        return [None] * B
+    conv = np.asarray(result.converged)[:B]
+    if not conv.any():
+        return [None] * B
+    score = np.asarray(result.score)[:B]
+    g = result.stride
+    # Device-side history: the still-on-device chunks when available
+    # (the normal path -- score-only fetches never happened), else the
+    # host copy shipped back once.
+    chunks = result._chunks
+    if chunks is not None:
+        smax = int(score.max(initial=-1))
+        rows_needed = smax // g + 1 if smax >= 0 else 1
+        keep, rows = [], 0
+        for c in chunks:
+            if rows >= rows_needed:
+                break
+            keep.append(c)
+            rows += c.shape[0]
+        hist = jnp.concatenate(keep, axis=0) if len(keep) > 1 else keep[0]
+    else:
+        hist = jnp.asarray(result.hist)
+    n1s = np.array([len(x) for x in seqs1], np.int64)
+    n2s = np.array([len(x) for x in seqs2], np.int64)
+    pen = penalties
+    # Step budget: every 2 walk steps retire at least min(x, e) penalty
+    # (M-state transitions to I/D spend no penalty; the I/D step after
+    # them does), plus the final seed emission.
+    min_dec = max(1, min(pen.mismatch, pen.gap_extend))
+    T_need = 2 * (int(score.max(initial=0)) // min_dec + 2) + 2
+    T = -(-T_need // _TB_CHUNK_T) * _TB_CHUNK_T
+    Bp = hist.shape[2]
+    s0 = np.zeros(Bp, np.int32)
+    k0 = np.zeros(Bp, np.int32)
+    t0 = np.zeros(Bp, np.int32)
+    lv = np.zeros(Bp, bool)
+    s0[:B] = score
+    k0[:B] = n1s - n2s
+    t0[:B] = n2s
+    lv[:B] = conv
+    vals, lens, ok = _wfa_walk_device_jit(
+        hist, jnp.asarray(s0), jnp.asarray(k0), jnp.asarray(t0),
+        jnp.asarray(lv), k_lo=result.k_lo, g=g, T=T,
+        x_pen=pen.mismatch, o_pen=pen.gap_open, e_pen=pen.gap_extend,
+    )
+    vals, lens, ok = jax.device_get((vals[:B], lens[:B], ok[:B]))
+    W = max(1, -(-int((n1s + n2s).max(initial=1)) // 16))
+    packed = rle_expand_packed(
+        vals, np.clip(lens, 0, None).astype(np.uint16), W
+    )
+    alns = decode_packed_alignments(packed, seqs1, seqs2)
+    return [a if ok[b] else None for b, a in enumerate(alns)]
 
 
 def wfa_ends_free_traceback_host(
