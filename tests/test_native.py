@@ -441,3 +441,82 @@ def test_astar_batch_native_matches_singles():
     assert got[24] == (
         "One of the provided sequences was empty. Alignment is skipped"
     )
+
+
+def test_native_wfa_compat_odd_penalties_match_python():
+    """Odd (gcd-1) penalties make rec_tr's predecessor probes HIT (at
+    the defaults every probe misses and alignments print empty --
+    oracle_wfa.py analysis), so this fuzz is what actually exercises the
+    traceback's branch dispatch (wfa.rs:683-853) in both independent
+    emulations: the Python oracle and the C port must agree on scores,
+    (buggy-faithful) alignments, and error strings."""
+    import random
+
+    import pytest
+
+    from sequencealigning_tpu import native
+    from sequencealigning_tpu.config import WfaPenalties, WfaPruning
+    from sequencealigning_tpu.errors import AlignmentError
+    from sequencealigning_tpu.ops import oracle_wfa
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+
+    rng = random.Random(31)
+    pru = WfaPruning()
+    for pen in (
+        WfaPenalties(mismatch=5, gap_open=3, gap_extend=1),
+        WfaPenalties(mismatch=3, gap_open=1, gap_extend=2),
+    ):
+
+        def py(s1, s2):
+            try:
+                score, ocean = oracle_wfa.wfa_align(
+                    s1, s2, penalties=pen, pruning=pru, max_steps=20_000
+                )
+                a1, a2 = oracle_wfa.wfa_traceback(ocean, s1, s2)
+                return (score, a1, a2)
+            except AlignmentError as e:
+                return ("err", str(e))
+
+        def nat(s1, s2):
+            try:
+                r = native.wfa_compat_align_native(s1, s2, pen, pru, 20_000)
+                assert r is not None
+                return r
+            except AlignmentError as e:
+                return ("err", str(e))
+
+        def cases():
+            for _ in range(30):  # independent, length-skewed (gap-heavy)
+                n1 = rng.randint(1, 24)
+                n2 = rng.randint(1, 24)
+                yield (
+                    bytes(rng.choice(b"ACGT") for _ in range(n1)),
+                    bytes(rng.choice(b"ACGT") for _ in range(n2)),
+                )
+            for _ in range(20):  # mutated copies incl. indels
+                n = rng.randint(8, 40)
+                ref = bytes(rng.choice(b"ACGT") for _ in range(n))
+                mut = bytearray(ref)
+                for _ in range(rng.randint(1, 4)):
+                    i = rng.randrange(max(1, len(mut)))
+                    op = rng.randrange(3)
+                    if op == 0:
+                        mut[i] = rng.choice(b"ACGT")
+                    elif op == 1 and len(mut) > 3:
+                        del mut[i]
+                    else:
+                        mut.insert(i, rng.choice(b"ACGT"))
+                yield bytes(mut), ref
+
+        n_nonempty = 0
+        for s1, s2 in cases():
+            a, b = py(s1, s2), nat(s1, s2)
+            assert a == b, (pen, s1, s2, a, b)
+            if a[0] != "err" and (a[1] or a[2]):
+                n_nonempty += 1
+        # The point of odd penalties: the probes must actually hit on a
+        # decent share of pairs (at the even defaults ALL tracebacks
+        # print empty; gap-heavy pairs are where the branches fire).
+        assert n_nonempty > 5, (pen, n_nonempty)
