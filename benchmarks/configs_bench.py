@@ -571,7 +571,10 @@ def main() -> int:
             r = {"config": cid, "error": f"{type(ex).__name__}: {ex}"}
         results.append(r)
         print(json.dumps(r), file=sys.stderr)
+    import datetime
+
     out = {
+        "date": datetime.date.today().isoformat(),
         "backend": jax.default_backend(),
         # Link health at run time: this rig reaches the chip through a
         # tunnel whose latency/bandwidth drift run-to-run (measured 1.7x
