@@ -99,10 +99,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--wfa-spans", default=None, metavar="L1,L2,T1,T2",
         help="Bounded ends-free WFA spans for '-a wfa --textbook -m "
-        "semi-global': max FREE leading/trailing skips of query (L1/T1) "
-        "and db (L2/T2).  A single integer applies to all four.  "
-        "Required for semi-global textbook WFA (unbounded ends-free is "
-        "degenerate under min-penalty scoring)",
+        "semi-global' or '-m local': max FREE leading/trailing skips of "
+        "query (L1/T1) and db (L2/T2).  A single integer applies to all "
+        "four.  Required for semi-global/local textbook WFA (the "
+        "unbounded forms are degenerate under min-penalty scoring -- "
+        "the empty alignment always wins at 0; PARITY.md modes matrix)",
     )
     p.add_argument(
         "--serve", action="store_true",

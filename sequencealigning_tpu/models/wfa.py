@@ -29,13 +29,20 @@ from sequencealigning_tpu.ops.wfa import wfa_textbook_batch, wfa_traceback_host
 
 class WfaAligner(Aligner):
     def _align_batch_impl(self, pairs: List[Tuple[bytes, bytes]]):
-        if self.config.mode is Mode.SEMI_GLOBAL and not self.config.compat:
+        if self.config.mode in (
+            Mode.SEMI_GLOBAL, Mode.LOCAL
+        ) and not self.config.compat:
             # Bounded ends-free WFA (WFA2-lib-style spans).  UNBOUNDED
-            # both-sides ends-free is degenerate under min-penalty
-            # scoring (the empty alignment costs 0), so explicit span
-            # bounds are what make textbook semi-global WFA well-posed;
-            # without them the mode stays unimplemented like the
-            # reference (wfa.rs:24-27).
+            # ends-free/local is degenerate under min-penalty scoring
+            # (the empty alignment costs 0 and always wins), so explicit
+            # span bounds are what make these modes well-posed; without
+            # them both stay unimplemented like the reference
+            # (wfa.rs:24-27).  Span-bounded LOCAL is the same
+            # formulation as bounded ends-free -- free skips up to
+            # (lead1, lead2, trail1, trail2) on BOTH sequences at BOTH
+            # ends -- so the two modes share the spans engine; the
+            # PARITY.md modes matrix records the degeneracy argument as
+            # the permanent decision for the unbounded cells.
             spans = getattr(self.config, "wfa_spans", None)
             if spans is not None:
                 return self._ends_free_batch(pairs, tuple(spans))

@@ -225,3 +225,29 @@ def test_ends_free_band_escape_reports_unconverged():
         assert int(res2.score[0]) == ends_free_oracle(
             q, db, PEN, (0, 4, 0, 0)
         )
+
+
+def test_local_mode_spans_shares_ends_free_engine():
+    """Span-bounded LOCAL is the bounded-ends-free formulation (free
+    skips on both sequences at both ends, up to the bounds): -m local
+    with spans must produce exactly the semi-global spans result, and
+    without spans both modes stay 'not implemented' (the unbounded
+    forms are degenerate -- PARITY.md modes matrix)."""
+    from sequencealigning_tpu.config import AlignConfig, Algo, Mode
+    from sequencealigning_tpu.errors import AlignmentError
+    from sequencealigning_tpu.models.wfa import WfaAligner
+
+    pairs = [(b"GGACGTACGT", b"ACGTACGTTT"), (b"ACGT", b"TTACGTAA")]
+    outs = {}
+    for mode in (Mode.SEMI_GLOBAL, Mode.LOCAL):
+        cfg = AlignConfig(
+            algo=Algo.WFA, compat=False, mode=mode, band=16,
+            wfa_spans=(4, 4, 4, 4),
+        )
+        outs[mode] = WfaAligner(cfg)._align_batch_impl(pairs)
+    assert outs[Mode.SEMI_GLOBAL] == outs[Mode.LOCAL]
+    assert all(isinstance(r, dict) for r in outs[Mode.LOCAL])
+    # Unbounded local: permanent not-implemented (degeneracy decision).
+    cfg = AlignConfig(algo=Algo.WFA, compat=False, mode=Mode.LOCAL)
+    out = WfaAligner(cfg)._align_batch_impl(pairs)
+    assert all(isinstance(r, AlignmentError) for r in out)
