@@ -507,6 +507,10 @@ def config5_streaming(on_tpu):
         "length": length,
         "projected_1M_pairs_s": round(1e6 / rate, 1),
         "elapsed_s": round(dt, 4),
+        # Input contract (VERDICT r4 weak #7): (query, db) BYTE pairs,
+        # host-packed per batch on the prep thread, scores only.  The
+        # pre-packed 2-bit wire path is BENCH_1M.json.
+        "input_contract": "byte-pairs host-packed, scores only",
     }
 
 

@@ -121,6 +121,11 @@ def main() -> int:
         "resumed_from_batch": resumed_from,
         "batches_delivered": got["batches"],
         "backend": jax.default_backend(),
+        # Input contract (VERDICT r4 weak #7): this bench streams
+        # PRE-PACKED 2-bit WireBatch objects (io.encode wire format,
+        # scores only) -- the zero-host-prep fast path.  The byte-pair
+        # path (host pack per batch) is BENCH_CONFIGS.json config 5.
+        "input_contract": "prepacked-2bit-wire, scores only",
         "ok": bool(ok),
     }
     print(json.dumps(result))
