@@ -8,13 +8,11 @@ before any test imports jax-backed modules.
 """
 
 import os
+import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# No persistent XLA compilation cache under pytest: cli.py enables it at
-# import (tests that import the CLI switch it on for the whole process),
-# and a zstandard compress inside jax's cache WRITE path segfaulted a
-# full-suite run (compilation_cache.put_executable_and_time, 2026-08-20).
-# Tests only compile tiny CPU programs -- the cache buys nothing here.
+# The cli enables the framework's own compile-cache setup on import; keep
+# that OFF under pytest (tests control the cache themselves below).
 os.environ["SEQALIGN_NO_COMPILE_CACHE"] = "1"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
@@ -22,9 +20,36 @@ if "--xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# ---------------------------------------------------------------------------
+# Persistent compile cache for the suite, WITHOUT the zstandard writer.
+#
+# Round 4 hit a repeatable segfault inside jax's cache write path
+# (compilation_cache.put_executable_and_time -> zstandard compress) and
+# disabled the cache entirely under pytest.  jax falls back to stdlib
+# zlib when the `zstandard` module is unavailable, so blocking the import
+# BEFORE jax loads gives a safe persistent cache: warm suite reruns load
+# executables from disk instead of recompiling every module (the
+# module-boundary clear_caches() guard below drops only the in-memory
+# caches).  Opt out with SEQALIGN_TEST_CACHE=0 (e.g. the segfault-repro
+# run, which must reproduce round-4 conditions exactly).
+_use_cache = os.environ.get("SEQALIGN_TEST_CACHE", "1") != "0"
+if _use_cache:
+    sys.modules["zstandard"] = None  # import zstandard -> ImportError
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+if _use_cache:
+    _cache_dir = os.environ.get(
+        "SEQALIGN_TEST_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ".jax_test_cache",
+        ),
+    )
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8, jax.devices()
 
@@ -36,7 +61,9 @@ assert len(jax.devices()) == 8, jax.devices()
 # sub-suite passes in isolation (RSS stayed < 4 GB, so it is compiler
 # state, not memory pressure).  Dropping jax's in-memory caches at every
 # MODULE boundary keeps each module's compiles in a near-fresh process
-# regime; cross-module executable reuse is rare, so the cost is small.
+# regime; cross-module executable reuse now comes from the persistent
+# disk cache above, so the cost is small.  SEQALIGN_NO_COMPILER_GUARD=1
+# disables the guard (the repro configuration).
 
 try:  # deep LLVM passes near the thread stack limit are a known SIGSEGV
     import resource
@@ -49,8 +76,12 @@ try:  # deep LLVM passes near the thread stack limit are a known SIGSEGV
 except Exception:
     pass
 
+_guard = os.environ.get("SEQALIGN_NO_COMPILER_GUARD", "") != "1"
+
 
 def pytest_runtest_teardown(item, nextitem):
+    if not _guard:
+        return
     if nextitem is None or item.module is not getattr(
         nextitem, "module", None
     ):
@@ -58,3 +89,12 @@ def pytest_runtest_teardown(item, nextitem):
 
         jax.clear_caches()
         gc.collect()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tier2: multi-minute fuzz/parity sweeps (full coverage tier). "
+        "The quick loop is `pytest tests/ -m 'not tier2'`; CI and the "
+        "pre-commit gate run everything.",
+    )

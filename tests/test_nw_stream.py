@@ -272,6 +272,7 @@ def test_stream_pallas_small_chunk_matches_lax(chunk, wd):
                 assert g == e, (b, pairs[b], g, e)
 
 
+@pytest.mark.tier2  # multi-minute sweep; quick loop: -m 'not tier2'
 def test_stream_int16_state_matches_int32():
     """int16 score state (2x VPU lane density once Mosaic compiles i16
     vectors) must be bit-identical to int32 on the WALKED contracts:

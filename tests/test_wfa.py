@@ -250,6 +250,7 @@ def test_out_of_regime_scheme_routes_to_wavefront():
         assert _penalty_of(r.aligned_query, r.aligned_db, pen) == r.score
 
 
+@pytest.mark.tier2  # multi-minute sweep; quick loop: -m 'not tier2'
 def test_native_engine_matches_wavefront_engine_bytes():
     """The native exact engine shares the traceback walker's tie logic with
     the TPU wavefront engine; at a band wide enough to never clip, the two

@@ -107,6 +107,7 @@ def test_spans_zero_is_global():
         assert (sg, a1g, a2g) == (sp, a1p, a2p)
 
 
+@pytest.mark.tier2  # multi-minute sweep; quick loop: -m 'not tier2'
 def test_ends_free_fuzz_vs_oracle():
     """Fuzzed pairs x fuzzed spans: engine score == scalar DP oracle, and
     the assembled traceback re-scores to exactly the reported penalty
