@@ -884,20 +884,140 @@ class DataParallelRunner:
         )
         return finals[:B], dirs, plan
 
+    def _fill_walk_fused_fn(self, plan, has_n: bool):
+        """ONE jitted shard_map running the streamed fast4 fill AND the
+        on-device walk of its dirs tensor back-to-back per shard.
+
+        Rationale (r5): this rig's tunnel serializes dispatches at
+        ~26-30 ms each, so the separate fill call + walk call + the
+        walk's per-batch length device_put cost ~3 round trips of
+        main-thread time per batch that never overlap device execution.
+        Fusing them into one program cuts that to ONE dispatch: the
+        walk's length vectors come from the stream args the fill
+        already shipped (qll/dll, padded with length 1 = immediate-stop
+        walks, exactly the dispatch path's convention), and the walk's
+        shard-local (row, lane-offset) coordinate vectors are iota
+        functions of the pair index -- no extra inputs at all."""
+        from sequencealigning_tpu.ops import traceback_device as tbd
+        from sequencealigning_tpu.ops.nw_affine_stream import (
+            resolve_stream_state,
+        )
+
+        sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
+        import os as _os
+
+        t_steps = int(plan.l1 + plan.l2)
+        t_padded = -(-t_steps // tbd._CHUNK) * tbd._CHUNK
+        use_rle = (
+            t_padded <= 0xFFFF
+            and jax.process_count() == 1
+            and _os.environ.get("SEQALIGN_RLE", "") not in ("", "0")
+        )
+        key = (
+            "fill_walk", plan, self.gather, jnp.dtype(sdt).name, has_n,
+            use_rle,
+        )
+        if key in self._fn_cache:
+            return self._fn_cache[key], use_rle
+        scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
+        backend, bt, gather = self.backend, self.bt, self.gather
+        NP = plan.np_slots
+        nd = self.n_devices
+
+        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
+            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
+            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
+            qstream, dstream = _mk_streams(q_r, d_r, plan)
+            if backend == "pallas":
+                outs, dirs = gotoh_fill_stream_pallas(
+                    qstream, dstream, dsy, n2y, dso, n2o,
+                    plan, scheme, compat, wildcard, dirs_mode="fast4",
+                    bt=bt, state_dtype=sdt,
+                )
+                finals = stream_finals(outs, NP)
+            else:
+                (fm, fi, fd), dirs = gotoh_fill_stream_lax(
+                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
+                    plan, scheme, compat, wildcard, dirs_mode="fast4",
+                    state_dtype=sdt,
+                )
+                finals = jnp.stack(
+                    [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
+                    axis=1,
+                )
+            # Walk seeds from the LOCAL (pre-gather) finals + the stream
+            # args' true lengths (pair b = row b // NP, slot b % NP, so
+            # the (R_loc, NP) length grids flatten straight into pair
+            # order; padding slots carry length 1).
+            n1 = qll.reshape(-1)
+            n2 = dll.reshape(-1)
+            bs = jnp.arange(n1.shape[0], dtype=jnp.int32)
+            rowp = bs // NP
+            offp = (bs % NP) * plan.s
+            score = jnp.max(finals, axis=1)
+            pl0 = jnp.where(
+                finals[:, 0] == score,
+                0,
+                jnp.where(finals[:, 1] == score, 1, 2),
+            ).astype(jnp.int32)
+            (x, y), packed, n = tbd._walk_fast4_impl(
+                dirs, n2, n1, pl0, rowp, offp, t_steps=t_steps
+            )
+            n = jax.lax.pmax(n, "data")
+            if gather:
+                finals = jax.lax.all_gather(
+                    finals, "data", axis=0, tiled=True
+                )
+            out = (finals, (x, y), packed, n, dirs)
+            if use_rle:
+                out = out + (tbd.rle_pack_ops(packed),)
+            return out
+
+        row = P("data")
+        nspec = row if has_n else P()
+        slot = P(None, "data")
+        pb = P("data")
+        out_specs = (
+            (P() if gather else pb),
+            (pb, pb),
+            P("data", None),
+            P(),
+            P(None, "data", None),
+        )
+        if use_rle:
+            out_specs = out_specs + (
+                (P("data", None), P("data", None), pb),
+            )
+        fn = jax.jit(
+            jax.shard_map(
+                per_shard,
+                mesh=self.mesh,
+                in_specs=(
+                    row, row, nspec, nspec, row, row,
+                    slot, slot, slot, slot,
+                ),
+                out_specs=out_specs,
+                check_vma=False,
+            )
+        )
+        self._fn_cache[key] = fn
+        return fn, use_rle
+
     def fill_walk_from_stream_args(self, args, plan, B: int, has_n: bool,
                                    seqs1, seqs2):
-        """Streamed fast4 fill AND its device walk dispatched back-to-back
-        on args already device_put (no host sync between them): the walk
-        of batch k lands on the device queue before batch k+1's fill, so
-        its packed-op fetch and host decode overlap that fill.  Returns
-        (finals[:B] lazy, walk handles for device_walk_fast4_finish)."""
-        finals, dirs = self._stream_fn(plan, dirs_mode="fast4", has_n=has_n)(
-            *args
-        )
-        handles = self.device_walk_fast4_dispatch(
-            dirs, plan, finals,
-            [len(s) for s in seqs1], [len(s) for s in seqs2],
-        )
+        """Streamed fast4 fill AND its device walk as ONE fused dispatch
+        on args already device_put: the walk lands on the device queue
+        inside the same program as its fill, so its packed-op fetch and
+        host decode overlap the next batch's fill -- and the main thread
+        pays a single tunnel round trip per batch instead of three
+        (fill call + walk call + length device_put; see
+        _fill_walk_fused_fn).  Returns (finals[:B] lazy, walk handles
+        for device_walk_fast4_finish)."""
+        fn, use_rle = self._fill_walk_fused_fn(plan, has_n)
+        out = fn(*args)
+        finals, (xf, yf), packed, n_used, dirs = out[:5]
+        rle = out[5] if use_rle else None
+        handles = (xf, yf, packed, dirs, plan, n_used, rle)
         return finals[:B], handles
 
     def fill_walk_modes_from_stream_args(
