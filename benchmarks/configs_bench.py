@@ -100,56 +100,43 @@ def config2_gotoh(on_tpu):
     pairs = _mkpairs(rng, n, length)
     batch = trim_for_stream(pack_batch(pairs, batch_size=n))
 
-    from sequencealigning_tpu.ops.traceback_device import (
-        fast4_stream_align_device,
-    )
+    # Production first-path contract through the PUBLIC model layer:
+    # the r5 fused fill+walk dispatch (one jitted call runs fill AND the
+    # on-device walk; 2-bit wire H2D; the dirs tensor never crosses the
+    # device boundary -- the round-2 host walk fetched ~300 MB here and
+    # dominated elapsed_s at ~29 s on the tunneled rig).
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.models.gotoh import GotohAligner
 
-    s1s = [p[0] for p in pairs]
-    s2s = [p[1] for p in pairs]
-    # Production first-path contract: fast4 fill + ON-DEVICE walk (the
-    # dirs tensor never crosses the device boundary -- the old host walk
-    # fetched ~300 MB here and dominated elapsed_s at ~29 s on the
-    # tunneled rig).
-    kw = dict(with_dirs="fast4", np_slots=8 if on_tpu else 2)
-    res = nw_affine_stream_batch(
-        batch.query, batch.db, batch.query_len, batch.db_len, **kw
-    )  # compile warmup (fill)
-    fast4_stream_align_device(
-        res.dirs, res.finals, s1s, s2s, res.plan
-    )  # compile warmup (walk)
+    al = GotohAligner(
+        AlignConfig(
+            algo=Algo.NEEDLEMAN_WUNSCH, first_only=True,
+            traceback="device" if on_tpu else "auto",
+        )
+    )
+    al._align_batch_impl(pairs)  # compile warmup (fill+walk+decode)
     t0 = time.perf_counter()
-    res = nw_affine_stream_batch(
-        batch.query, batch.db, batch.query_len, batch.db_len, **kw
-    )
-    np.asarray(res.finals)
-    fills_done = time.perf_counter()
-    alns, walk_scores = fast4_stream_align_device(
-        res.dirs, res.finals, s1s, s2s, res.plan
-    )
+    out = al._align_batch_impl(pairs)
     dt_all = time.perf_counter() - t0
-    tbs = [
-        None if a is None else (int(walk_scores[b]), [a])
-        for b, a in enumerate(alns)
-    ]
 
-    n_aligned = sum(1 for t in tbs if t is not None)
+    n_aligned = sum(1 for r in out if isinstance(r, dict))
     # Sample-verify exact scores vs the scalar oracle.
     ok = True
     for b in rng.choice(n, size=2, replace=False):
         exp = oracle_gotoh.gotoh_score(pairs[b][0], pairs[b][1])
-        ok &= int(res.finals[b].max()) == exp
-        if tbs[b] is not None:
-            score_b, alns_b = tbs[b]
-            a1, a2 = alns_b[0]
-            ok &= _score_alignment(a1, a2) == score_b
-    gcups = _cells(batch) / (fills_done - t0) / 1e9
+        r = out[b]
+        ok &= isinstance(r, dict) and r["score"] == exp
+        if isinstance(r, dict):
+            ok &= _score_alignment(
+                r["aligned_query"], r["aligned_db"]
+            ) == r["score"]
     return {
         "config": "2-gotoh-64x2kb",
-        "fill_gcups": round(gcups, 3),
         "e2e_gcups": round(_cells(batch) / dt_all / 1e9, 3),
         "alignments_per_s": round(n / dt_all, 1),
         "tracebacks_ok": n_aligned,
         "elapsed_s": round(dt_all, 4),
+        "api": "GotohAligner.align_batch (fused fill+walk dispatch)",
         "correct_vs_oracle": bool(ok),
     }
 

@@ -70,6 +70,16 @@ class GotohAligner(Aligner):
         # batch so tiny batches degenerate gracefully to depth 1.
         np_slots = max(1, min(8, len(batch.query) // 8))
         first_only = getattr(self.config, "first_only", False)
+        if first_only and self._walk_on_device():
+            # Production contract: route through the data-parallel
+            # runner's FUSED fill+walk dispatch (r5).  One jitted call
+            # runs fill and walk (vs fill call + walk call + several
+            # small coordinate puts), sequences ship 2-bit wire-packed
+            # (4x less H2D), and the batch data-parallelizes over
+            # however many chips the mesh holds.  Results are
+            # bit-identical to the legacy path (same kernel, same
+            # walker; pinned by the model-layer tests).
+            return self._runner_first_only_batch(pairs, batch)
         res = nw_affine_stream_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             scheme=self.config.scoring,
@@ -105,6 +115,62 @@ class GotohAligner(Aligner):
             if not alns:
                 out.append(AlignmentError("traceback produced no alignment"))
                 continue
+            out.append(
+                dict(
+                    score=score,
+                    aligned_query=alns[0][0],
+                    aligned_db=alns[0][1],
+                    alignments=alns,
+                )
+            )
+        return out
+
+    def _dp_runner(self):
+        """Lazy per-aligner DataParallelRunner for the fused batch path
+        (mesh = every local device; one device on a single chip)."""
+        r = getattr(self, "_dp_runner_cache", None)
+        if r is None:
+            from sequencealigning_tpu.parallel.runner import (
+                DataParallelRunner,
+            )
+
+            r = DataParallelRunner(
+                scheme=self.config.scoring,
+                compat=self.config.compat,
+                traceback=getattr(self.config, "traceback", "auto"),
+                state_dtype=getattr(self.config, "stream_state", "i32"),
+            )
+            self._dp_runner_cache = r
+        return r
+
+    def _runner_first_only_batch(self, pairs, batch):
+        """fast4 first-path alignments via the runner's fused fill+walk
+        (one dispatch) + per-pair finish/fallback."""
+        runner = self._dp_runner()
+        args, plan, Bp, has_n = runner._stream_args(batch)
+        seqs1 = [p[0] for p in pairs]
+        seqs2 = [p[1] for p in pairs]
+        finals, handles = runner.fill_walk_from_stream_args(
+            args, plan, Bp, has_n, seqs1, seqs2
+        )
+        finals = np.asarray(finals)
+        if self.config.debug:
+            from sequencealigning_tpu.utils.guards import check_finals
+
+            check_finals(
+                finals[: len(pairs)],
+                batch.query_len[: len(pairs)],
+                batch.db_len[: len(pairs)],
+                scheme=self.config.scoring, compat=self.config.compat,
+                label="gotoh finals",
+            )
+        tb = runner.device_walk_fast4_finish(handles, finals, seqs1, seqs2)
+        out = []
+        for r in tb:
+            if isinstance(r, AlignerError):
+                out.append(r)
+                continue
+            score, alns = r
             out.append(
                 dict(
                     score=score,

@@ -320,3 +320,44 @@ def test_parse_spans_rejects_non_integer_token():
     for bad in ("10,x", "abc", "1,2,3", "-1", "1,2,3,4,5", ""):
         with pytest.raises(SystemExit, match="wfa-spans"):
             _parse_spans(bad)
+
+
+def test_gotoh_first_only_runner_route_matches_legacy():
+    """The r5 fused-runner batch route (first_only + device walk) must
+    return exactly the legacy path's alignments (same kernel, same
+    walker semantics; only the dispatch fusion differs)."""
+    import dataclasses
+
+    import numpy as np
+
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    rng = np.random.default_rng(23)
+    A = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    for _ in range(12):
+        n = int(rng.integers(16, 70))
+        s2 = rng.choice(A, n).tobytes()
+        s1 = bytearray(s2)
+        for _ in range(int(rng.integers(0, 4))):
+            i = int(rng.integers(0, max(1, len(s1))))
+            op = int(rng.integers(0, 3))
+            if op == 0 and len(s1):
+                s1[i] = int(rng.choice(A))
+            elif op == 1 and len(s1) > 3:
+                del s1[i]
+            else:
+                s1.insert(i, int(rng.choice(A)))
+        pairs.append((bytes(s1), s2))
+    cfg = AlignConfig(
+        algo=Algo.NEEDLEMAN_WUNSCH, first_only=True, traceback="device"
+    )
+    dev = GotohAligner(cfg)._align_batch_impl(pairs)
+    host = GotohAligner(
+        dataclasses.replace(cfg, traceback="host")
+    )._align_batch_impl(pairs)
+    assert len(dev) == len(host) == 12
+    for a, b in zip(dev, host):
+        assert isinstance(a, dict) and isinstance(b, dict), (a, b)
+        assert a == b
