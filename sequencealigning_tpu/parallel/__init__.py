@@ -10,6 +10,10 @@ jax.distributed.initialize."""
 
 from sequencealigning_tpu.parallel.mesh import make_mesh, multihost_init
 from sequencealigning_tpu.parallel.runner import DataParallelRunner
+from sequencealigning_tpu.parallel.seqpar import seqpar_align, seqpar_fill
 from sequencealigning_tpu.parallel.streaming import stream_align
 
-__all__ = ["make_mesh", "multihost_init", "DataParallelRunner", "stream_align"]
+__all__ = [
+    "make_mesh", "multihost_init", "DataParallelRunner",
+    "stream_align", "seqpar_fill", "seqpar_align",
+]

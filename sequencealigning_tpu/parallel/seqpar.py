@@ -11,8 +11,9 @@ corner finals are psum-merged.  This is the SURVEY §2 sequence/context-
 parallel axis (docs/architecture.md): wavefront halos around a ring, XLA
 collectives only -- no NCCL/MPI analog needed.
 
-Score-only, like the tiled engine (pair alignment for long pairs comes
-from the verified banded path, models.gotoh._long_batch).
+The fill is score-only like the tiled engine; seqpar_align (r5) adds
+the pair's ALIGNMENT by certifying a banded single-chip fill against
+the mesh-exact score (band doubling; Myers-Miller exact fallback).
 
 Capacity: one tile per device sweeps n_devices * tile_lanes db lanes per
 round; longer dbs CHAIN rounds -- the last device's boundary-column
@@ -310,3 +311,86 @@ def seqpar_fill(
             else:
                 finals[b] = (NEG_INF, o + n1 * e, NEG_INF)
     return finals
+
+
+def seqpar_align(
+    seq1: bytes,
+    seq2: bytes,
+    mesh: Optional[Mesh] = None,
+    axis: str = "data",
+    tile_lanes: int = 4096,
+    chunk: int = 128,
+    scheme: ScoringScheme = ScoringScheme(),
+    compat: bool = True,
+    band: int = 256,
+    max_band: int = 4096,
+):
+    """ONE pair: mesh-sharded exact score AND an alignment (r5; the
+    sequence-parallel axis was score-only through round 4).
+
+    The exact Gotoh score comes from seqpar_fill (DP matrix sharded over
+    the mesh, ppermute wavefront); the ALIGNMENT comes from a banded
+    fast4 fill with band doubling until the banded score EQUALS the
+    mesh-exact score -- at that point the banded path is provably
+    optimal (the same Ukkonen-style certificate as
+    models.gotoh._long_batch, with the certifying score computed across
+    the mesh instead of on one chip).  Past max_band the Myers-Miller
+    exact O(n)-memory alignment takes over (models.gotoh._mm_fallback's
+    compat-rescore contract: in the rare compat corner where MM's
+    textbook optimum cannot reach the compat-quirk score, the aligned
+    strings are None and the score stands alone).
+
+    Returns (score, aligned_seq1, aligned_seq2).
+    """
+    from sequencealigning_tpu.io.encode import pack_batch
+    from sequencealigning_tpu.ops.nw_banded_diag import (
+        nw_banded_diag_batch,
+    )
+    from sequencealigning_tpu.ops.traceback import (
+        banded_diag_fast4_traceback_pair,
+    )
+    from sequencealigning_tpu.ops.traceback_device import (
+        banded_diag_device_tbs,
+        use_device_walk,
+    )
+
+    batch = pack_batch([(seq1, seq2)], batch_size=8)
+    finals = seqpar_fill(
+        batch.query, batch.db, batch.query_len, batch.db_len,
+        mesh=mesh, axis=axis, tile_lanes=tile_lanes, chunk=chunk,
+        scheme=scheme, compat=compat,
+    )
+    exact = int(np.asarray(finals)[0].max())
+    b = max(128, band)
+    while b <= max_band:
+        res = nw_banded_diag_batch(
+            batch.query, batch.db, batch.query_len, batch.db_len,
+            band=b, scheme=scheme, compat=compat, with_dirs="fast4",
+        )
+        bf = np.asarray(res.finals)
+        if int(bf[0].max()) == exact:
+            if jax.default_backend() != "cpu":
+                r = banded_diag_device_tbs(
+                    res.dirs, bf[:1], [seq1], [seq2], res.k_lo_even,
+                    compat=compat,
+                    pair_idx=np.zeros(1, np.int32),
+                )[0]
+                if isinstance(r, tuple):
+                    _score, alns = r
+                    return exact, alns[0][0], alns[0][1]
+            _score, alns = banded_diag_fast4_traceback_pair(
+                np.asarray(res.dirs[:, 0, :]), bf[0], seq1, seq2,
+                res.k_lo_even, compat=compat,
+            )
+            return exact, alns[0][0], alns[0][1]
+        b *= 2
+    from sequencealigning_tpu.config import AlignConfig, Algo
+    from sequencealigning_tpu.models.gotoh import GotohAligner
+
+    al = GotohAligner(
+        AlignConfig(
+            algo=Algo.NEEDLEMAN_WUNSCH, scoring=scheme, compat=compat
+        )
+    )
+    r = al._mm_fallback((seq1, seq2), exact)
+    return exact, r.get("aligned_query"), r.get("aligned_db")

@@ -87,3 +87,69 @@ def test_seqpar_chained_beyond_mesh_capacity(compat):
         m, i_, d = oracle_gotoh.gotoh_fill(s1, s2, compat=compat)
         exp = (int(m[-1, -1]), int(i_[-1, -1]), int(d[-1, -1]))
         assert tuple(int(v) for v in finals[b]) == exp, (b, len(s1), len(s2))
+
+
+def test_seqpar_align_certified_alignment():
+    """seqpar_align (r5): mesh-sharded exact score + banded alignment
+    certified against it.  Fuzzed pair long enough to chain rounds past
+    the mesh capacity at tiny tile_lanes; score must equal the scalar
+    oracle, the alignment must rescore to it and consume the sequences
+    exactly."""
+    import numpy as np
+
+    from sequencealigning_tpu.ops import oracle_gotoh
+    from sequencealigning_tpu.parallel.seqpar import seqpar_align
+
+    rng = np.random.default_rng(29)
+    A = np.frombuffer(b"ACGT", np.uint8)
+    n = 1500
+    s2 = rng.choice(A, n).tobytes()
+    s1 = bytearray(s2)
+    for _ in range(12):
+        i = int(rng.integers(0, len(s1)))
+        op = int(rng.integers(0, 3))
+        if op == 0:
+            s1[i] = int(rng.choice(A))
+        elif op == 1 and len(s1) > 3:
+            del s1[i]
+        else:
+            s1.insert(i, int(rng.choice(A)))
+    s1 = bytes(s1)
+    # tile_lanes 128 on the 8-device mesh: D * W = 1024 < 1500 lanes ->
+    # the fill chains a second round (the capacity-chaining path).
+    score, a1, a2 = seqpar_align(
+        s1, s2, tile_lanes=128, compat=False, band=128
+    )
+    assert score == oracle_gotoh.gotoh_score(s1, s2, compat=False)
+    assert a1.replace("-", "").encode() == s1
+    assert a2.replace("-", "").encode() == s2
+    # rescore (textbook affine, reference maximize convention)
+    from sequencealigning_tpu.config import ScoringScheme
+
+    sch = ScoringScheme()
+    got, prev = 0, None
+    for c1, c2 in zip(a1, a2):
+        op = "D" if c1 == "-" else ("I" if c2 == "-" else "M")
+        if op == "M":
+            got += sch.match_ if c1 == c2 else sch.mismatch
+        else:
+            got += sch.gap_extend + (sch.gap_open if op != prev else 0)
+        prev = op
+    assert got == score
+
+
+def test_seqpar_align_mm_fallback_past_band_cap():
+    """An optimum needing a wider band than max_band falls to the exact
+    Myers-Miller alignment, still certified by the mesh score."""
+    from sequencealigning_tpu.ops import oracle_gotoh
+    from sequencealigning_tpu.parallel.seqpar import seqpar_align
+
+    s1 = b"ACGT" * 120
+    s2 = b"T" * 400 + b"ACGT" * 120  # 400-long leading gap >> band 128
+    score, a1, a2 = seqpar_align(
+        s1, s2, tile_lanes=128, compat=False, band=128, max_band=128
+    )
+    assert score == oracle_gotoh.gotoh_score(s1, s2, compat=False)
+    assert a1 is not None
+    assert a1.replace("-", "").encode() == s1
+    assert a2.replace("-", "").encode() == s2
