@@ -46,7 +46,10 @@ def stream_align(
     cigar traceback needs the raw byte sequences).
 
     on_result(batch_index, scores) is called per completed batch (scores:
-    (B, 3) finals).  If checkpoint_path is given, completed-batch indices
+    (B, 3) finals).  Callbacks fire on the pipeline's single DRAIN
+    worker thread (r5: the result fetch + decode run off the main
+    thread so the next batch's dispatch never waits behind them), in
+    batch order; they must not assume the caller's thread.  If checkpoint_path is given, completed-batch indices
     are persisted and already-completed batches are skipped on resume
     (at-least-once delivery: the batch in flight when a run is interrupted
     is re-delivered, so callbacks must be idempotent).
@@ -102,14 +105,12 @@ def stream_align(
                     "over)"
                 )
 
-    in_flight: List[tuple] = []
-    n_pairs = 0
+    n_done = [0]  # drained-pair count (owned by the drain worker)
 
-    def drain_one():
-        nonlocal n_pairs
-        idx, scores, n_slice, n_count, extra = in_flight.pop(0)
+    def _drain(entry):
+        idx, scores, n_slice, n_count, extra = entry
         scores = np.asarray(scores)  # blocks until ready
-        n_pairs += n_count
+        n_done[0] += n_count
         if on_result is not None:
             on_result(idx, scores[:n_slice])
         if extra is not None and on_alignments is not None:
@@ -256,8 +257,36 @@ def stream_align(
                 if item[0] in ("done", "error"):
                     return
 
+    # Drain worker: device_get + decode + callbacks run OFF the main
+    # thread, so batch k+1's dispatch never waits behind batch k's fetch
+    # (the two serialize on the link, but the main thread stays free to
+    # keep the device queue full).  One worker preserves batch order;
+    # callbacks (on_result / on_alignments) therefore fire on this
+    # worker thread.  Queue depth = max_in_flight keeps the same
+    # backpressure/memory bound as the old in-line drain.
+    q_drain: "queue.Queue" = queue.Queue(maxsize=depth)
+    drain_err: List[BaseException] = []
+
+    def drain_worker():
+        while True:
+            entry = q_drain.get()
+            if entry is None:
+                return
+            if not drain_err:
+                try:
+                    _drain(entry)
+                except BaseException as e:  # surface on the main thread
+                    drain_err.append(e)
+
     threading.Thread(target=prep, daemon=True).start()
     threading.Thread(target=put, daemon=True).start()
+    drain_t = threading.Thread(target=drain_worker, daemon=True)
+    drain_t.start()
+
+    def enqueue_drain(entry):
+        q_drain.put(entry)
+        if drain_err:
+            raise drain_err[0]
 
     while True:
         item = q.get()
@@ -310,11 +339,9 @@ def stream_align(
                     handles = None
                 extra = ("modes", handles, seqs1, seqs2, xs, ys, dirs,
                          plan)
-                in_flight.append(
+                enqueue_drain(
                     (i, best, len(batch_pairs), len(batch_pairs), extra)
                 )
-                while len(in_flight) >= max_in_flight:
-                    drain_one()
                 continue
             if kind == "args" and (use_device_walk(runner) or _mp()):
                 # Fill + device walk dispatched back-to-back: the walk of
@@ -340,7 +367,7 @@ def stream_align(
             # Multi-process: on_result sees the GLOBAL gathered finals
             # (like the scores-only path); on_alignments stays local.
             n_slice = B if (kind == "args" and _mp()) else len(batch_pairs)
-            in_flight.append(
+            enqueue_drain(
                 (i, finals, n_slice, len(batch_pairs), extra)
             )
         else:
@@ -358,12 +385,12 @@ def stream_align(
             # (B covers every process's rows); n_pairs still counts only
             # this host's valid pairs.
             n_slice = B if (kind == "args" and _mp()) else n_valid
-            in_flight.append((i, scores, n_slice, n_valid, None))
-        while len(in_flight) >= max_in_flight:
-            drain_one()
-    while in_flight:
-        drain_one()
-    return n_pairs
+            enqueue_drain((i, scores, n_slice, n_valid, None))
+    q_drain.put(None)
+    drain_t.join()
+    if drain_err:
+        raise drain_err[0]
+    return n_done[0]
 
 
 def _mp() -> bool:
