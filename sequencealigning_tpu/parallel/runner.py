@@ -824,11 +824,45 @@ class DataParallelRunner:
         for the op codes, stop state, and end cells).  Returns, per pair,
         the walked segment (mid1, mid2, stop_x, stop_y) or None where the
         walk failed validation (caller falls back to the host walkers on
-        a fetched dirs row)."""
+        a fetched dirs row).
+
+        Multi-process: each host fetches only its addressable row shards
+        of the walk outputs and decodes its OWN pairs (the modes analog
+        of _device_walk_finish_mp); end cells may arrive replicated
+        (the fused fill+walk path's all_gather) or row-sharded."""
         from sequencealigning_tpu.ops import traceback_device as tbd
 
         xf, yf, st, packed, xd, yd, dirs, plan, local = handles
         B = len(seqs1)
+        if jax.process_count() > 1:
+            loc = self.mp_local_slice(plan)
+
+            def local_vals(arr):
+                a = arr
+                if isinstance(a, np.ndarray) or getattr(
+                    a, "is_fully_replicated", False
+                ):
+                    return np.asarray(a)[loc][:B]
+                return np.concatenate(
+                    [np.asarray(d) for _s, d in self._local_row_shards(a)]
+                )[:B]
+
+            packed_l = np.concatenate(
+                [
+                    np.asarray(d)
+                    for _s, d in self._local_row_shards(packed, dim=0)
+                ],
+                axis=0,
+            )[:B]
+            xf_l, yf_l, st_l = (
+                local_vals(xf), local_vals(yf), local_vals(st)
+            )
+            return tbd.decode_modes_walk(
+                packed_l, xf_l, yf_l, st_l,
+                local_vals(xd).astype(np.int32),
+                local_vals(yd).astype(np.int32),
+                seqs1, seqs2,
+            )
         packed, xf, yf, st, x0, y0 = jax.device_get(
             (packed[:B], xf[:B], yf[:B], st[:B], xd[:B], yd[:B])
         )

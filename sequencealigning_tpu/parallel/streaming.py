@@ -128,10 +128,34 @@ def stream_align(
                     if handles is not None else None
                 )
                 xs, ys = np.asarray(xs), np.asarray(ys)
+                sc = scores[:, 0] if scores.ndim > 1 else scores
+                g_lo = 0
+                if _mp():
+                    # Per-process view of the replicated best/end-cell
+                    # vectors; the fallback fetch below addresses only
+                    # this process's dirs row shards.
+                    loc = runner.mp_local_slice(plan)
+                    nB = len(seqs1)
+                    xs, ys, sc = (
+                        xs[loc][:nB], ys[loc][:nB], sc[loc][:nB]
+                    )
+                    g_lo = loc.start
                 dirs_host: dict = {}
 
                 def dirs_fetch(b):
-                    row, _slot, d_off = plan.pair_coords(b)
+                    row, _slot, d_off = plan.pair_coords(g_lo + b)
+                    if _mp():
+                        for start, data in runner._local_row_shards(
+                            dirs, dim=1
+                        ):
+                            if start <= row < start + data.shape[1]:
+                                return (
+                                    np.asarray(data[:, row - start, :]),
+                                    d_off,
+                                )
+                        raise RuntimeError(
+                            "dirs row not addressable from this process"
+                        )
                     if walked is None:
                         # Host route: one whole-tensor fetch, cached.
                         if "all" not in dirs_host:
@@ -140,8 +164,7 @@ def stream_align(
                     return np.asarray(dirs[:, row, :]), d_off
 
                 tbs = assemble_modes_alignments(
-                    list(zip(seqs1, seqs2)), walked, scores[:, 0]
-                    if scores.ndim > 1 else scores, xs, ys,
+                    list(zip(seqs1, seqs2)), walked, sc, xs, ys,
                     mode == "local", dirs_fetch,
                 )
             elif len(extra) == 3:
@@ -312,35 +335,39 @@ def stream_align(
 
             seqs1 = [p[0] for p in batch_pairs]
             seqs2 = [p[1] for p in batch_pairs]
-            if _mp() and (mode != "global" or kind != "args"):
+            if _mp() and kind != "args":
                 raise NotImplementedError(
-                    "multi-process cigars streaming runs on the global "
-                    "fast4 device-walk route (kernel='stream'); textbook "
-                    "modes are scores-only across processes"
+                    "multi-process cigars streaming requires the "
+                    "stream-args route (kernel='stream')"
                 )
             if mode != "global":
                 # Textbook modes: fill + sharded device modes walk
                 # dispatched back-to-back (device route), or fill-only
                 # with dirs left on device for the host walkers.
+                # Multi-process always takes the device route (each
+                # process drains its addressable rows at finish, like
+                # the global fast4 path).
                 if kind != "args":
                     args, plan, B, has_n = runner._stream_args(batch)
-                if use_device_walk(runner):
+                n_best = B if _mp() else len(batch_pairs)
+                if use_device_walk(runner) or _mp():
                     best, xs, ys, handles, dirs, plan = (
                         runner.fill_walk_modes_from_stream_args(
-                            args, plan, len(batch_pairs), has_n, mode
+                            args, plan, n_best, has_n, mode
                         )
                     )
                 else:
                     best, xs, ys, dirs, plan = (
                         runner.fill_modes_from_stream_args(
-                            args, plan, len(batch_pairs), has_n, mode
+                            args, plan, n_best, has_n, mode
                         )
                     )
                     handles = None
                 extra = ("modes", handles, seqs1, seqs2, xs, ys, dirs,
                          plan)
+                n_slice = B if _mp() else len(batch_pairs)
                 enqueue_drain(
-                    (i, best, len(batch_pairs), len(batch_pairs), extra)
+                    (i, best, n_slice, len(batch_pairs), extra)
                 )
                 continue
             if kind == "args" and (use_device_walk(runner) or _mp()):

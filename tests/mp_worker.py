@@ -111,6 +111,21 @@ def main() -> int:
             cig.append([t[0], t[1][0][0], t[1][0][1]])
     print(f"CIGARS{pid} " + json.dumps(cig), flush=True)
 
+    # --- textbook-mode (semi) cigars across processes (r5) ----------------
+    aln_modes = {}
+    n_m = stream_align(
+        local, runner=runner, batch_size=per // 2, cigars=True,
+        mode="semi",
+        on_alignments=lambda i, t: aln_modes.__setitem__(i, list(t)),
+    )
+    assert n_m == per, (n_m, per)
+    mod = []
+    for i in sorted(aln_modes):
+        for t in aln_modes[i]:
+            assert isinstance(t, tuple), t
+            mod.append([t[0], t[1][0][0], t[1][0][1]])
+    print(f"MODES{pid} " + json.dumps(mod), flush=True)
+
     if pid == 0:
         print(
             "RESULT "

@@ -69,6 +69,30 @@ def _expected_cigars():
     return out
 
 
+def _expected_modes_cigars():
+    """Single-process semi-mode cigars expectation (device walk route,
+    matching the workers' batch_size)."""
+    from sequencealigning_tpu.parallel.runner import DataParallelRunner
+    from sequencealigning_tpu.parallel.streaming import stream_align
+
+    runner = DataParallelRunner(
+        backend="lax", np_slots=2, traceback="device"
+    )
+    got = {}
+    n = stream_align(
+        _mk_pairs(), runner=runner, batch_size=8, cigars=True,
+        mode="semi",
+        on_alignments=lambda i, t: got.__setitem__(i, list(t)),
+    )
+    assert n == 32
+    out = []
+    for i in sorted(got):
+        for t in got[i]:
+            assert isinstance(t, tuple), t
+            out.append([t[0], t[1][0][0], t[1][0][1]])
+    return out
+
+
 def test_two_process_mesh_scores_and_stream():
     port = 12000 + os.getpid() % 20000
     env = dict(os.environ)
@@ -114,3 +138,13 @@ def test_two_process_mesh_scores_and_stream():
     # byte-equal to the single-process cigars run over the same pairs.
     assert sorted(cigars) == [0, 1], outs
     assert cigars[0] + cigars[1] == _expected_cigars()
+    # Textbook-mode (semi) cigars across processes (r5): same contract.
+    modes = {}
+    for _, out, _ in outs:
+        for line in out.splitlines():
+            for p in (0, 1):
+                tag = f"MODES{p} "
+                if line.startswith(tag):
+                    modes[p] = json.loads(line[len(tag):])
+    assert sorted(modes) == [0, 1], outs
+    assert modes[0] + modes[1] == _expected_modes_cigars()
