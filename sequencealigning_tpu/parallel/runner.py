@@ -171,23 +171,16 @@ class DataParallelRunner:
         self._fn_cache[key] = fn
         return fn
 
-    def _stream_fn(self, plan, dirs_mode=False, has_n=False):
-        from sequencealigning_tpu.ops.nw_affine_stream import (
-            resolve_stream_state,
-        )
-
-        sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
-        key = (
-            "stream", plan, self.gather, dirs_mode, jnp.dtype(sdt).name,
-            has_n,
-        )
-        if key in self._fn_cache:
-            return self._fn_cache[key]
+    def _stream_fill_body(self, plan, dirs_mode, has_n, sdt):
+        """Per-shard streamed GLOBAL fill: wire unpack -> stream build ->
+        kernel -> (local finals, dirs).  Shared by _stream_fn and the
+        fused fill+walk dispatch so the fill semantics exist in exactly
+        one place."""
         scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
-        backend, bt, gather = self.backend, self.bt, self.gather
+        backend, bt = self.backend, self.bt
         NP = plan.np_slots
 
-        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
+        def body(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
             q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
             d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
             qstream, dstream = _mk_streams(q_r, d_r, plan)
@@ -208,6 +201,61 @@ class DataParallelRunner:
                     [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
                     axis=1,
                 )
+            return finals, dirs
+
+        return body
+
+    def _stream_modes_fill_body(self, plan, mode, has_n, sdt,
+                                with_dirs=True):
+        """Per-shard streamed MODES fill + device end-cell reduction
+        (modes_reduce: 3 ints per pair cross the shard boundary instead
+        of 2 * P lanes): returns (best, x, y, dirs) pre-gather.  Shared
+        by _stream_modes_fn and the fused modes fill+walk dispatch."""
+        scheme, wildcard = self.scheme, self.wildcard
+        backend, bt = self.backend, self.bt
+        NP = plan.np_slots
+
+        def body(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
+            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
+            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
+            qstream, dstream = _mk_streams(q_r, d_r, plan)
+            if backend == "pallas":
+                outs, dirs = gotoh_fill_stream_modes_pallas(
+                    qstream, dstream, dsy, n2y, dso, n2o,
+                    plan, scheme, wildcard, mode, with_dirs, bt=bt,
+                    state_dtype=sdt,
+                )
+                bv, bd = stream_modes_lanes(outs, NP)
+            else:
+                (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
+                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
+                    plan, scheme, wildcard, mode, with_dirs,
+                    state_dtype=sdt,
+                )
+                bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
+                bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
+            best, x, y = modes_reduce(bv, bd)
+            return best, x, y, dirs
+
+        return body
+
+    def _stream_fn(self, plan, dirs_mode=False, has_n=False):
+        from sequencealigning_tpu.ops.nw_affine_stream import (
+            resolve_stream_state,
+        )
+
+        sdt = resolve_stream_state(self.state_dtype, self.scheme, plan)
+        key = (
+            "stream", plan, self.gather, dirs_mode, jnp.dtype(sdt).name,
+            has_n,
+        )
+        if key in self._fn_cache:
+            return self._fn_cache[key]
+        gather = self.gather
+        fill = self._stream_fill_body(plan, dirs_mode, has_n, sdt)
+
+        def per_shard(*args):
+            finals, dirs = fill(*args)
             if gather:
                 finals = jax.lax.all_gather(finals, "data", axis=0, tiled=True)
             if dirs_mode:
@@ -251,33 +299,15 @@ class DataParallelRunner:
         )
         if key in self._fn_cache:
             return self._fn_cache[key]
-        scheme, wildcard = self.scheme, self.wildcard
-        backend, bt, gather = self.backend, self.bt, self.gather
-        NP = plan.np_slots
+        gather = self.gather
+        # NOTE: the shared body always fills WITH dirs; the with_dirs=False
+        # variant below drops them after the fill (XLA dead-code-eliminates
+        # the dirs emission when nothing consumes it).
+        fill = self._stream_modes_fill_body(plan, mode, has_n, sdt,
+                                            with_dirs=with_dirs)
 
-        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
-            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
-            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
-            qstream, dstream = _mk_streams(q_r, d_r, plan)
-            if backend == "pallas":
-                outs, dirs = gotoh_fill_stream_modes_pallas(
-                    qstream, dstream, dsy, n2y, dso, n2o,
-                    plan, scheme, wildcard, mode, with_dirs, bt=bt,
-                    state_dtype=sdt,
-                )
-                bv, bd = stream_modes_lanes(outs, NP)
-            else:
-                (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
-                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
-                    plan, scheme, wildcard, mode, with_dirs,
-                    state_dtype=sdt,
-                )
-                bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
-                bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
-            # Per-pair end-cell reduction on device, per shard (each
-            # pair's lanes are shard-local) -- the gather/fetch then moves
-            # 3 ints per pair instead of 2 * P.
-            best, x, y = modes_reduce(bv, bd)
+        def per_shard(*args):
+            best, x, y, dirs = fill(*args)
             if gather:
                 best = jax.lax.all_gather(best, "data", axis=0, tiled=True)
                 x = jax.lax.all_gather(x, "data", axis=0, tiled=True)
@@ -953,32 +983,13 @@ class DataParallelRunner:
         )
         if key in self._fn_cache:
             return self._fn_cache[key], use_rle
-        scheme, compat, wildcard = self.scheme, self.compat, self.wildcard
-        backend, bt, gather = self.backend, self.bt, self.gather
+        gather = self.gather
         NP = plan.np_slots
-        nd = self.n_devices
+        fill = self._stream_fill_body(plan, "fast4", has_n, sdt)
 
-        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
-            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
-            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
-            qstream, dstream = _mk_streams(q_r, d_r, plan)
-            if backend == "pallas":
-                outs, dirs = gotoh_fill_stream_pallas(
-                    qstream, dstream, dsy, n2y, dso, n2o,
-                    plan, scheme, compat, wildcard, dirs_mode="fast4",
-                    bt=bt, state_dtype=sdt,
-                )
-                finals = stream_finals(outs, NP)
-            else:
-                (fm, fi, fd), dirs = gotoh_fill_stream_lax(
-                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
-                    plan, scheme, compat, wildcard, dirs_mode="fast4",
-                    state_dtype=sdt,
-                )
-                finals = jnp.stack(
-                    [fm.T.reshape(-1), fi.T.reshape(-1), fd.T.reshape(-1)],
-                    axis=1,
-                )
+        def per_shard(*shard_args):
+            (q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o) = shard_args
+            finals, dirs = fill(*shard_args)
             # Walk seeds from the LOCAL (pre-gather) finals + the stream
             # args' true lengths (pair b = row b // NP, slot b % NP, so
             # the (R_loc, NP) length grids flatten straight into pair
@@ -1074,30 +1085,12 @@ class DataParallelRunner:
         )
         if key in self._fn_cache:
             return self._fn_cache[key]
-        scheme, wildcard = self.scheme, self.wildcard
-        backend, bt, gather = self.backend, self.bt, self.gather
+        gather = self.gather
         NP = plan.np_slots
+        fill = self._stream_modes_fill_body(plan, mode, has_n, sdt)
 
-        def per_shard(q2, d2, qn, dn, qll, dll, dsy, n2y, dso, n2o):
-            q_r = _unpack_wire(q2, qn, qll, plan.l1, has_n)
-            d_r = _unpack_wire(d2, dn, dll, plan.l2, has_n)
-            qstream, dstream = _mk_streams(q_r, d_r, plan)
-            if backend == "pallas":
-                outs, dirs = gotoh_fill_stream_modes_pallas(
-                    qstream, dstream, dsy, n2y, dso, n2o,
-                    plan, scheme, wildcard, mode, True, bt=bt,
-                    state_dtype=sdt,
-                )
-                bv, bd = stream_modes_lanes(outs, NP)
-            else:
-                (bv_k, bd_k), dirs = gotoh_fill_stream_modes_lax(
-                    qstream, dstream, dsy[:NP, :, 0], n2y[:NP, :, 0],
-                    plan, scheme, wildcard, mode, True,
-                    state_dtype=sdt,
-                )
-                bv = jnp.swapaxes(bv_k, 0, 1).reshape(-1, plan.p)
-                bd = jnp.swapaxes(bd_k, 0, 1).reshape(-1, plan.p)
-            best, x, y = modes_reduce(bv, bd)
+        def per_shard(*shard_args):
+            best, x, y, dirs = fill(*shard_args)
             bs = jnp.arange(x.shape[0], dtype=jnp.int32)
             rowp = bs // NP
             offp = (bs % NP) * plan.s
