@@ -176,6 +176,122 @@ _walk_fast4 = jax.jit(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("t_steps", "unroll", "std", "substeps")
+)
+def _walk_banded_diag_msub(
+    dirs, x0, y0, plane0, bidx, k_lo_even, t_steps: int, unroll: int = 2,
+    std: bool = False, substeps: int = 4,
+):
+    """Multi-op-per-gather banded-diag walk: in this layout an M move
+    keeps the LANE (diagonal) and decrements the wavefront index by 2,
+    so the gathered word -- 8 consecutive wavefront nibbles of one lane
+    -- covers up to `substeps` consecutive M ops.  Each scan step
+    gathers ONCE and then consumes up to `substeps` ops while the
+    position stays inside that word (same lane, same a >> 3); sub-steps
+    that leave the word FREEZE (emit op 0, state unchanged) and the next
+    scan step re-gathers.  The walk is scan-step LATENCY bound (~60 us
+    per step at B=1024 regardless of batch width, PERF.md), so
+    high-identity pairs -- long M runs -- walk up to `substeps`x fewer
+    steps.  The emitted stream interleaves zeros for frozen sub-steps;
+    a device-side stable sort (is-zero key -- order-preserving, no
+    gathers) compacts them out before the repack, so callers receive a
+    dense front run exactly like the single-step walkers'.
+
+    COMPILE LIMIT (measured 2026-08-20; the same CPU-backend compiler
+    fragility documented in docs/xla_cpu_segfault.md): the XLA:CPU
+    backend's compile time explodes with inlined plane-steps per scan
+    body -- single-device CPU handles 8 (1.2 s) but hangs at 12, and
+    the 8-virtual-device test env hangs at 4 (2 compiles in 1.0 s).
+    The TPU backend compiles 4x2 and 8x1 in ~2 s.  Callers pick
+    (substeps, unroll) per backend: (4, 2) on TPU, (2, 1) on CPU."""
+    W, _, L = dirs.shape
+
+    def step(carry):
+        x, y, plane = carry
+        a = x + y - 1
+        l = (y - x - k_lo_even) >> 1
+        valid = (l >= 0) & (l < L) & (a >= 0) & ((a >> 3) < W)
+        w = dirs[
+            jnp.clip(a >> 3, 0, W - 1), bidx, jnp.clip(l, 0, L - 1)
+        ]
+        base = a >> 3
+        l0 = l
+        ops = []
+        for i in range(substeps):
+            a_i = x + y - 1
+            l_i = (y - x - k_lo_even) >> 1
+            ok = valid & (a_i >= 0) & ((a_i >> 3) == base) & (l_i == l0)
+            if i == 0:
+                # First sub-step: the gather was made for this exact
+                # position; only the band-validity mask applies.
+                ok = valid
+            nib = (
+                (w >> ((a_i & 7).astype(jnp.uint32) * 4)) & 0xF
+            ).astype(jnp.int32)
+            nib = jnp.where(ok, nib, 0)
+            # Boundary chains (x == 0 / y == 0) read no nibble; let them
+            # advance on any sub-step.
+            at_bnd = (x == 0) | (y == 0)
+            run = ok | at_bnd
+            op, x_n, y_n, p_n = _plane_step(nib, x, y, plane, std=std)
+            x = jnp.where(run, x_n, x)
+            y = jnp.where(run, y_n, y)
+            plane = jnp.where(run, p_n, plane)
+            ops.append(jnp.where(run, op, jnp.uint8(0)))
+        return (x, y, plane), jnp.stack(ops, axis=0)
+
+    n_chunks = -(-t_steps // _CHUNK)
+    wpc = (_CHUNK * substeps) // 16
+    b = x0.shape[0]
+    packed0 = jnp.zeros((b, n_chunks * wpc), jnp.uint32)
+
+    def cond(state):
+        i, carry, _ = state
+        return (i < n_chunks) & jnp.any(~((carry[0] == 0) & (carry[1] == 0)))
+
+    def body(state):
+        i, carry, packed = state
+        carry, ops = lax.scan(
+            lambda c, _: step(c), carry, None, length=_CHUNK,
+            unroll=unroll,
+        )
+        ops = ops.reshape(_CHUNK * substeps, -1)
+        packed = lax.dynamic_update_slice(
+            packed, _pack_ops(ops, _CHUNK * substeps), (0, i * wpc)
+        )
+        return i + 1, carry, packed
+
+    n_used, (x, y, _), packed = lax.while_loop(
+        cond, body, (jnp.int32(0), (x0, y0, plane0), packed0)
+    )
+    # Device-side compaction: drop the interleaved zero ops (frozen
+    # sub-steps) with ONE stable sort keyed on is-zero -- nonzeros keep
+    # their relative (walk) order and move to the front, no gathers, no
+    # host pass (the numpy compaction measured 270-870 ms at
+    # 1024 x 6k ops on a 1-core host; the device sort is ~ms).  A walk
+    # emits at most t_steps real ops, so only that prefix is repacked.
+    shifts16 = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    ops_all = ((packed[:, :, None] >> shifts16) & 3).astype(jnp.uint8)
+    ops_all = ops_all.reshape(b, -1)
+    _, ops_c = lax.sort(
+        ((ops_all == 0).astype(jnp.int32), ops_all),
+        dimension=1, num_keys=1, is_stable=True,
+    )
+    w_out = max(-(-t_steps // 16), 1)
+    ops_c = ops_c[:, : w_out * 16].astype(jnp.uint32)
+    packed_c = (
+        (ops_c.reshape(b, w_out, 16) << shifts16).sum(
+            axis=2, dtype=jnp.uint32
+        )
+    )
+    # n_used now counts 16-op words of the COMPACTED stream (max real
+    # ops per pair, maxed over the batch so prefix fetches stay valid).
+    n_ops = jnp.max(jnp.sum((ops_all != 0).astype(jnp.int32), axis=1))
+    n_used_words = jnp.minimum((n_ops + 15) // 16 + 1, w_out)
+    return (x, y), packed_c, n_used_words
+
+
+@functools.partial(
     jax.jit, static_argnames=("t_steps", "unroll", "std")
 )
 def _walk_banded_diag(
@@ -747,7 +863,20 @@ def banded_diag_align_device(
         pair_idx = np.arange(B, dtype=np.int32)
     finals = np.asarray(finals)[np.asarray(pair_idx)]
     t_steps = int((n1s + n2s).max()) if B else 1
-    (xf, yf), packed, n_used = _walk_banded_diag(
+    # Multi-op-per-gather walk (r5): the scan is per-step LATENCY bound,
+    # and in this layout consecutive M ops share the gathered word, so
+    # consuming up to 4 ops per gather halves the dominant walk time on
+    # high-identity pairs (110 -> 54 ms at 1024 x 5 kb, PERF.md).  The
+    # emitted stream interleaves zeros for frozen sub-steps; compact
+    # before decoding.  CPU keeps substeps * unroll <= 2: the CPU
+    # backend's compile time explodes past ~3 inlined plane-steps per
+    # scan body under the 8-virtual-device test env (the msub docstring
+    # records the limits) -- the smaller factor still exercises the
+    # same freeze/compaction mechanism in tests.
+    substeps, msub_unroll = (
+        (4, 2) if jax.default_backend() == "tpu" else (2, 1)
+    )
+    (xf, yf), packed, n_used = _walk_banded_diag_msub(
         dirs,
         jnp.asarray(n2s),
         jnp.asarray(n1s),
@@ -755,10 +884,13 @@ def banded_diag_align_device(
         jnp.asarray(np.asarray(pair_idx, np.int32)),
         jnp.int32(k_lo_even),
         t_steps=t_steps,
-        unroll=unroll,
         std=std,
+        substeps=substeps,
+        unroll=msub_unroll,
     )
-    packed = packed[:, : max(int(n_used), 1) * (_CHUNK // 16)]
+    # The msub walker returns the stream already device-compacted;
+    # n_used counts 16-op words of the compacted stream.
+    packed = packed[:, : max(int(n_used), 1)]
     packed, xf, yf = jax.device_get((packed, xf, yf))
     alns = decode_packed_alignments(packed, seqs1, seqs2)
     ended = (xf == 0) & (yf == 0)
