@@ -291,42 +291,6 @@ def _walk_banded_diag_msub(
     return (x, y), packed_c, n_used_words
 
 
-@functools.partial(
-    jax.jit, static_argnames=("t_steps", "unroll", "std")
-)
-def _walk_banded_diag(
-    dirs, x0, y0, plane0, bidx, k_lo_even, t_steps: int, unroll: int = 8,
-    std: bool = False,
-):
-    """Batched fast4 walk over ops.nw_banded_diag's wavefront layout:
-    cell (x, y) of pair bidx[i] lives at word dirs[(x+y-1) >> 3, bidx[i],
-    ((y-x) - k_lo_even) >> 1], shift 4*((x+y-1) & 7); out-of-band reads
-    are 0 (exactly ops.traceback.banded_diag_fast4_traceback_pair).
-    bidx selects which dirs batch slots to walk (a subset is fine)."""
-    W, _, L = dirs.shape
-
-    def step(carry):
-        x, y, plane = carry
-        a = x + y - 1
-        l = (y - x - k_lo_even) >> 1
-        valid = (l >= 0) & (l < L) & (a >= 0) & ((a >> 3) < W)
-        w = dirs[
-            jnp.clip(a >> 3, 0, W - 1), bidx, jnp.clip(l, 0, L - 1)
-        ]
-        nib = ((w >> ((a & 7).astype(jnp.uint32) * 4)) & 0xF).astype(
-            jnp.int32
-        )
-        nib = jnp.where(valid, nib, 0)
-        op, x, y, plane = _plane_step(nib, x, y, plane, std=std)
-        return (x, y, plane), op
-
-    (x, y, _), packed, n_used = _chunked_walk(
-        step, (x0, y0, plane0), lambda c: (c[0] == 0) & (c[1] == 0),
-        x0.shape[0], t_steps, unroll,
-    )
-    return (x, y), packed, n_used
-
-
 def seed_planes(finals: np.ndarray) -> np.ndarray:
     """(B,) plane seeds from (B, 3) M/I/D corner finals, priority
     M > I > D (ops.traceback.fast4_traceback_pair's seed rule)."""
