@@ -309,6 +309,50 @@ def main() -> int:
             ):
                 report("wfa-auto-walk", rnd, b, "bad-recon", "-", pairs[b])
 
+        # r5 legs: out-of-regime penalties drive the any-state ("std")
+        # banded engine + its walkers (incl. the msub walk), pinned to
+        # the std scalar oracle; and the on-device WFA offset-log
+        # traceback, pinned byte-equal to the host walker.
+        pen_oor = WfaPenalties(
+            mismatch=2 * pen.gap_extend + rng.randint(1, 4),
+            gap_open=pen.gap_open, gap_extend=pen.gap_extend,
+        )
+        al_oor = WfaAligner(AlignConfig(
+            algo=Algo.WFA, compat=False, wfa_penalties=pen_oor,
+        ))
+        eq_oor = ScoringScheme(
+            match_=0, mismatch=-pen_oor.mismatch,
+            gap_open=-pen_oor.gap_open, gap_extend=-pen_oor.gap_extend,
+        )
+        for b, r in enumerate(al_oor._align_batch_impl(pairs)):
+            if not isinstance(r, dict):
+                report("wfa-std", rnd, b, repr(r), "-", pairs[b])
+                continue
+            want = -oracle_gotoh.gotoh_score(
+                pairs[b][0], pairs[b][1], scheme=eq_oor, compat=False,
+                model="std",
+            )
+            if r["score"] != want:
+                report("wfa-std", rnd, b, r["score"], want, pairs[b])
+
+        from sequencealigning_tpu.ops.wfa import (
+            wfa_traceback_device,
+            wfa_traceback_host,
+        )
+
+        dev_alns = wfa_traceback_device(
+            wres, [p[0] for p in pairs], [p[1] for p in pairs], pen
+        )
+        for b in range(16):
+            if not bool(wres.converged[b]):
+                continue
+            _s, h1, h2 = wfa_traceback_host(
+                wres, b, pairs[b][0], pairs[b][1], pen
+            )
+            if dev_alns[b] != (h1, h2):
+                report("wfa-dev-tb", rnd, b, dev_alns[b], (h1, h2),
+                       pairs[b])
+
         print(f"[soak] round {rnd} done (compat={compat})", file=sys.stderr)
 
     print(f"[soak] {'PASS' if fails == 0 else f'{fails} MISMATCHES'}",
