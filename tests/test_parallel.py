@@ -563,3 +563,49 @@ def test_stream_modes_scores_only():
     np.testing.assert_array_equal(
         scores, np.asarray([w.score for w in want], scores.dtype)
     )
+
+
+def test_stream_align_cigars_checkpoint_resume(tmp_path):
+    """Cigars streaming + checkpoint: a resumed run re-delivers only the
+    unfinished batches, alignments byte-equal to an uninterrupted run,
+    and the checkpoint's recorded semantics (mode/cigars) round-trip
+    through the drain worker thread."""
+    pairs = _pairs(101, 32)
+    runner = DataParallelRunner(backend="lax", traceback="device")
+    ckpt = str(tmp_path / "c.json")
+
+    full = {}
+    n = stream_align(
+        pairs, runner, batch_size=8, cigars=True,
+        on_alignments=lambda i, t: full.__setitem__(i, list(t)),
+    )
+    assert n == 32 and sorted(full) == [0, 1, 2, 3]
+
+    # First run "crashes" after two batches: simulate by a callback that
+    # raises; the drain worker surfaces the error on the main thread.
+    seen = {}
+
+    def boom(i, t):
+        seen[i] = list(t)
+        if i == 1:
+            raise RuntimeError("simulated crash")
+
+    import pytest
+
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        stream_align(
+            pairs, runner, batch_size=8, cigars=True,
+            checkpoint_path=ckpt, on_alignments=boom,
+        )
+    assert 0 in seen  # at least one batch completed and checkpointed
+
+    # Resume: remaining batches only, byte-equal to the full run.
+    resumed = {}
+    n2 = stream_align(
+        pairs, runner, batch_size=8, cigars=True, checkpoint_path=ckpt,
+        on_alignments=lambda i, t: resumed.__setitem__(i, list(t)),
+    )
+    assert n2 < 32 and n2 % 8 == 0
+    for i, t in resumed.items():
+        assert t == full[i], i
+    assert set(seen) | set(resumed) == {0, 1, 2, 3}
