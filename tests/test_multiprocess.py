@@ -12,6 +12,8 @@ import json
 import os
 import random
 import subprocess
+
+import pytest
 import sys
 
 import numpy as np
@@ -93,19 +95,23 @@ def _expected_modes_cigars():
     return out
 
 
-def test_two_process_mesh_scores_and_stream():
-    port = 12000 + os.getpid() % 20000
+def _launch_workers(nproc):
+    port = 12000 + (os.getpid() + nproc) % 20000
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device count
     env.pop("JAX_PLATFORMS", None)
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, WORKER, str(p), "2", str(port)],
+            [sys.executable, WORKER, str(p), str(nproc), str(port)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             env=env, cwd=REPO, text=True,
         )
-        for p in range(2)
+        for p in range(nproc)
     ]
+
+
+def test_two_process_mesh_scores_and_stream():
+    procs = _launch_workers(2)
     outs = []
     for p in procs:
         try:
@@ -148,3 +154,33 @@ def test_two_process_mesh_scores_and_stream():
                     modes[p] = json.loads(line[len(tag):])
     assert sorted(modes) == [0, 1], outs
     assert modes[0] + modes[1] == _expected_modes_cigars()
+
+
+@pytest.mark.tier2  # 4 ranks x 4 fake devices; slower Gloo setup
+def test_four_process_mesh_scores():
+    """Scale the process-spanning mesh to 4 ranks (16 devices): gathered
+    scores and streamed scores must still match the single-process
+    expectation (cigars legs are exercised by the 2-process test)."""
+    procs = _launch_workers(4)
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    result = None
+    for _, out, _ in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                result = json.loads(line[len("RESULT "):])
+    assert result is not None, outs
+    assert result["processes"] == 4
+    assert result["devices"] == 16
+    want = _expected_scores()
+    assert result["scores"] == want
+    assert result["stream"] == want
