@@ -269,6 +269,11 @@ def main() -> int:
             match_=0, mismatch=-pen.mismatch,
             gap_open=-pen.gap_open, gap_extend=-pen.gap_extend,
         )
+        # band=max_len = full diagonal coverage (exactness over speed).
+        # NOTE: with gcd-1 random schemes this leg runs the score lattice
+        # at stride 1 over a ~2*max_len-lane window and can take MINUTES
+        # per round through the tunnel (measured 75 s warm for one combo,
+        # 2026-08-20) -- slow, not hung.
         wres = wfa_textbook_batch(
             batch.query, batch.db, batch.query_len, batch.db_len,
             penalties=pen, band=args.max_len,
