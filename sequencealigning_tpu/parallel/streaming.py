@@ -311,110 +311,117 @@ def stream_align(
         if drain_err:
             raise drain_err[0]
 
-    while True:
-        item = q.get()
-        kind = item[0]
-        if kind == "done":
-            break
-        if kind == "error":
-            raise item[1]
-        if kind == "args":
-            _, i, args, plan, B, has_n, n_valid, batch_pairs = item
-        else:
-            _, i, batch, n_valid, batch_pairs = item
-        if batch_pairs is None and cigars:
-            raise ValueError(
-                "cigars=True requires byte pairs (the traceback needs "
-                "the raw sequences); stream (query, db) tuples instead "
-                "of PairBatch objects"
-            )
-        if cigars:
-            from sequencealigning_tpu.ops.traceback_device import (
-                use_device_walk,
-            )
+    def _stream_loop():
+        while True:
+            item = q.get()
+            kind = item[0]
+            if kind == "done":
+                break
+            if kind == "error":
+                raise item[1]
+            if kind == "args":
+                _, i, args, plan, B, has_n, n_valid, batch_pairs = item
+            else:
+                _, i, batch, n_valid, batch_pairs = item
+            if batch_pairs is None and cigars:
+                raise ValueError(
+                    "cigars=True requires byte pairs (the traceback needs "
+                    "the raw sequences); stream (query, db) tuples instead "
+                    "of PairBatch objects"
+                )
+            if cigars:
+                from sequencealigning_tpu.ops.traceback_device import (
+                    use_device_walk,
+                )
 
-            seqs1 = [p[0] for p in batch_pairs]
-            seqs2 = [p[1] for p in batch_pairs]
-            if _mp() and kind != "args":
-                raise NotImplementedError(
-                    "multi-process cigars streaming requires the "
-                    "stream-args route (kernel='stream')"
-                )
-            if mode != "global":
-                # Textbook modes: fill + sharded device modes walk
-                # dispatched back-to-back (device route), or fill-only
-                # with dirs left on device for the host walkers.
-                # Multi-process always takes the device route (each
-                # process drains its addressable rows at finish, like
-                # the global fast4 path).
-                if kind != "args":
-                    args, plan, B, has_n = runner._stream_args(batch)
-                n_best = B if _mp() else len(batch_pairs)
-                if use_device_walk(runner) or _mp():
-                    best, xs, ys, handles, dirs, plan = (
-                        runner.fill_walk_modes_from_stream_args(
-                            args, plan, n_best, has_n, mode
-                        )
+                seqs1 = [p[0] for p in batch_pairs]
+                seqs2 = [p[1] for p in batch_pairs]
+                if _mp() and kind != "args":
+                    raise NotImplementedError(
+                        "multi-process cigars streaming requires the "
+                        "stream-args route (kernel='stream')"
                     )
+                if mode != "global":
+                    # Textbook modes: fill + sharded device modes walk
+                    # dispatched back-to-back (device route), or fill-only
+                    # with dirs left on device for the host walkers.
+                    # Multi-process always takes the device route (each
+                    # process drains its addressable rows at finish, like
+                    # the global fast4 path).
+                    if kind != "args":
+                        args, plan, B, has_n = runner._stream_args(batch)
+                    n_best = B if _mp() else len(batch_pairs)
+                    if use_device_walk(runner) or _mp():
+                        best, xs, ys, handles, dirs, plan = (
+                            runner.fill_walk_modes_from_stream_args(
+                                args, plan, n_best, has_n, mode
+                            )
+                        )
+                    else:
+                        best, xs, ys, dirs, plan = (
+                            runner.fill_modes_from_stream_args(
+                                args, plan, n_best, has_n, mode
+                            )
+                        )
+                        handles = None
+                    extra = ("modes", handles, seqs1, seqs2, xs, ys, dirs,
+                             plan)
+                    n_slice = B if _mp() else len(batch_pairs)
+                    enqueue_drain(
+                        (i, best, n_slice, len(batch_pairs), extra)
+                    )
+                    continue
+                if kind == "args" and (use_device_walk(runner) or _mp()):
+                    # Fill + device walk dispatched back-to-back: the walk of
+                    # this batch precedes the next batch's fill on the device
+                    # queue, so its fetch/decode hide under that fill.
+                    # Multi-process always takes this route: the device walk
+                    # is sharded like the fill, and each process drains only
+                    # its addressable packed-op rows at finish
+                    # (runner._device_walk_finish_mp).
+                    n_finals = B if _mp() else len(batch_pairs)
+                    finals, handles = runner.fill_walk_from_stream_args(
+                        args, plan, n_finals, has_n, seqs1, seqs2
+                    )
+                    extra = (handles, seqs1, seqs2)
+                elif kind == "args":
+                    finals, dirs, plan = runner.fill_with_dirs_from_stream_args(
+                        args, plan, len(batch_pairs), has_n
+                    )
+                    extra = (dirs, plan, seqs1, seqs2)
                 else:
-                    best, xs, ys, dirs, plan = (
-                        runner.fill_modes_from_stream_args(
-                            args, plan, n_best, has_n, mode
-                        )
-                    )
-                    handles = None
-                extra = ("modes", handles, seqs1, seqs2, xs, ys, dirs,
-                         plan)
-                n_slice = B if _mp() else len(batch_pairs)
+                    finals, dirs, plan = runner.fill_with_dirs(batch)  # async
+                    extra = (dirs, plan, seqs1, seqs2)
+                # Multi-process: on_result sees the GLOBAL gathered finals
+                # (like the scores-only path); on_alignments stays local.
+                n_slice = B if (kind == "args" and _mp()) else len(batch_pairs)
                 enqueue_drain(
-                    (i, best, n_slice, len(batch_pairs), extra)
+                    (i, finals, n_slice, len(batch_pairs), extra)
                 )
-                continue
-            if kind == "args" and (use_device_walk(runner) or _mp()):
-                # Fill + device walk dispatched back-to-back: the walk of
-                # this batch precedes the next batch's fill on the device
-                # queue, so its fetch/decode hide under that fill.
-                # Multi-process always takes this route: the device walk
-                # is sharded like the fill, and each process drains only
-                # its addressable packed-op rows at finish
-                # (runner._device_walk_finish_mp).
-                n_finals = B if _mp() else len(batch_pairs)
-                finals, handles = runner.fill_walk_from_stream_args(
-                    args, plan, n_finals, has_n, seqs1, seqs2
-                )
-                extra = (handles, seqs1, seqs2)
-            elif kind == "args":
-                finals, dirs, plan = runner.fill_with_dirs_from_stream_args(
-                    args, plan, len(batch_pairs), has_n
-                )
-                extra = (dirs, plan, seqs1, seqs2)
             else:
-                finals, dirs, plan = runner.fill_with_dirs(batch)  # async
-                extra = (dirs, plan, seqs1, seqs2)
-            # Multi-process: on_result sees the GLOBAL gathered finals
-            # (like the scores-only path); on_alignments stays local.
-            n_slice = B if (kind == "args" and _mp()) else len(batch_pairs)
-            enqueue_drain(
-                (i, finals, n_slice, len(batch_pairs), extra)
-            )
-        else:
-            if mode != "global":
-                if kind != "args":
-                    args, plan, B, has_n = runner._stream_args(batch)
-                scores = runner.fill_modes_from_stream_args(
-                    args, plan, B, has_n, mode, with_dirs=False
-                )[0]
-            elif kind == "args":
-                scores = runner.scores_from_stream_args(args, plan, B, has_n)
-            else:
-                scores = runner.scores(batch)  # async dispatch
-            # Multi-process: on_result sees the GLOBAL gathered scores
-            # (B covers every process's rows); n_pairs still counts only
-            # this host's valid pairs.
-            n_slice = B if (kind == "args" and _mp()) else n_valid
-            enqueue_drain((i, scores, n_slice, n_valid, None))
-    q_drain.put(None)
-    drain_t.join()
+                if mode != "global":
+                    if kind != "args":
+                        args, plan, B, has_n = runner._stream_args(batch)
+                    scores = runner.fill_modes_from_stream_args(
+                        args, plan, B, has_n, mode, with_dirs=False
+                    )[0]
+                elif kind == "args":
+                    scores = runner.scores_from_stream_args(args, plan, B, has_n)
+                else:
+                    scores = runner.scores(batch)  # async dispatch
+                # Multi-process: on_result sees the GLOBAL gathered scores
+                # (B covers every process's rows); n_pairs still counts only
+                # this host's valid pairs.
+                n_slice = B if (kind == "args" and _mp()) else n_valid
+                enqueue_drain((i, scores, n_slice, n_valid, None))
+
+    try:
+        _stream_loop()
+    finally:
+        # Always release the drain worker (daemon, but a blocked
+        # get() would leak one thread per aborted stream).
+        q_drain.put(None)
+        drain_t.join()
     if drain_err:
         raise drain_err[0]
     return n_done[0]
