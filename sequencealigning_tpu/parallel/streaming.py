@@ -231,13 +231,15 @@ def stream_align(
         ):
             yield i, None, bp
 
-    # Three-stage pipeline: [prep thread: pack + host CPU work] ->
+    # Four-stage pipeline: [prep thread: pack + host CPU work] ->
     # [put thread: device_put (tunnel/PCIe I/O, GIL-free)] -> [this
-    # thread: dispatch + drain].  The host timeline was the binding cost
-    # of this loop (benchmarks/stream_profile: pack+prep+H2D ~= 5-10x the
-    # kernel time through a slow host link); splitting CPU work from the
-    # transfer lets both overlap device execution even on a single host
-    # core.  Bounded queues keep backpressure identical to max_in_flight.
+    # thread: dispatch only] -> [drain thread: result fetch + decode +
+    # callbacks].  The host timeline was the binding cost of this loop
+    # (benchmarks/stream_profile: pack+prep+H2D ~= 5-10x the kernel time
+    # through a slow host link); splitting CPU work, transfers, and the
+    # drain from dispatch lets each overlap device execution even on a
+    # single host core.  Bounded queues keep backpressure identical to
+    # max_in_flight.
     stream_kernel = runner.kernel == "stream"
     depth = max(1, max_in_flight)
     q_prep: "queue.Queue" = queue.Queue(maxsize=depth)
