@@ -289,19 +289,30 @@ def stream_align(
     # callbacks (on_result / on_alignments) therefore fire on this
     # worker thread.  Queue depth = max_in_flight keeps the same
     # backpressure/memory bound as the old in-line drain.
-    q_drain: "queue.Queue" = queue.Queue(maxsize=depth)
+    q_drain: "queue.Queue" = queue.Queue()
     drain_err: List[BaseException] = []
+    # The in-flight budget (undrained batches alive at once) must stay
+    # EXACTLY max_in_flight: each entry pins its batch's device buffers
+    # (the fast4 dirs tensor is GBs at production shapes), and a looser
+    # window OOMed HBM at 6+ batches.  The semaphore is acquired before
+    # each dispatch and released only when the entry is fully drained --
+    # the same bound the old drain-on-main-thread loop enforced, with
+    # the drain still off the main thread.
+    in_flight_sem = threading.Semaphore(depth)
 
     def drain_worker():
         while True:
             entry = q_drain.get()
             if entry is None:
                 return
-            if not drain_err:
-                try:
+            try:
+                if not drain_err:
                     _drain(entry)
-                except BaseException as e:  # surface on the main thread
-                    drain_err.append(e)
+            except BaseException as e:  # surface on the main thread
+                drain_err.append(e)
+            finally:
+                del entry  # release the batch's device buffers
+                in_flight_sem.release()
 
     threading.Thread(target=prep, daemon=True).start()
     threading.Thread(target=put, daemon=True).start()
@@ -321,6 +332,8 @@ def stream_align(
                 break
             if kind == "error":
                 raise item[1]
+            # Block until an in-flight slot frees (see in_flight_sem).
+            in_flight_sem.acquire()
             if kind == "args":
                 _, i, args, plan, B, has_n, n_valid, batch_pairs = item
             else:
